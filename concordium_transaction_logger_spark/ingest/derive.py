@@ -1,0 +1,227 @@
+"""Deterministic interpretation of the driver's ``events`` table as the
+reference's finalized-block feed, and derivation of the five sink tables.
+
+Reference model (SURVEY.md §1): one finalized block yields N transaction
+outcomes + special events; the indexer explodes them into an append-only
+fact table ``summaries`` plus index tables ``ati`` (account) / ``cti``
+(contract), a running CIS2 token-supply ledger, and a latest-wins
+public-key-binding snapshot (wallet-proxy-indexer/src/main.rs:545-574,
+resources/m0001-initial.sql).
+
+The generic event stream maps onto that model with a *fixed, documented,
+SQL-expressible* rule set so every derived table can be verified row-for-row
+against a DuckDB oracle (``ingest.oracle`` holds the mirror SQL — keep the
+two in lockstep):
+
+- 8 events = 1 block: ``height = event_id DIV 8``, ``tx_index = event_id % 8``
+  (E1, main.rs:796-804 — order-preserving block explode).
+- ``block`` hash = md5(height)  (32-byte block hash stand-in, hex).
+- ``ts_ms`` = event timestamp in epoch ms (timestamp INT8, m0001-initial.sql:5).
+- event_type 'error' plays the role of a *special transaction outcome*
+  (Right branch of the tagged union, main.rs:99-109): its ``sender`` is NULL.
+- affected accounts (E2, main.rs:823-853): the actor ``user_id`` always;
+  for 'purchase'/'error' also a counterparty
+  ``(user_id + 1 + k % 14) % n_users`` (provably != user_id, so the
+  affected list is duplicate-free by construction; alias-dedup over binary
+  addresses is exercised separately in ``functions.addresses``).
+- affected contracts (E3, main.rs:332-352): 'click'/'view' touch contract
+  ``(k % 10, k % 3)``.
+- CIS2 token ledger (E5/A1/A2, main.rs:417-457): 'purchase' mints and
+  'error' burns ``round(value*100)`` atoms of token ``k % 5`` on contract
+  ``(k % 10, k % 3)`` — a signed integer-cents amount so the running-supply
+  aggregation is exact in any engine.
+- key bindings (E6/M1, main.rs:506-540): 'signup' replaces the account's
+  binding snapshot; latest signup wins.
+
+Ids reproduce the reference's contract — strictly increasing in
+``(height, tx_index)`` order, gaps allowed (README.md:99-101) — via the
+deterministic derivation ``summary_id = event_id``, ``ati.id =
+event_id*4 + pos``. No ``monotonically_increasing_id()``: ids must be
+stable across partitionings (SURVEY §7 hard part 2).
+
+Every function returns a *lazy* DataFrame; Catalyst fuses the whole
+derivation into the consuming query (single parquet scan, pushdown intact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+#: Events per synthetic block (E1 explode granularity).
+TXS_PER_BLOCK = 8
+
+#: Event kinds (the Left/Right tagged union, main.rs:99-109).
+SPECIAL_TYPES = ("error",)
+MINT_TYPE = "purchase"
+BURN_TYPE = "error"
+CONTRACT_TYPES = ("click", "view")
+BINDING_TYPE = "signup"
+
+
+def block_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enriched event feed: parsed props + user-universe size.
+
+    ``n_users`` (for the counterparty formula) is a scalar aggregate joined
+    back by broadcast, keeping the whole derivation one lazy plan — no
+    driver-side collect.
+    """
+    events = load_table(spark, sf_dir, "events")
+    evt = events.select(
+        "event_id",
+        F.expr("ts DIV 1000000").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    n_users = evt.agg((F.max("user_id") + F.lit(1)).alias("n_users"))
+    return evt.crossJoin(F.broadcast(n_users))
+
+
+def _height() -> Column:
+    return F.expr(f"event_id DIV {TXS_PER_BLOCK}")
+
+
+def summaries(feed: DataFrame) -> DataFrame:
+    """The append-only fact table (m0001-initial.sql:2-9).
+
+    ``summary`` is the JSONB tagged union: ``tag`` discriminates
+    block items from special outcomes (main.rs:99-109). Carries the
+    ``sender`` / ``event_type`` / ``k`` / ``value`` attributes the read
+    queries need so downstream operators never re-parse JSON.
+    """
+    is_special = F.col("event_type").isin(*SPECIAL_TYPES)
+    return feed.select(
+        F.col("event_id").alias("id"),
+        F.md5(_height().cast("string")).alias("block"),
+        F.col("ts_ms"),
+        _height().alias("height"),
+        F.concat(
+            F.lit('{"tag":"'),
+            F.when(is_special, F.lit("special")).otherwise(F.lit("block_item")),
+            F.lit('","type":"'),
+            F.col("event_type"),
+            F.lit('","k":'),
+            F.col("k").cast("string"),
+            F.lit("}"),
+        ).alias("summary"),
+        F.when(is_special, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("sender"),
+        "event_type",
+        "k",
+        "value",
+        "user_id",
+    )
+
+
+def counterparty() -> Column:
+    """Second affected account for value-moving events; != user_id because
+    ``1 + k % 14`` is in [1, 14] and n_users >= 15."""
+    return (F.col("user_id") + 1 + F.col("k") % 14) % F.col("n_users")
+
+
+def ati(feed: DataFrame) -> DataFrame:
+    """Account-transaction index (m0001-initial.sql:12-20): one row per
+    (affected account, summary); E2 explode with deterministic ids."""
+    sender_rows = feed.select(
+        (F.col("event_id") * 4).alias("id"),
+        F.col("user_id").alias("account"),
+        F.col("event_id").alias("summary"),
+    )
+    cp_rows = feed.filter(F.col("event_type").isin(MINT_TYPE, BURN_TYPE)).select(
+        (F.col("event_id") * 4 + 1).alias("id"),
+        counterparty().alias("account"),
+        F.col("event_id").alias("summary"),
+    )
+    return sender_rows.unionByName(cp_rows)
+
+
+def cti(feed: DataFrame) -> DataFrame:
+    """Contract-transaction index (m0001-initial.sql:23-31); E3 explode."""
+    return feed.filter(F.col("event_type").isin(*CONTRACT_TYPES)).select(
+        F.col("event_id").alias("id"),
+        (F.col("k") % 10).alias("idx"),
+        (F.col("k") % 3).alias("subidx"),
+        F.col("event_id").alias("summary"),
+    )
+
+
+def cis2_events(feed: DataFrame) -> DataFrame:
+    """Signed CIS2 token movements (E5): mint positive, burn negative,
+    integer atoms (cents) so the running sum is exact (main.rs:417-457)."""
+    sign = F.when(F.col("event_type") == MINT_TYPE, F.lit(1)).otherwise(F.lit(-1))
+    return feed.filter(F.col("event_type").isin(MINT_TYPE, BURN_TYPE)).select(
+        (F.col("k") % 10).alias("idx"),
+        (F.col("k") % 3).alias("subidx"),
+        (F.col("k") % 5).cast("string").alias("token_id"),
+        (F.round(F.col("value") * 100, 0).cast("long") * sign).alias("amount"),
+        F.col("event_id").alias("summary"),
+    )
+
+
+def cis2_tokens(feed: DataFrame) -> DataFrame:
+    """Running total supply per token — the A1/A2 upsert expressed as a
+    plain aggregation (the Spark-idiomatic replacement for
+    ``ON CONFLICT DO UPDATE total_supply = total_supply + delta``,
+    main.rs:222-251). DECIMAL(38,0) mirrors NUMERIC(80,0) within Spark's
+    precision cap (SURVEY §7 hard part 1)."""
+    return (
+        cis2_events(feed)
+        .groupBy("idx", "subidx", "token_id")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("total_supply")
+        )
+    )
+
+
+def key_bindings_all(feed: DataFrame) -> DataFrame:
+    """Every binding snapshot ever written (one per signup event);
+    E6 flatten (main.rs:730-758)."""
+    return feed.filter(F.col("event_type") == BINDING_TYPE).select(
+        F.col("user_id").alias("address"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.col("k").cast("string"),
+                F.col("event_id").cast("string"),
+            )
+        ).alias("public_key"),
+        (F.col("k") % 3).alias("credential_index"),
+        (F.col("k") % 2).alias("key_index"),
+        (F.col("k") % 2 == 0).alias("is_simple_account"),
+        F.col("event_id"),
+    )
+
+
+def key_bindings(feed: DataFrame) -> DataFrame:
+    """Latest-wins binding snapshot per account — the M1 delete+insert
+    replace (main.rs:506-540) as a window dedup. ``row_number`` over
+    (address ORDER BY event_id DESC) = the reference's "last write wins"."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("address").orderBy(F.col("event_id").desc())
+    return (
+        key_bindings_all(feed)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "event_id")
+    )
+
+
+def sink_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All five derived sink tables, keyed by reference table name."""
+    feed = block_feed(spark, sf_dir)
+    return {
+        "summaries": summaries(feed),
+        "ati": ati(feed),
+        "cti": cti(feed),
+        "cis2_tokens": cis2_tokens(feed),
+        "account_public_key_bindings": key_bindings(feed),
+    }

@@ -1,0 +1,181 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Four families, all shuffle-conscious:
+
+- **exact**: hash-groupBy on a canonical fingerprint — one shuffle keyed by
+  the hash; at 100 TB the fingerprint is computed scan-side so only
+  (hash, doc_id) pairs shuffle, never document bodies.
+- **n-gram Jaccard**: shingle explode -> self-join on shingle -> per-pair
+  intersection counts. The join key is the shingle, so common-shingle skew
+  is the scale risk — AQE skew-join plus an (optional) document-frequency
+  cap on shingles bounds it.
+- **MinHash + LSH banding**: k md5-derived minhashes per doc; band
+  signatures bucket candidates so the pair join is |bucket|² within
+  buckets instead of |docs|² — the classic sub-quadratic near-dup path.
+- **SimHash**: bit-majority signature; equal signatures = candidates.
+
+All hashes are md5-derived (portable across engines for the DuckDB oracle —
+Spark's xxhash64/murmur is not reproducible in DuckDB).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .textstats import fingerprints, tokens
+
+MINHASH_K = 8
+BAND_ROWS = 4  # 2 bands of 4 minhashes each
+SHINGLE = 3
+
+
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by fingerprint; keeper = min doc_id per group
+    (deterministic survivor selection)."""
+    fp = fingerprints(spark, sf_dir)
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("group_size")
+    )
+    return fp.join(groups, "fp").select(
+        "doc_id", "fp", "keeper_doc_id", "group_size",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
+    )
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-SHINGLE shingles per doc. ``element_at`` is 1-based to
+    mirror DuckDB list indexing."""
+    t = tokens(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (SHINGLE - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + off) for off in range(SHINGLE)]
+        ),
+    )
+    return (
+        docs.filter(F.size(t) >= SHINGLE)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold_permille: int = 500
+) -> DataFrame:
+    """Near-dup pairs by word-trigram Jaccard >= threshold.
+
+    inter/union from the shingle self-join; doc sizes joined back from the
+    distinct-shingle counts. Jaccard emitted as per-mille BIGINT."""
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn(
+            "jaccard_permille",
+            F.round(
+                1000.0 * F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                0,
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_permille") >= threshold_permille)
+        .select("doc_a", "doc_b", "n_inter", "jaccard_permille")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K md5-derived minhashes per document: mh_i = MIN(md5(shingle||'#i')).
+
+    The lexicographic min over hex digests is a uniform minhash; md5 keeps
+    it bit-identical in the DuckDB oracle. Computed as one groupBy over the
+    exploded shingles — k mins in a single partial-aggregated shuffle."""
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _band_cols() -> list[Column]:
+    bands = []
+    for b in range(MINHASH_K // BAND_ROWS):
+        cols = [F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        bands.append(F.md5(F.concat(*cols)).alias(f"band{b}"))
+    return bands
+
+
+def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band signature are candidate pairs.
+
+    Scale shape: explode signatures into (band_id, band_hash) keys and
+    self-join within buckets — |bucket|² work instead of |docs|²."""
+    sig = minhash_signatures(spark, sf_dir).select("doc_id", *_band_cols())
+    n_bands = MINHASH_K // BAND_ROWS
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(n_bands)
+            ])
+        ).alias("bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NIBBLES = 16  # simhash over 16 bits: one md5 hex nibble per bit position
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash16 over distinct tokens: bit p = majority sign of
+    (nibble p of md5(token)) & 1. Engine-portable (md5 + instr); the
+    wider 64-bit variant is the same plan with more nibble columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                (F.instr(F.lit("0123456789abcdef"), F.substring("h", p + 1, 1)) - 1) % 2
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{p}")
+        for p in range(NIBBLES)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = reduce(
+        lambda acc, p: acc
+        + F.when(F.col(f"s{p}") > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0)),
+        range(NIBBLES),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", sig.alias("simhash16")).orderBy("doc_id")

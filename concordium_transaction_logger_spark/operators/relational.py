@@ -1,0 +1,167 @@
+"""General relational/analytic queries over the star schema — the engine's
+bench workload beyond the reference's point-lookup surface.
+
+Determinism convention (see ingest/oracle.py): money aggregates are integer
+cents (``CAST(ROUND(100 * expr) AS BIGINT)``) so Spark and DuckDB agree
+bit-for-bit; top-k queries always carry a unique tiebreak column.
+
+Scale notes per query are inline; the common themes:
+- aggregations rely on partial (map-side) aggregation — shuffle carries
+  |groups| rows, not |input|;
+- dimension joins (region/nation/customer/supplier) are broadcast — no
+  shuffle of the fact table;
+- top-k is orderBy+limit => TakeOrderedAndProject (per-partition heap,
+  driver merge), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-heavy grouped aggregation.
+
+    One wide scan -> partial agg -> 4-group shuffle. Filter and the 6-column
+    projection push down to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price_cents"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority top-k.
+
+    customer is a broadcast dimension; orders⋈lineitem is the only shuffle;
+    final top-10 is a TakeOrderedAndProject with unique (revenue, orderkey)
+    tiebreak."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.unix_millis(F.max("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped existence check: orders with any lineitem shipped
+    more than 60 days after the order date, counted by priority.
+
+    The EXISTS is a left-semi join — Spark never materializes the matches,
+    and the count shuffles |priorities| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multiway join: local-supplier revenue per nation.
+
+    All dimensions broadcast; the single big join chain
+    lineitem⋈orders⋈(customer,supplier,nation) keeps the fact table
+    shuffled at most once (on orderkey)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("n_name"))
+    )
+
+
+def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top purchasing users from the event stream (cents-exact)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(_cents(F.col("value"))).alias("spend_cents"),
+            F.count("*").alias("n_purchases"),
+        )
+        .orderBy(F.col("spend_cents").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts per (event_type, hour bucket) — the tumbling-window
+    rollup shape used by the streaming path, computed batch-side.
+    Hour bucket = epoch-ms DIV 3600000 (integer, engine-portable)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.expr("(ts DIV 1000000) DIV 3600000").alias("hour_bucket"),
+            "value",
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count("*").alias("n_events"), F.sum(_cents(F.col("value"))).alias("value_cents"))
+        .orderBy("event_type", "hour_bucket")
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exactness baseline. Embeddings are
+  quantized to integer milli-units so the dot product is exact integer
+  arithmetic (order-independent => identical in Spark and the DuckDB
+  oracle); only the final cosine normalization touches floating point, and
+  it is emitted as a rounded micro-unit BIGINT. The query set is broadcast,
+  so the candidate side never shuffles: at 100 TB this is one scan +
+  per-partition top-k + driver merge.
+- **LSH-bucketed ANN** — the scale path: deterministic random-hyperplane
+  signatures bucket candidates; only same-bucket pairs are scored. Planes
+  are derived from md5 so the signature is reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+
+#: milli-unit quantization of float components (exact in both engines).
+QUANT = 1000
+
+
+def _quantized(df: DataFrame) -> DataFrame:
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * QUANT, 0).cast("long"),
+    )
+    return df.select("vec_id", "label", q.alias("e"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Rank is (sim_micro DESC, vec_id) — fully deterministic. Queries are
+    broadcast; ranking is a per-query window over the candidate scan."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+    norm = lambda c: F.sqrt(_dot(c, c).cast("double"))
+    scored = cands.join(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            1_000_000 * _dot(F.col("qe"), F.col("ce"))
+            / (norm(F.col("qe")) * norm(F.col("ce"))),
+            0,
+        )
+        .cast("long")
+        .alias("sim_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+N_PLANES = 8
+
+
+def _plane_component(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random hyperplane component in [-8, 7]:
+    first hex nibble of md5('{plane}:{dim}') minus 8. Computed Python-side
+    (planes are a tiny constant table, broadcast with the literal plan)."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
+    return int(h[0], 16) - 8
+
+
+def lsh_signature(df: DataFrame, dims: int = 64) -> DataFrame:
+    """Random-hyperplane signature: bit j = (plane_j · e) >= 0. The planes
+    are constant-folded literals — no shuffle, no UDF."""
+    sig = F.lit(0).cast("long")
+    for j in range(N_PLANES):
+        comps = F.array(*[F.lit(_plane_component(j, d)) for d in range(dims)])
+        proj = F.aggregate(
+            F.zip_with(F.col("e"), comps, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return df.withColumn("lsh_bucket", sig)
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """ANN via hyperplane-LSH buckets: score only candidates sharing the
+    query's bucket (recall < 1, cost ~ |bucket| instead of |corpus|).
+
+    Same deterministic scoring as :func:`cosine_topk`; at 100 TB the
+    candidate side is pre-partitioned by bucket so each query probes one
+    partition group."""
+    emb = lsh_signature(_quantized(load_table(spark, sf_dir, "embeddings")))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("lsh_bucket").alias("qb"),
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("lsh_bucket").alias("cb"),
+    )
+    norm = lambda c: F.sqrt(_dot(c, c).cast("double"))
+    scored = cands.join(F.broadcast(queries), F.col("qb") == F.col("cb")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            1_000_000 * _dot(F.col("qe"), F.col("ce"))
+            / (norm(F.col("qe")) * norm(F.col("ce"))),
+            0,
+        )
+        .cast("long")
+        .alias("sim_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,409 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus the
+training-data extensions) bound to (a) its Spark implementation and (b) the
+equivalent DuckDB oracle SQL. ``__spark_entry__.py`` and ``bench.py`` are
+thin adapters over this table.
+
+Naming contract: output column names/aliases are identical in both sides —
+the driver's hash compare sorts columns by name.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ingest.oracle import wrap
+from .operators import dedup, queries, relational, similarity, textstats
+
+I64_MIN = queries.I64_MIN
+I64_MAX = queries.I64_MAX
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None => non-SQL-expressible, rows-only check
+    bench: bool = False  # include in bench.py headline set
+
+
+def _account_rows_sql(account: int, descending: bool, start: int | None, limit: int | None) -> str:
+    start = start if start is not None else (I64_MAX if descending else I64_MIN)
+    bound = "<=" if descending else ">="
+    lim = f"LIMIT {limit}" if limit is not None else ""
+    return wrap(
+        f"""
+SELECT a.id AS ati_id, s.id, s.block, s.ts_ms, s.height, s.summary
+FROM ati a JOIN summaries s ON a.summary = s.id
+WHERE a.account = {account} AND a.id {bound} {start}
+ORDER BY a.id {'DESC' if descending else 'ASC'} {lim}
+"""
+    )
+
+
+def _contract_rows_sql(idx: int, subidx: int, descending: bool, start: int | None, limit: int | None) -> str:
+    start = start if start is not None else (I64_MAX if descending else I64_MIN)
+    bound = "<=" if descending else ">="
+    lim = f"LIMIT {limit}" if limit is not None else ""
+    return wrap(
+        f"""
+SELECT a.id AS cti_id, s.id, s.block, s.ts_ms, s.height, s.summary
+FROM cti a JOIN summaries s ON a.summary = s.id
+WHERE a.idx = {idx} AND a.subidx = {subidx} AND a.id {bound} {start}
+ORDER BY a.id {'DESC' if descending else 'ASC'} {lim}
+"""
+    )
+
+
+def _simhash_sql() -> str:
+    nibbles = dedup.NIBBLES
+    bit_sums = ", ".join(
+        "SUM(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1) % 2 = 1"
+        " THEN 1 ELSE -1 END) AS s{i}".format(p=p + 1, i=p)
+        for p in range(nibbles)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{p} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END" for p in range(nibbles)
+    )
+    return wrap(
+        f"""
+SELECT doc_id, {sig} AS simhash16
+FROM (SELECT doc_id, {bit_sums} FROM tokset GROUP BY doc_id)
+ORDER BY doc_id
+"""
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = ", ".join(
+        "len(regexp_extract_all(lower(text), '\\b({alt})\\b')) AS score_{code}".format(
+            alt="|".join(words), code=code
+        )
+        for code, words in textstats.LANG_MARKERS.items()
+    )
+    codes = list(textstats.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{c}" for c in codes) + ")"
+    pred = "CASE WHEN {best} = 0 THEN 'und' ".format(best=best) + " ".join(
+        f"WHEN score_{c} = {best} THEN '{c}'" for c in codes
+    ) + " END"
+    return wrap(
+        f"""
+SELECT doc_id, lang, {pred} AS pred_lang, {', '.join('score_' + c for c in codes)}
+FROM (SELECT doc_id, lang, {score_cols} FROM documents)
+ORDER BY doc_id
+"""
+    )
+
+
+def _quality_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+    return wrap(
+        f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(t) AS n_tokens,
+  CASE WHEN length(text) > 0 THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) AS BIGINT) ELSE 0 END AS alpha_permille,
+  CASE WHEN length(text) > 0 THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^0-9]', '', 'g')) / length(text)) AS BIGINT) ELSE 0 END AS digit_permille,
+  CASE WHEN length(text) > 0 THEN CAST(ROUND(1000.0 * length(regexp_replace(text, '[^ ]', '', 'g')) / length(text)) AS BIGINT) ELSE 0 END AS space_permille,
+  CASE WHEN len(t) > 0 THEN CAST(ROUND(1000.0 * len(list_filter(t, x -> list_contains([{stop_list}], x))) / len(t)) AS BIGINT) ELSE 0 END AS stopword_permille
+FROM documents JOIN toks USING (doc_id)
+ORDER BY doc_id
+"""
+    )
+
+
+_COSINE_SIM = (
+    "CAST(ROUND(1000000 * list_dot_product(q.e, c.e) / "
+    "(SQRT(CAST(list_dot_product(q.e, q.e) AS DOUBLE)) * "
+    "SQRT(CAST(list_dot_product(c.e, c.e) AS DOUBLE)))) AS BIGINT)"
+)
+
+
+REGISTRY: dict[str, QueryDef] = {
+    # ------------------------------------------------------------------
+    # Reference read surface (SURVEY §2.3-§2.8; postgres.rs / main.rs)
+    # ------------------------------------------------------------------
+    "account_txs_desc": QueryDef(
+        lambda spark, sf: queries.query_account(spark, sf, 7, limit=20, descending=True),
+        _account_rows_sql(7, True, None, 20),
+        bench=True,
+    ),
+    "account_txs_asc_start": QueryDef(
+        lambda spark, sf: queries.query_account(spark, sf, 12, limit=20, start=500),
+        _account_rows_sql(12, False, 500, 20),
+        bench=True,
+    ),
+    "account_txs_desc_start": QueryDef(
+        lambda spark, sf: queries.query_account(
+            spark, sf, 3, limit=10, descending=True, start=3000
+        ),
+        _account_rows_sql(3, True, 3000, 10),
+    ),
+    "account_txs_empty": QueryDef(
+        lambda spark, sf: queries.query_account(spark, sf, 999_999, limit=10, descending=True),
+        _account_rows_sql(999_999, True, None, 10),
+    ),
+    "contract_txs_desc": QueryDef(
+        lambda spark, sf: queries.query_contract(spark, sf, 3, 1, limit=25, descending=True),
+        _contract_rows_sql(3, 1, True, None, 25),
+        bench=True,
+    ),
+    "contract_txs_asc_start": QueryDef(
+        lambda spark, sf: queries.query_contract(spark, sf, 7, 0, limit=50, start=100),
+        _contract_rows_sql(7, 0, False, 100, 50),
+    ),
+    "iterate_account": QueryDef(
+        lambda spark, sf: queries.iterate_account(spark, sf, 12),
+        _account_rows_sql(12, False, None, None),
+        bench=True,
+    ),
+    "resume_offset": QueryDef(
+        lambda spark, sf: queries.resume_offset(spark, sf),
+        wrap("SELECT height FROM summaries ORDER BY id DESC LIMIT 1"),
+    ),
+    "cis2_supply": QueryDef(
+        lambda spark, sf: queries.cis2_supply(spark, sf),
+        wrap(
+            """
+SELECT idx, subidx, token_id,
+       CAST(SUM(CAST(amount AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total_supply
+FROM cis2_events GROUP BY idx, subidx, token_id
+ORDER BY idx, subidx, token_id
+"""
+        ),
+        bench=True,
+    ),
+    "key_bindings_latest": QueryDef(
+        lambda spark, sf: queries.key_bindings_latest(spark, sf),
+        wrap("SELECT * FROM bindings ORDER BY address"),
+        bench=True,
+    ),
+    "incoming_txs": QueryDef(
+        lambda spark, sf: queries.incoming_transactions(spark, sf, 7, limit=50),
+        wrap(
+            """
+SELECT a.id AS ati_id, s.id, s.block, s.ts_ms, s.height, s.summary
+FROM ati a JOIN summaries s ON a.summary = s.id
+WHERE a.account = 7 AND (s.sender IS NULL OR s.sender <> 7)
+ORDER BY a.id DESC LIMIT 50
+"""
+        ),
+    ),
+    "account_activity": QueryDef(
+        lambda spark, sf: queries.account_activity(spark, sf),
+        wrap(
+            """
+SELECT account, COUNT(*) AS n_txs, MAX(id) AS max_ati_id
+FROM ati GROUP BY account ORDER BY account
+"""
+        ),
+        bench=True,
+    ),
+    # ------------------------------------------------------------------
+    # General relational/analytic surface (bench workload)
+    # ------------------------------------------------------------------
+    "pricing_summary": QueryDef(
+        relational.pricing_summary,
+        """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+  SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) AS sum_base_price_cents,
+  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS sum_disc_price_cents,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        bench=True,
+    ),
+    "top_orders_by_revenue": QueryDef(
+        relational.top_orders_by_revenue,
+        """
+SELECT o_orderkey, o_orderpriority,
+  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS revenue_cents,
+  epoch_ms(MAX(o_orderdate)) AS o_orderdate_ms
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 10
+""",
+        bench=True,
+    ),
+    "late_order_priority_counts": QueryDef(
+        relational.late_order_priority_counts,
+        """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        bench=True,
+    ),
+    "nation_revenue": QueryDef(
+        relational.nation_revenue,
+        """
+SELECT n_name,
+  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+""",
+        bench=True,
+    ),
+    "top_spenders": QueryDef(
+        relational.top_spenders,
+        """
+SELECT user_id,
+  SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS spend_cents,
+  COUNT(*) AS n_purchases
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY spend_cents DESC, user_id
+LIMIT 10
+""",
+    ),
+    "event_type_hourly": QueryDef(
+        relational.event_type_hourly,
+        """
+SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket,
+  COUNT(*) AS n_events,
+  SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY event_type, hour_bucket
+ORDER BY event_type, hour_bucket
+""",
+        bench=True,
+    ),
+    # ------------------------------------------------------------------
+    # Training-data pipeline: text analysis
+    # ------------------------------------------------------------------
+    "doc_token_stats": QueryDef(
+        textstats.token_stats,
+        wrap(
+            """
+SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq_tokens,
+  COALESCE(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT), 0) AS chars_in_tokens,
+  CASE WHEN len(t) > 0
+       THEN CAST(ROUND(1000.0 * COALESCE(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT), 0) / len(t)) AS BIGINT)
+       ELSE 0 END AS mean_token_len_permille
+FROM toks ORDER BY doc_id
+"""
+        ),
+        bench=True,
+    ),
+    "doc_quality": QueryDef(textstats.quality_scores, _quality_sql()),
+    "doc_lang_id": QueryDef(textstats.lang_id, _lang_sql()),
+    "doc_fingerprints": QueryDef(
+        textstats.fingerprints, wrap("SELECT doc_id, fp FROM fp ORDER BY doc_id")
+    ),
+    # ------------------------------------------------------------------
+    # Training-data pipeline: deduplication
+    # ------------------------------------------------------------------
+    "doc_exact_dup_groups": QueryDef(
+        dedup.exact_dup_groups,
+        wrap(
+            """
+SELECT f.doc_id, f.fp, g.keeper_doc_id, g.group_size,
+       f.doc_id = g.keeper_doc_id AS is_keeper
+FROM fp f JOIN (
+  SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS group_size
+  FROM fp GROUP BY fp) g USING (fp)
+ORDER BY doc_id
+"""
+        ),
+        bench=True,
+    ),
+    "doc_ngram_jaccard_pairs": QueryDef(
+        lambda spark, sf: dedup.ngram_jaccard_pairs(spark, sf, 500),
+        wrap(
+            """
+SELECT da AS doc_a, db AS doc_b, i AS n_inter,
+       CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) AS jaccard_permille
+FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2) t
+JOIN sh_sizes x ON x.doc_id = da
+JOIN sh_sizes y ON y.doc_id = db
+WHERE CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) >= 500
+ORDER BY doc_a, doc_b
+"""
+        ),
+        bench=True,
+    ),
+    "doc_minhash_signatures": QueryDef(
+        dedup.minhash_signatures,
+        wrap(
+            "SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM mh ORDER BY doc_id"
+        ),
+        bench=True,
+    ),
+    "doc_minhash_band_pairs": QueryDef(
+        dedup.minhash_band_pairs,
+        wrap(
+            """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+      UNION ALL
+      SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
+JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+      UNION ALL
+      SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+        ),
+    ),
+    "doc_simhash": QueryDef(dedup.simhash, _simhash_sql()),
+    # ------------------------------------------------------------------
+    # Training-data pipeline: similarity search
+    # ------------------------------------------------------------------
+    "ann_cosine_topk": QueryDef(
+        lambda spark, sf: similarity.cosine_topk(spark, sf, 5, 10),
+        wrap(
+            f"""
+SELECT query_id, neighbor_id, sim_micro,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim_micro DESC, neighbor_id ASC) AS rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COSINE_SIM} AS sim_micro
+  FROM qvec q JOIN qvec c ON q.vec_id < 5 AND c.vec_id >= 5) s
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+        ),
+        bench=True,
+    ),
+    "ann_lsh_topk": QueryDef(
+        lambda spark, sf: similarity.ann_lsh_topk(spark, sf, 5, 10),
+        None,  # bucketed-recall variant: not SQL-expressible 1:1, rows-only
+        bench=True,
+    ),
+}
+
+
+def spark_queries():
+    return {name: qd.spark for name, qd in REGISTRY.items()}
+
+
+def oracle_sqls():
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+
+
+def bench_queries():
+    return {name: qd.spark for name, qd in REGISTRY.items() if qd.bench}
