@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the registry's bench set at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + scan + execute + collect) on a warm
+session — the session/JVM startup is excluded, matching how a long-running
+engine serves queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from concordium_transaction_logger_spark import build_session
+from concordium_transaction_logger_spark.registry import bench_queries
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = build_session("ctl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths and parquet footers so per-query timings
+    # measure the engine, not classloading/metadata (a resident engine keeps
+    # catalog metadata warm).
+    spark.range(1).count()
+    from concordium_transaction_logger_spark.sources.tables import TABLES, load_table
+
+    for name in TABLES:
+        load_table(spark, sf_dir, name).select(F.lit(1)).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Canonical-address resolution over 32-byte binary addresses.
+
+Reference semantics (main.rs:123-146): two addresses denote the same
+account iff their first **29 bytes** agree (`AccountAddressEq`); the index
+stores only canonical addresses, so every affected address is resolved via
+an in-memory cache seeded from a node snapshot, with cache misses fetched
+over RPC and added (main.rs:762-853).
+
+Spark-first re-expression (SURVEY J2/A5):
+
+- the cache is a **broadcast dimension** ``accounts(canonical_address)``
+  keyed on the 29-byte prefix;
+- resolution is a broadcast left join on ``substring(addr, 1, 29)``;
+- the miss -> RPC -> cache-grow loop becomes a per-batch *left-anti +
+  enrich + union* pass — set-at-a-time instead of the reference's
+  inherently sequential per-address loop (SURVEY §7 hard part 3).
+
+At 100 TB the accounts dimension is the only broadcast state (tens of
+millions of 32-byte rows ≈ single-digit GB — broadcastable; beyond that,
+fall back to a bucketed sort-merge join on the prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PREFIX_LEN = 29
+
+
+def alias_prefix(col: Column) -> Column:
+    """First 29 bytes — the alias-equality key (main.rs:133-139).
+    ``substring`` on BinaryType slices bytes, mirroring ``bytes[0..29]``."""
+    return F.substring(col, 1, PREFIX_LEN)
+
+
+def canonicalize(
+    affected: DataFrame, accounts: DataFrame, addr_col: str = "address"
+) -> DataFrame:
+    """Resolve possibly-aliased addresses to canonical ones.
+
+    Returns the input plus ``canonical_address`` (NULL on cache miss) and
+    ``is_miss``. The dimension is broadcast: no shuffle of the fact side.
+    """
+    dim = F.broadcast(
+        accounts.select(
+            F.col("canonical_address"),
+            alias_prefix(F.col("canonical_address")).alias("__prefix"),
+        )
+    )
+    out = affected.join(
+        dim, alias_prefix(F.col(addr_col)) == F.col("__prefix"), "left"
+    ).drop("__prefix")
+    return out.withColumn("is_miss", F.col("canonical_address").isNull())
+
+
+def misses(resolved: DataFrame, addr_col: str = "address") -> DataFrame:
+    """Distinct unresolved addresses — the batch equivalent of the cache
+    misses the reference sends to the node (main.rs:839-852)."""
+    return (
+        resolved.filter(F.col("is_miss"))
+        .select(F.col(addr_col).alias("address"))
+        .distinct()
+    )
+
+
+def enrich_dimension(
+    accounts: DataFrame, resolved_misses: DataFrame
+) -> DataFrame:
+    """Grow the dimension with newly-resolved addresses (cache add,
+    main.rs:851). ``resolved_misses`` carries ``canonical_address`` —
+    in production from the account-info lookup source (S4); tests use the
+    miss address itself as its own canonical form."""
+    new = resolved_misses.select("canonical_address").distinct()
+    return accounts.select("canonical_address").unionByName(new).distinct()
+
+
+def dedup_first_seen(df: DataFrame, group_cols: list[str], addr_col: str, order_col: str) -> DataFrame:
+    """Per-group duplicate drop preserving first-seen order — the
+    reference's per-tx ``seen`` HashSet (main.rs:831-852, A5).
+    Spark-idiomatic: min(order) per (group, prefix), keep those rows."""
+    firsts = (
+        df.select(F.col(order_col).alias("__o"), *[F.col(c) for c in group_cols], F.col(addr_col))
+        .groupBy(*group_cols, alias_prefix(F.col(addr_col)).alias("__p"))
+        .agg(F.min("__o").alias("__o"))
+    )
+    return df.join(
+        firsts,
+        [
+            *[df[c] == firsts[c] for c in group_cols],
+            alias_prefix(df[addr_col]) == firsts["__p"],
+            df[order_col] == firsts["__o"],
+        ],
+    ).select(df["*"])

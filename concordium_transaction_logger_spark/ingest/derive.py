@@ -61,14 +61,16 @@ CONTRACT_TYPES = ("click", "view")
 BINDING_TYPE = "signup"
 
 
-def block_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The enriched event feed: parsed props + user-universe size.
+def feed_from_events(events: DataFrame, n_users: int | None = None) -> DataFrame:
+    """Enrich a raw ``events`` DataFrame into the block feed.
 
     ``n_users`` (for the counterparty formula) is a scalar aggregate joined
-    back by broadcast, keeping the whole derivation one lazy plan — no
-    driver-side collect.
+    back by broadcast when not supplied — one lazy plan, no driver collect.
+    The streaming path passes it explicitly (aggregating the stream itself
+    is impossible mid-plan): the analog of the reference seeding its
+    account cache from a node snapshot before consuming blocks
+    (main.rs:766-784).
     """
-    events = load_table(spark, sf_dir, "events")
     evt = events.select(
         "event_id",
         F.expr("ts DIV 1000000").alias("ts_ms"),
@@ -77,8 +79,15 @@ def block_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
-    n_users = evt.agg((F.max("user_id") + F.lit(1)).alias("n_users"))
-    return evt.crossJoin(F.broadcast(n_users))
+    if n_users is not None:
+        return evt.withColumn("n_users", F.lit(n_users).cast("long"))
+    agg = evt.agg((F.max("user_id") + F.lit(1)).alias("n_users"))
+    return evt.crossJoin(F.broadcast(agg))
+
+
+def block_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch block feed over the driver's ``events`` table."""
+    return feed_from_events(load_table(spark, sf_dir, "events"))
 
 
 def _height() -> Column:

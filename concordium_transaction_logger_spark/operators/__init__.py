@@ -1,3 +1,3 @@
-from . import dedup, queries, relational, similarity, textstats
+from . import dedup, multimodal, queries, relational, similarity, textstats
 
-__all__ = ["dedup", "queries", "relational", "similarity", "textstats"]
+__all__ = ["dedup", "multimodal", "queries", "relational", "similarity", "textstats"]

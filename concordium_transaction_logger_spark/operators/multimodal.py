@@ -1,0 +1,156 @@
+"""Multimodal column support: image/audio/video as opaque ``binary``
+payloads with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing (schemas, batch iteration, partition-size control)
+is real and tested; the *codec* step is stubbed deterministically because
+media libraries are not available in this environment — each stub is
+clearly marked and raises ``NotImplementedError`` when a real decode is
+requested.
+
+Scale design: payloads never pass through Python row-at-a-time — Arrow
+record batches stream through ``mapInPandas``; ``spark.sql.files.
+maxPartitionBytes`` (and explicit ``repartition`` before heavy decode)
+bound per-task memory when payloads are MBs each. Feature outputs are
+narrow columns so downstream joins/aggregations shuffle features, not
+payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media(media_id, kind, payload, meta) — binary column + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # 'image' | 'audio' | 'video'
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _stub_decode_features(payload: bytes) -> list[float]:
+    """STUB: deterministic fake feature vector (md5-seeded), standing in
+    for a real image/audio decode + embed. Replace with the real codec
+    when the runtime has one."""
+    h = hashlib.md5(payload or b"").digest()
+    return [b / 255.0 for b in h]
+
+
+def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    ``real_decode=True`` requires an actual media codec and raises
+    ``NotImplementedError`` here (no PIL/ffmpeg in this environment)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real media decode requires image/audio libraries not "
+                    "present in this environment; use the deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "feature": pdf["payload"].map(_stub_decode_features),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2, frame_bytes: int = 8) -> DataFrame:
+    """Frame sampling for video payloads: split the payload into fixed-size
+    chunks ("frames" — STUB for a real container demux) and keep every
+    ``every_n``-th. Emits one row per kept frame via ``mapInPandas``
+    (UDTF-shaped: 1 row -> N rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                chunks = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                for j in range(0, len(chunks), every_n):
+                    ids.append(mid)
+                    idxs.append(j)
+                    frames.append(chunks[j])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame": frames}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(run, FRAMES_SCHEMA)
+
+
+def validate_media(media: DataFrame) -> DataFrame:
+    """JVM-side payload/metadata validation — no Python in the hot path:
+    flag rows whose payload is missing, empty, or inconsistent with
+    metadata."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").alias("payload_bytes"),
+        (
+            F.col("payload").isNull()
+            | (F.length("payload") == 0)
+            | (
+                (F.col("kind") == "image")
+                & (F.col("meta.width").isNull() | F.col("meta.height").isNull())
+            )
+            | ((F.col("kind") == "audio") & F.col("meta.sample_rate").isNull())
+        ).alias("is_invalid"),
+    )

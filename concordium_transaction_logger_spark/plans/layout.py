@@ -1,0 +1,71 @@
+"""Physical layout for the 100 TB deployment + plan-inspection helpers.
+
+The reference's covering indexes (m0001:18,30,44; m0003:3-12) map to
+*storage layout*, not runtime indexes (SURVEY §4):
+
+- ``summaries``  -> partition by height range (``height DIV 1e5``); point
+  queries and resume-offset prune to one partition.
+- ``ati``        -> bucket by ``account`` and sort within buckets by
+  ``id``: the account point query becomes a single-bucket scan with the
+  keyset predicate applied on sorted data, and the FK join to summaries
+  co-locates when summaries is bucketed by ``id``.
+- ``cti``        -> bucket by ``(idx, subidx)``.
+- hot accounts (exchange wallets) skew the ati shuffle — AQE skew-join
+  handles the join side; for aggregations, salt with ``id % 16``.
+
+Helpers below let tests assert what the optimizer actually did
+(pushdown reached the scan, join was broadcast, top-k avoided full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Heights per summaries partition at full scale.
+HEIGHT_BUCKET = 100_000
+
+
+def write_summaries_partitioned(summaries: DataFrame, path: str) -> None:
+    """Height-range partitioned layout (partition pruning for height/time
+    predicates — the m0003 index analog)."""
+    (
+        summaries.withColumn("height_bucket", F.expr(f"height DIV {HEIGHT_BUCKET}"))
+        .write.mode("overwrite")
+        .partitionBy("height_bucket")
+        .parquet(path)
+    )
+
+
+def write_ati_bucketed(ati: DataFrame, table_name: str, n_buckets: int = 32) -> None:
+    """Bucket-by-account, sort-by-id layout — the PK(account, id) analog
+    (m0001-initial.sql:18). Readers joining or filtering on account skip
+    the shuffle entirely."""
+    (
+        ati.write.mode("overwrite")
+        .bucketBy(n_buckets, "account")
+        .sortBy("id")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section of the formatted plan (empty string if
+    nothing reached the scan)."""
+    plan = explain_str(df)
+    return "\n".join(line for line in plan.splitlines() if "PushedFilters" in line)
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def uses_top_k(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in explain_str(df, "simple")

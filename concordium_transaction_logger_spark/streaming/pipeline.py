@@ -1,0 +1,136 @@
+"""Structured Streaming ingest — the reference's indexing pipeline
+(wallet-proxy-indexer main loop, lib.rs:464-599) re-expressed as
+``readStream -> derive -> foreachBatch``.
+
+Reference semantics reproduced (SURVEY §2.10):
+
+- **ST1 ordering/finality** — the source is a replayable finalized feed;
+  micro-batches consume files in arrival order, rows carry deterministic
+  ids derived from (height, tx_index) so ordering never depends on
+  partition scheduling.
+- **ST2 exactly-once** — the reference wraps each block in one Postgres
+  transaction and resumes from MAX(height) (main.rs:545-588). Here:
+  checkpointed source offsets + *idempotent* batch writes. Each sink table
+  is parquet partitioned by ``ingest_batch`` with dynamic partition
+  overwrite: a replayed batch overwrites its own partition instead of
+  duplicating it.
+- **ST3 backpressure** — ``maxFilesPerTrigger`` bounds a micro-batch like
+  the reference's 100-block channel (lib.rs:506).
+- **ST5 state** — running CIS2 supply and latest key bindings live *in the
+  sink tables* (append the signed movements / binding snapshots; roll up on
+  read), matching the reference's "state lives in Postgres" design. A JDBC/
+  Delta deployment swaps the parquet writer for MERGE without touching the
+  derivation.
+
+At 100 TB the same topology holds: the file source becomes Kafka/cloud
+storage notifications, sinks become a lakehouse table partitioned by
+height range; per-batch derivation is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest import derive
+from ..session import apply_runtime_confs
+
+#: Append-only sink tables written per micro-batch.
+SINKS = ("summaries", "ati", "cti", "cis2_events", "bindings_all")
+
+
+def _derive_all(feed: DataFrame) -> dict[str, DataFrame]:
+    return {
+        "summaries": derive.summaries(feed),
+        "ati": derive.ati(feed),
+        "cti": derive.cti(feed),
+        "cis2_events": derive.cis2_events(feed),
+        "bindings_all": derive.key_bindings_all(feed),
+    }
+
+
+class StreamingIngest:
+    """File-source replay of the finalized-event feed into parquet sinks."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        n_users: int,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.n_users = n_users
+        self.max_files_per_trigger = max_files_per_trigger
+        # Idempotent replay: a re-run batch replaces its own partition.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _schema(self):
+        return self.spark.read.parquet(self.source_dir).schema
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch ≙ one reference block transaction
+        (insert_block, main.rs:545-574): all five sinks written for the
+        batch, keyed by ``ingest_batch`` for idempotent replay."""
+        feed = derive.feed_from_events(batch_df, n_users=self.n_users)
+        for name, df in _derive_all(feed).items():
+            (
+                df.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(os.path.join(self.out_dir, name))
+            )
+
+    def run_available_now(self) -> None:
+        """Consume everything currently in the source, then stop
+        (Trigger.AvailableNow — the catch-up mode, README:19-23)."""
+        reader = (
+            self.spark.readStream.schema(self._schema())
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+            .parquet(self.source_dir)
+        )
+        q = (
+            reader.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, name))
+
+
+def supply_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Running CIS2 supply rolled up from the append-only movement log —
+    the A1/A2 upsert materialized on read."""
+    return (
+        read_sink(spark, out_dir, "cis2_events")
+        .groupBy("idx", "subidx", "token_id")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("total_supply")
+        )
+    )
+
+
+def bindings_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest-wins binding snapshot from the append-only log (M1)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("address").orderBy(F.col("event_id").desc())
+    return (
+        read_sink(spark, out_dir, "bindings_all")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "event_id", "ingest_batch")
+    )

@@ -1,0 +1,67 @@
+"""Semantic unit tests for the reference query surface: keyset pagination,
+sentinel defaults, limits, physical-plan shape (SURVEY §2.3-2.6, §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concordium_transaction_logger_spark.operators import queries as q
+from concordium_transaction_logger_spark.plans import layout
+
+
+def test_descending_default_sentinel_is_max(spark, sf_dir):
+    """postgres.rs:315-324: Descending without start ≙ start=i64::MAX."""
+    explicit = q.query_account(spark, sf_dir, 7, limit=5, descending=True, start=q.I64_MAX)
+    default = q.query_account(spark, sf_dir, 7, limit=5, descending=True)
+    assert [r.ati_id for r in explicit.collect()] == [r.ati_id for r in default.collect()]
+
+
+def test_keyset_pagination_walks_without_overlap(spark, sf_dir):
+    """Page 2 starts after page 1's last id (the README:115-120 pattern)."""
+    page1 = q.query_account(spark, sf_dir, 7, limit=5, descending=True).collect()
+    assert len(page1) == 5
+    next_start = page1[-1].ati_id - 1
+    page2 = q.query_account(
+        spark, sf_dir, 7, limit=5, descending=True, start=next_start
+    ).collect()
+    ids1 = {r.ati_id for r in page1}
+    ids2 = {r.ati_id for r in page2}
+    assert not ids1 & ids2
+    assert max(ids2) < min(ids1)
+
+
+def test_ascending_vs_descending_orders(spark, sf_dir):
+    asc = q.query_account(spark, sf_dir, 12, limit=10).collect()
+    desc = q.query_account(spark, sf_dir, 12, limit=10, descending=True).collect()
+    assert [r.ati_id for r in asc] == sorted(r.ati_id for r in asc)
+    assert [r.ati_id for r in desc] == sorted((r.ati_id for r in desc), reverse=True)
+
+
+def test_iterate_equals_unlimited_query(spark, sf_dir):
+    """postgres.rs:365-374: iterate_account == ascending, limit i64::MAX."""
+    it = q.iterate_account(spark, sf_dir, 12).collect()
+    unlimited = q.query_account(spark, sf_dir, 12, limit=None).collect()
+    assert [r.ati_id for r in it] == [r.ati_id for r in unlimited]
+
+
+def test_incoming_excludes_own_sends(spark, sf_dir):
+    rows = q.incoming_transactions(spark, sf_dir, 7, limit=100)
+    feed_rows = rows.collect()
+    assert all(
+        ("special" in r.summary) or ('"type":"purchase"' in r.summary and r.id * 4 != r.ati_id)
+        for r in feed_rows
+    ), "every incoming row is a protocol event or someone else's send"
+
+
+def test_point_lookup_plan_shape(spark, sf_dir):
+    """The bounded account lookup must broadcast the keyset (no fact-table
+    shuffle join) — the 100 TB point-query design."""
+    df = q.query_account(spark, sf_dir, 7, limit=20, descending=True)
+    assert layout.uses_broadcast_join(df)
+
+
+def test_resume_offset_is_top_k(spark, sf_dir):
+    df = q.resume_offset(spark, sf_dir)
+    assert layout.uses_top_k(df)
+    (row,) = df.collect()
+    assert row.height >= 0

@@ -1,0 +1,118 @@
+"""Streaming ingest tests: stream/batch equivalence, incremental arrival,
+exactly-once restart (SURVEY §5.3-§5.4)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from concordium_transaction_logger_spark.ingest import derive
+from concordium_transaction_logger_spark.sources.tables import load_table
+from concordium_transaction_logger_spark.streaming.pipeline import (
+    StreamingIngest,
+    bindings_from_sink,
+    read_sink,
+    supply_from_sink,
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "source": str(tmp_path / "source"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _stage_events(spark, sf_dir, source_dir, upto: int):
+    """Write events[event_id < upto] as one new parquet file (simulated
+    finalized-feed arrival)."""
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.filter(F.col("event_id") < upto)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(source_dir)
+    )
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_matches_batch(spark, sf_dir, dirs):
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+
+    _stage_events(spark, sf_dir, dirs["source"], 10**9)
+    ingest = StreamingIngest(spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users)
+    ingest.run_available_now()
+
+    feed = derive.block_feed(spark, sf_dir)
+    batch_summaries = derive.summaries(feed)
+    stream_summaries = read_sink(spark, dirs["out"], "summaries")
+    cols = ["id", "block", "ts_ms", "height", "summary", "sender"]
+    assert _sorted_rows(stream_summaries, cols) == _sorted_rows(batch_summaries, cols)
+
+    assert _sorted_rows(
+        supply_from_sink(spark, dirs["out"]), ["idx", "subidx", "token_id", "total_supply"]
+    ) == _sorted_rows(
+        derive.cis2_tokens(feed), ["idx", "subidx", "token_id", "total_supply"]
+    )
+
+    bcols = ["address", "public_key", "credential_index", "key_index", "is_simple_account"]
+    assert _sorted_rows(bindings_from_sink(spark, dirs["out"]), bcols) == _sorted_rows(
+        derive.key_bindings(feed), bcols
+    )
+
+
+def test_incremental_arrival_no_dupes(spark, sf_dir, dirs):
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    total = events.count()
+
+    # First file arrives, stream consumes it.
+    _stage_events(spark, sf_dir, dirs["source"], 300)
+    ingest = StreamingIngest(spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users)
+    ingest.run_available_now()
+    assert read_sink(spark, dirs["out"], "summaries").count() == 300
+
+    # Second file arrives; restart from checkpoint — only new data consumed.
+    events.filter(F.col("event_id") >= 300).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users
+    ).run_available_now()
+
+    got = read_sink(spark, dirs["out"], "summaries")
+    assert got.count() == total
+    # each source row indexed exactly once:
+    assert got.select("id").distinct().count() == total
+
+
+def test_restart_is_idempotent(spark, sf_dir, dirs):
+    """Re-running with an intact checkpoint must not duplicate anything
+    (ST2: resume from offset, main.rs:577-588)."""
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    _stage_events(spark, sf_dir, dirs["source"], 10**9)
+
+    ingest = StreamingIngest(spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users)
+    ingest.run_available_now()
+    first = read_sink(spark, dirs["out"], "summaries").count()
+
+    ingest.run_available_now()  # nothing new
+    assert read_sink(spark, dirs["out"], "summaries").count() == first
+
+    # Lost-checkpoint replay: batches rerun, but dynamic partition
+    # overwrite keeps the sink exactly-once.
+    shutil.rmtree(dirs["ckpt"])
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users
+    ).run_available_now()
+    assert read_sink(spark, dirs["out"], "summaries").count() == first
