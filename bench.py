@@ -43,6 +43,11 @@ def main() -> None:
 
     for name in TABLES:
         load_table(spark, sf_dir, name).select(F.lit(1)).limit(1).collect()
+    # Seed the user-universe dimension once, as the reference seeds its
+    # account cache per node connection (main.rs:766-784).
+    from concordium_transaction_logger_spark.ingest.derive import n_users_for
+
+    n_users_for(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():

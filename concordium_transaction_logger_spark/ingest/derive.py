@@ -85,9 +85,26 @@ def feed_from_events(events: DataFrame, n_users: int | None = None) -> DataFrame
     return evt.crossJoin(F.broadcast(agg))
 
 
+#: Per-(session, sf_dir) cache of the user-universe size — the analog of
+#: the reference seeding its canonical-address cache once per node
+#: connection (main.rs:766-784) instead of re-fetching per block/query.
+_N_USERS_CACHE: dict[tuple[int, str], int] = {}
+
+
+def n_users_for(spark: SparkSession, sf_dir: str) -> int:
+    key = (id(spark), sf_dir)
+    if key not in _N_USERS_CACHE:
+        events = load_table(spark, sf_dir, "events")
+        _N_USERS_CACHE[key] = int(events.agg(F.max("user_id")).first()[0]) + 1
+    return _N_USERS_CACHE[key]
+
+
 def block_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch block feed over the driver's ``events`` table."""
-    return feed_from_events(load_table(spark, sf_dir, "events"))
+    """Batch block feed over the driver's ``events`` table. The cached
+    user-universe scalar keeps every derived query a single-scan plan."""
+    return feed_from_events(
+        load_table(spark, sf_dir, "events"), n_users=n_users_for(spark, sf_dir)
+    )
 
 
 def _height() -> Column:
@@ -135,18 +152,19 @@ def counterparty() -> Column:
 
 def ati(feed: DataFrame) -> DataFrame:
     """Account-transaction index (m0001-initial.sql:12-20): one row per
-    (affected account, summary); E2 explode with deterministic ids."""
-    sender_rows = feed.select(
-        (F.col("event_id") * 4).alias("id"),
-        F.col("user_id").alias("account"),
+    (affected account, summary) — the E2 explode of the per-transaction
+    affected-accounts list (main.rs:823-853), as a single-scan
+    array-explode rather than a union of branch scans."""
+    actor = F.struct(F.lit(0).alias("pos"), F.col("user_id").alias("account"))
+    cp = F.struct(F.lit(1).alias("pos"), counterparty().alias("account"))
+    affected = F.when(
+        F.col("event_type").isin(MINT_TYPE, BURN_TYPE), F.array(actor, cp)
+    ).otherwise(F.array(actor))
+    return feed.select("event_id", F.explode(affected).alias("a")).select(
+        (F.col("event_id") * 4 + F.col("a.pos")).alias("id"),
+        F.col("a.account").alias("account"),
         F.col("event_id").alias("summary"),
     )
-    cp_rows = feed.filter(F.col("event_type").isin(MINT_TYPE, BURN_TYPE)).select(
-        (F.col("event_id") * 4 + 1).alias("id"),
-        counterparty().alias("account"),
-        F.col("event_id").alias("summary"),
-    )
-    return sender_rows.unionByName(cp_rows)
 
 
 def cti(feed: DataFrame) -> DataFrame:

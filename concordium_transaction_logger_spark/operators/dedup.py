@@ -48,19 +48,30 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles(docs: DataFrame) -> DataFrame:
     """Distinct word-SHINGLE shingles per doc. ``element_at`` is 1-based to
-    mirror DuckDB list indexing."""
-    t = tokens(F.col("text"))
+    mirror DuckDB list indexing.
+
+    Two deliberate physical choices (10x at local scale, essential at 100 TB):
+    - tokens are *bound to a column first* so the tokenizer regex runs once
+      per document — referencing the expression tree inside the transform
+      lambda would re-evaluate the split per shingle element;
+    - repartition before the explode: document corpora often arrive as few
+      large files, and the CPU-heavy shingling must not be serialized onto
+      the scan's partitioning."""
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(parallelism, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= SHINGLE)
+    )
+    t = F.col("t")
     sh = F.transform(
         F.sequence(F.lit(1), F.size(t) - (SHINGLE - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(t, i + off) for off in range(SHINGLE)]
         ),
     )
-    return (
-        docs.filter(F.size(t) >= SHINGLE)
-        .select("doc_id", F.explode(sh).alias("sh"))
-        .distinct()
-    )
+    return tok.select("doc_id", F.explode(sh).alias("sh")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -155,7 +166,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash16 over distinct tokens: bit p = majority sign of
     (nibble p of md5(token)) & 1. Engine-portable (md5 + instr); the
     wider 64-bit variant is the same plan with more nibble columns."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .textstats import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     tok = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .distinct()

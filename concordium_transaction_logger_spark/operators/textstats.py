@@ -37,12 +37,19 @@ def _marker_count(text_lower: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.regexp_extract_all(text_lower, F.lit(pattern), F.lit(0)))
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition before CPU-heavy per-document expressions: corpora arrive
+    as few large files and the scan's partitioning would serialize the work."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace/alnum tokenizer): totals, distinct count,
-    and mean token length in per-mille."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    return docs.select(
+    and mean token length in per-mille. Tokens are bound to a column once —
+    never re-tokenize per derived expression."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("t")
+    return docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
@@ -61,10 +68,12 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics: alpha / digit / whitespace / stopword
     ratios in per-mille, over raw chars and tokens."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", tokens(F.col("text")).alias("t")
+    )
     lower = F.lower(F.col("text"))
     n = F.length("text")
-    t = tokens(F.col("text"))
+    t = F.col("t")
     alpha = F.length(F.regexp_replace(lower, "[^a-z]", ""))
     digit = F.length(F.regexp_replace(lower, "[^0-9]", ""))
     space = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
@@ -87,7 +96,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID. Scores each language by marker-word
     hits; highest count wins with a fixed tiebreak order (en>fr>de>es),
     'und' when nothing matches."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     lower = F.lower(F.col("text"))
     scored = docs.select(
         "doc_id",
@@ -109,7 +118,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 over the alnum-normalized text
     (the exact-dedup key; reference analog: 32-byte content hash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", "")).alias("fp"),
