@@ -207,6 +207,29 @@ def cis2_tokens(feed: DataFrame) -> DataFrame:
     )
 
 
+def cis2_tokens_guarded(feed: DataFrame) -> DataFrame:
+    """Running supply with the reference's *section-atomic* parse guard
+    (E5, main.rs:617-626): a log section containing any unparseable event
+    is skipped wholesale, never event-by-event. Section ≙ block here;
+    ``k % 97 == 0`` marks an unparseable log. Expressed as a per-section
+    ``bool_and`` guard joined back before aggregation — the ``forall``
+    shape, not a per-row drop (SURVEY §7 hard part 4)."""
+    movers = feed.filter(F.col("event_type").isin(MINT_TYPE, BURN_TYPE))
+    section_ok = movers.groupBy(_height().alias("height")).agg(
+        F.bool_and(F.col("k") % 97 != 0).alias("ok")
+    )
+    mv = cis2_events(feed).withColumn("height", F.expr(f"summary DIV {TXS_PER_BLOCK}"))
+    return (
+        mv.join(F.broadcast(section_ok.filter(F.col("ok"))), "height")
+        .groupBy("idx", "subidx", "token_id")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("total_supply")
+        )
+    )
+
+
 def key_bindings_all(feed: DataFrame) -> DataFrame:
     """Every binding snapshot ever written (one per signup event);
     E6 flatten (main.rs:730-758)."""

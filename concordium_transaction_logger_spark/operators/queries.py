@@ -161,6 +161,45 @@ def incoming_transactions(
     return rows.limit(limit) if limit is not None else rows
 
 
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+#: Parsed shape of the JSONB tagged union (main.rs:99-109).
+SUMMARY_SCHEMA = StructType(
+    [
+        StructField("tag", StringType()),
+        StructField("type", StringType()),
+        StructField("k", IntegerType()),
+    ]
+)
+
+
+def parse_tagged_summary(df: DataFrame) -> DataFrame:
+    """Read-side JSON decode with malformed-row tolerance (P7,
+    construct_row postgres.rs:389-406): permissive ``from_json`` yields a
+    NULL struct for corrupt payloads, which are silently dropped —
+    read-lenient, in contrast to the strict-on-write ingest (SURVEY §4
+    asymmetry). ``df`` needs (id, summary)."""
+    parsed = df.withColumn("p", F.from_json("summary", SUMMARY_SCHEMA))
+    return parsed.filter(F.col("p.tag").isNotNull()).select(
+        "id",
+        F.col("p.tag").alias("tag"),
+        F.col("p.type").alias("typ"),
+        F.col("p.k").alias("k_parsed"),
+    )
+
+
+def parsed_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 over the derived fact table."""
+    feed = derive.block_feed(spark, sf_dir)
+    return parse_tagged_summary(derive.summaries(feed)).orderBy("id")
+
+
+def cis2_supply_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-atomic CIS2 supply (E5 guard; see derive.cis2_tokens_guarded)."""
+    feed = derive.block_feed(spark, sf_dir)
+    return derive.cis2_tokens_guarded(feed).orderBy("idx", "subidx", "token_id")
+
+
 def account_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-account activity summary (A6 count/max fold,
     examples/monitor-postgres.rs:74-80) — one shuffle, partially aggregated."""

@@ -150,6 +150,45 @@ def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the classic
+    log-analytics window operator the reference lacks (SURVEY §2.12) but a
+    training-data event pipeline needs.
+
+    Two windows over the same (user_id, ts, event_id) ordering: lag to mark
+    session starts, running sum to number them — one shuffle on user_id,
+    both windows share the sort. Skewed power users are bounded because
+    per-user state is a scalar, not a buffer."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    evt = events.select(
+        "user_id", F.expr("ts DIV 1000000").alias("ts_ms"), "event_id"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    is_new = F.when(
+        F.lag("ts_ms").over(order).isNull()
+        | ((F.col("ts_ms") - F.lag("ts_ms").over(order)) > SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    numbered = evt.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event counts per (event_type, hour bucket) — the tumbling-window
     rollup shape used by the streaming path, computed batch-side.

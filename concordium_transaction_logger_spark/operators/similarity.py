@@ -81,6 +81,22 @@ def cosine_topk(
     )
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators over the quantized embeddings:
+    (label, dim) -> (sum_q, n). Division deferred to the consumer so the
+    result is exact integers (and so partial aggregation carries plain
+    sums). This is the building block of an IVF-style ANN index: centroids
+    = sum/n, assignment = argmin distance to centroids."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    exploded = emb.select("label", F.posexplode("e").alias("pos", "v"))
+    return (
+        exploded.select("label", (F.col("pos") + 1).alias("dim"), "v")
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("sum_q"), F.count("*").alias("n"))
+        .orderBy("label", "dim")
+    )
+
+
 N_PLANES = 8
 
 

@@ -200,9 +200,66 @@ FROM ati GROUP BY account ORDER BY account
         ),
         bench=True,
     ),
+    "summary_parse": QueryDef(
+        queries.parsed_summaries,
+        wrap(
+            """
+SELECT id,
+       json_extract_string(summary, '$.tag') AS tag,
+       json_extract_string(summary, '$.type') AS typ,
+       CAST(json_extract(summary, '$.k') AS INTEGER) AS k_parsed
+FROM summaries
+WHERE json_extract_string(summary, '$.tag') IS NOT NULL
+ORDER BY id
+"""
+        ),
+    ),
+    "cis2_supply_guarded": QueryDef(
+        queries.cis2_supply_guarded,
+        wrap(
+            """
+SELECT idx, subidx, token_id,
+       CAST(SUM(CAST(amount AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total_supply
+FROM (SELECT c.*, c.summary // 8 AS height FROM cis2_events c) m
+JOIN (SELECT event_id // 8 AS height, bool_and(k % 97 <> 0) AS ok
+      FROM evt WHERE event_type IN ('purchase', 'error')
+      GROUP BY 1) g USING (height)
+WHERE g.ok
+GROUP BY idx, subidx, token_id
+ORDER BY idx, subidx, token_id
+"""
+        ),
+        bench=True,
+    ),
     # ------------------------------------------------------------------
     # General relational/analytic surface (bench workload)
     # ------------------------------------------------------------------
+    "user_sessions": QueryDef(
+        relational.user_sessions,
+        """
+WITH evt AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+), marked AS (
+  SELECT user_id, ts_ms, event_id,
+         CASE WHEN LAG(ts_ms) OVER w IS NULL
+                   OR ts_ms - LAG(ts_ms) OVER w > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM evt
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), numbered AS (
+  SELECT user_id, ts_ms,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+        bench=True,
+    ),
     "pricing_summary": QueryDef(
         relational.pricing_summary,
         """
@@ -392,6 +449,18 @@ ORDER BY query_id, rank
     "ann_lsh_topk": QueryDef(
         lambda spark, sf: similarity.ann_lsh_topk(spark, sf, 5, 10),
         None,  # bucketed-recall variant: not SQL-expressible 1:1, rows-only
+        bench=True,
+    ),
+    "embedding_label_centroids": QueryDef(
+        similarity.label_centroids,
+        wrap(
+            """
+SELECT label, dim, SUM(e[dim]) AS sum_q, COUNT(*) AS n
+FROM qvec, (SELECT unnest(generate_series(1, 64)) AS dim) d
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+        ),
         bench=True,
     ),
 }
