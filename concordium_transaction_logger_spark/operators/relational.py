@@ -135,6 +135,42 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and volume per part brand/type — lineitem ⋈ broadcast(part);
+    the fact table shuffles only for the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand", "p_type")
+    )
+
+
+def priority_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT part) per order priority — the distinct-agg
+    shape (two-phase: dedup shuffle then count; at 100 TB swap in
+    approx_count_distinct when a 2% error is acceptable)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top purchasing users from the event stream (cents-exact)."""
     events = load_table(spark, sf_dir, "events")

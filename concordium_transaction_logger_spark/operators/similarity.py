@@ -81,6 +81,38 @@ def cosine_topk(
     )
 
 
+def near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold_micro: int = 400_000
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector member of the
+    dedup family): all pairs with similarity >= threshold.
+
+    This is the exactness baseline (all-pairs); at 100 TB the same scoring
+    runs behind LSH-bucket blocking (`ann_lsh_topk`'s join shape) so the
+    pair space is |bucket|² — the brute variant stays as the recall oracle
+    on samples. Scoring is the quantized integer dot (order-independent,
+    engine-exact)."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    norm = lambda c: F.sqrt(_dot(c, c).cast("double"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            1_000_000 * _dot(F.col("ea"), F.col("eb"))
+            / (norm(F.col("ea")) * norm(F.col("eb"))),
+            0,
+        )
+        .cast("long")
+        .alias("sim_micro"),
+    )
+    return scored.filter(F.col("sim_micro") >= threshold_micro).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid accumulators over the quantized embeddings:
     (label, dim) -> (sum_q, n). Division deferred to the consumer so the

@@ -323,6 +323,28 @@ ORDER BY revenue_cents DESC, n_name
 """,
         bench=True,
     ),
+    "brand_revenue": QueryDef(
+        relational.brand_revenue,
+        """
+SELECT p_brand, p_type,
+  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS revenue_cents,
+  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+ORDER BY p_brand, p_type
+""",
+        bench=True,
+    ),
+    "priority_part_breadth": QueryDef(
+        relational.priority_part_breadth,
+        """
+SELECT o_orderpriority, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    ),
     "top_spenders": QueryDef(
         relational.top_spenders,
         """
@@ -449,6 +471,23 @@ ORDER BY query_id, rank
     "ann_lsh_topk": QueryDef(
         lambda spark, sf: similarity.ann_lsh_topk(spark, sf, 5, 10),
         None,  # bucketed-recall variant: not SQL-expressible 1:1, rows-only
+        bench=True,
+    ),
+    "embedding_near_dup_pairs": QueryDef(
+        lambda spark, sf: similarity.near_dup_pairs(spark, sf, 400_000),
+        wrap(
+            f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
+            (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
+             SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) AS sim_micro
+FROM qvec a JOIN qvec b ON a.vec_id < b.vec_id
+WHERE CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
+           (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
+            SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) >= 400000
+ORDER BY vec_a, vec_b
+"""
+        ),
         bench=True,
     ),
     "embedding_label_centroids": QueryDef(

@@ -105,6 +105,73 @@ class StreamingIngest:
         q.awaitTermination()
 
 
+class WindowedRollup:
+    """Event-time tumbling-window aggregation over the stream — counts and
+    value-cents per (hour window, event_type).
+
+    Watermark is the degenerate ``0 seconds`` (ST1: only *finalized* data
+    flows, so late/out-of-order rows are impossible by construction —
+    the machinery is wired for the day a non-finalized source relaxes
+    that). State flushes through ``update``-mode foreachBatch writes with
+    window-keyed dynamic partition overwrite, so results are exactly-once
+    and fully flushed even when the stream idles (a pure append-mode sink
+    would hold the last open window hostage until the watermark passes)."""
+
+    def __init__(self, spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("window_start_ms", F.unix_millis("window.start"))
+            .drop("window")
+            .write.mode("overwrite")
+            .partitionBy("window_start_ms")
+            .parquet(self.out_dir)
+        )
+
+    def run_available_now(self) -> None:
+        schema = self.spark.read.parquet(self.source_dir).schema
+        events = self.spark.readStream.schema(schema).parquet(self.source_dir)
+        agg = (
+            events.withColumn(
+                "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+            .withWatermark("event_time", "0 seconds")
+            .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                    "value_cents"
+                ),
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(self._write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def tail_follow(spark: SparkSession, out_dir: str, from_id: int) -> DataFrame:
+    """ST9 tail-read (examples/monitor-postgres.rs:57-91): the reference
+    hand-rolls a poll-ascending-from-last-id loop; Structured Streaming
+    gives it natively — a streaming read over the sink table with the
+    monotone ``id`` as the offset column."""
+    schema = spark.read.parquet(os.path.join(out_dir, "summaries")).schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(os.path.join(out_dir, "summaries"))
+        .filter(F.col("id") > from_id)
+    )
+
+
 def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, name))
 
