@@ -42,6 +42,14 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _norm(c: Column) -> Column:
+    return F.sqrt(_dot(c, c).cast("double"))
+
+
+def _sim_micro(dot: Column, norm_product: Column) -> Column:
+    return F.round(1_000_000 * dot / norm_product, 0).cast("long")
+
+
 def cosine_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -54,22 +62,21 @@ def cosine_topk(
     broadcast; ranking is a per-query window over the candidate scan."""
     emb = _quantized(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        _norm(F.col("e")).alias("qn"),
     )
     cands = emb.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        _norm(F.col("e")).alias("cn"),
     )
-    norm = lambda c: F.sqrt(_dot(c, c).cast("double"))
     scored = cands.join(F.broadcast(queries)).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            1_000_000 * _dot(F.col("qe"), F.col("ce"))
-            / (norm(F.col("qe")) * norm(F.col("ce"))),
-            0,
-        )
-        .cast("long")
-        .alias("sim_micro"),
+        _sim_micro(
+            _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+        ).alias("sim_micro"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_micro").desc(), F.col("neighbor_id").asc()
@@ -91,22 +98,27 @@ def near_dup_pairs(
     runs behind LSH-bucket blocking (`ann_lsh_topk`'s join shape) so the
     pair space is |bucket|² — the brute variant stays as the recall oracle
     on samples. Scoring is the quantized integer dot (order-independent,
-    engine-exact)."""
+    engine-exact). Norms are computed once per vector BEFORE the pair
+    join (N aggregates instead of 2·N²) and one side is broadcast so the
+    nested-loop pair generation never shuffles the corpus."""
     emb = _quantized(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    norm = lambda c: F.sqrt(_dot(c, c).cast("double"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    withn = emb.select("vec_id", "e", _norm(F.col("e")).alias("n"))
+    # The corpus parquet is tiny-file/single-split, but the pair space is
+    # |N|²: spread the probe side across all cores so the O(N²) scoring
+    # parallelizes (the broadcast join would otherwise inherit 1 task).
+    a = withn.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
     scored = pairs.select(
         "vec_a",
         "vec_b",
-        F.round(
-            1_000_000 * _dot(F.col("ea"), F.col("eb"))
-            / (norm(F.col("ea")) * norm(F.col("eb"))),
-            0,
-        )
-        .cast("long")
-        .alias("sim_micro"),
+        _sim_micro(
+            _dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
+        ).alias("sim_micro"),
     )
     return scored.filter(F.col("sim_micro") >= threshold_micro).orderBy(
         "vec_a", "vec_b"
@@ -174,23 +186,20 @@ def ann_lsh_topk(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("lsh_bucket").alias("qb"),
+        _norm(F.col("e")).alias("qn"),
     )
     cands = emb.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("ce"),
         F.col("lsh_bucket").alias("cb"),
+        _norm(F.col("e")).alias("cn"),
     )
-    norm = lambda c: F.sqrt(_dot(c, c).cast("double"))
     scored = cands.join(F.broadcast(queries), F.col("qb") == F.col("cb")).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            1_000_000 * _dot(F.col("qe"), F.col("ce"))
-            / (norm(F.col("qe")) * norm(F.col("ce"))),
-            0,
-        )
-        .cast("long")
-        .alias("sim_micro"),
+        _sim_micro(
+            _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+        ).alias("sim_micro"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_micro").desc(), F.col("neighbor_id").asc()
