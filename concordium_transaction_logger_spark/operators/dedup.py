@@ -80,8 +80,13 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by word-trigram Jaccard >= threshold.
 
     inter/union from the shingle self-join; doc sizes joined back from the
-    distinct-shingle counts. Jaccard emitted as per-mille BIGINT."""
-    sh = shingles(load_table(spark, sf_dir, "documents"))
+    distinct-shingle counts. Jaccard emitted as per-mille BIGINT.
+
+    The shingle set feeds three consumers (both self-join sides + sizes);
+    persisting it computes the CPU-heavy tokenize/explode/distinct once —
+    at 100 TB this is the standard materialize-the-shingle-index step
+    (MEMORY_AND_DISK spills instead of recomputing)."""
+    sh = shingles(load_table(spark, sf_dir, "documents")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -134,7 +139,9 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing any band signature are candidate pairs.
 
     Scale shape: explode signatures into (band_id, band_hash) keys and
-    self-join within buckets — |bucket|² work instead of |docs|²."""
+    self-join within buckets — |bucket|² work instead of |docs|².
+    The bucket keys (two narrow columns) are persisted so the shingle →
+    signature pipeline runs once, not once per self-join side."""
     sig = minhash_signatures(spark, sf_dir).select("doc_id", *_band_cols())
     n_bands = MINHASH_K // BAND_ROWS
     buckets = sig.select(
@@ -144,7 +151,7 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(n_bands)
             ])
         ).alias("bucket"),
-    )
+    ).persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -125,6 +125,112 @@ def near_dup_pairs(
     )
 
 
+def _centroid_sums(emb: DataFrame) -> DataFrame:
+    """Per-label centroid *sum* vectors as ``(cell, cs: array<long>)``.
+
+    Sums (not means): cosine to a centroid is scale-invariant, so dividing
+    by n is pure float noise — keeping integer sums keeps the whole
+    assignment reproducible across engines. Caveat recorded: component
+    sums are exact in int64 up to ~1e9 rows/cell at milli-quantization;
+    beyond that switch ``cs`` to double."""
+    exploded = emb.select("label", F.posexplode("e").alias("pos", "v"))
+    sums = exploded.groupBy("label", "pos").agg(F.sum("v").alias("s"))
+    return (
+        sums.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("ps", lambda x: x["s"]).alias("cs"),
+        )
+    )
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment: each vector -> its nearest centroid by cosine
+    (argmax over the broadcast centroid table; ties broken by cell id).
+
+    This is the index-build half of IVF-ANN: at 100 TB the output is
+    *written partitioned by cell*, so probes read only the probed cells'
+    partitions. The centroid table is O(cells) and always broadcast — the
+    corpus never shuffles for assignment."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    cents = _centroid_sums(emb)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "cell",
+        _sim_micro(
+            _dot(F.col("e"), F.col("cs")), _norm(F.col("e")) * _norm(F.col("cs"))
+        ).alias("cell_sim_micro"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_sim_micro").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cell", "cell_sim_micro")
+        .orderBy("vec_id")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-probed ANN: score only candidates whose cell is among the
+    query's ``nprobe`` nearest centroids — cost ~ nprobe/cells of the
+    corpus instead of all of it (recall < 1, like any IVF index).
+
+    One centroid-scoring pass ranks cells for every vector; rank 1 assigns
+    candidates, ranks <= nprobe select the query's probe list. Each
+    candidate lives in exactly one cell, so a (query, candidate) pair
+    occurs at most once — no dedup stage. The probe list (n_queries x
+    nprobe rows) is broadcast; candidate vectors never shuffle."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    cents = _centroid_sums(emb)
+    scored_cells = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "e",
+        "cell",
+        _sim_micro(
+            _dot(F.col("e"), F.col("cs")), _norm(F.col("e")) * _norm(F.col("cs"))
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    ranked = scored_cells.withColumn("rn", F.row_number().over(w))
+    cands = ranked.filter((F.col("vec_id") >= n_queries) & (F.col("rn") == 1)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        _norm(F.col("e")).alias("cn"),
+        "cell",
+    )
+    probes = ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        _norm(F.col("e")).alias("qn"),
+        "cell",
+    )
+    scored = cands.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "neighbor_id",
+        _sim_micro(
+            _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+        ).alias("sim_micro"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid accumulators over the quantized embeddings:
     (label, dim) -> (sum_q, n). Division deferred to the consumer so the

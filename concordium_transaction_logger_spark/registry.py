@@ -490,6 +490,76 @@ ORDER BY vec_a, vec_b
         ),
         bench=True,
     ),
+    "ann_ivf_assign": QueryDef(
+        similarity.ivf_assign,
+        wrap(
+            """
+, cent AS (
+  SELECT label AS cell, list(s ORDER BY pos) AS cs
+  FROM (SELECT label, dim AS pos, SUM(e[dim]) AS s
+        FROM qvec, (SELECT unnest(generate_series(1, 64)) AS dim) d
+        GROUP BY label, dim)
+  GROUP BY label
+),
+cscore AS (
+  SELECT q.vec_id, q.label, c.cell,
+         CAST(ROUND(1000000 * list_dot_product(q.e, c.cs) /
+              (SQRT(CAST(list_dot_product(q.e, q.e) AS DOUBLE)) *
+               SQRT(CAST(list_dot_product(c.cs, c.cs) AS DOUBLE)))) AS BIGINT)
+           AS cell_sim_micro
+  FROM qvec q CROSS JOIN cent c
+)
+SELECT vec_id, label, cell, cell_sim_micro
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cell_sim_micro DESC, cell ASC) AS rn
+      FROM cscore)
+WHERE rn = 1
+ORDER BY vec_id
+"""
+        ),
+        bench=True,
+    ),
+    "ann_ivf_topk": QueryDef(
+        lambda spark, sf: similarity.ivf_topk(spark, sf, 5, 10, 4),
+        wrap(
+            """
+, cent AS (
+  SELECT label AS cell, list(s ORDER BY pos) AS cs
+  FROM (SELECT label, dim AS pos, SUM(e[dim]) AS s
+        FROM qvec, (SELECT unnest(generate_series(1, 64)) AS dim) d
+        GROUP BY label, dim)
+  GROUP BY label
+),
+cranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, cell ASC) AS rn
+  FROM (
+    SELECT q.vec_id, q.e, c.cell,
+           CAST(ROUND(1000000 * list_dot_product(q.e, c.cs) /
+                (SQRT(CAST(list_dot_product(q.e, q.e) AS DOUBLE)) *
+                 SQRT(CAST(list_dot_product(c.cs, c.cs) AS DOUBLE)))) AS BIGINT)
+             AS csim
+    FROM qvec q CROSS JOIN cent c)
+),
+cands AS (SELECT vec_id AS neighbor_id, e AS ce, cell
+          FROM cranked WHERE vec_id >= 5 AND rn = 1),
+probes AS (SELECT vec_id AS query_id, e AS qe, cell
+           FROM cranked WHERE vec_id < 5 AND rn <= 4)
+SELECT query_id, neighbor_id, sim_micro,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim_micro DESC, neighbor_id ASC) AS rank
+FROM (SELECT query_id, neighbor_id,
+             CAST(ROUND(1000000 * list_dot_product(qe, ce) /
+                  (SQRT(CAST(list_dot_product(qe, qe) AS DOUBLE)) *
+                   SQRT(CAST(list_dot_product(ce, ce) AS DOUBLE)))) AS BIGINT)
+               AS sim_micro
+      FROM probes JOIN cands USING (cell)) s
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+        ),
+        bench=True,
+    ),
     "embedding_label_centroids": QueryDef(
         similarity.label_centroids,
         wrap(

@@ -159,6 +159,112 @@ class WindowedRollup:
         q.awaitTermination()
 
 
+def _update_supply(key, pdf_iter, state):
+    """applyInPandasWithState update fn: running token supply per
+    (idx, subidx, token_id). The total lives in the state store as a
+    decimal *string* and is summed with Python arbitrary-precision ints —
+    full NUMERIC(80,0)+ fidelity (SURVEY §7 hard part 1: the reference's
+    u256-ish supplies exceed DecimalType's 38-digit cap; a Python int has
+    no cap). Emits one updated row per key per micro-batch — the streaming
+    analog of the reference's ON CONFLICT DO UPDATE upsert
+    (main.rs:222-251)."""
+    import pandas as pd
+
+    total = int(state.get[0]) if state.exists else 0
+    for pdf in pdf_iter:
+        total += sum(int(a) for a in pdf["amount"])
+    state.update((str(total),))
+    yield pd.DataFrame(
+        {
+            "idx": [int(key[0])],
+            "subidx": [int(key[1])],
+            "token_id": [str(key[2])],
+            "total_supply": [str(total)],
+        }
+    )
+
+
+class StatefulSupply:
+    """A1/A2 running CIS2 supply as a *true stateful streaming operator*
+    (``applyInPandasWithState``) — the alternative to the sink-table
+    rollup (ST5) for deployments that want the state store to hold the
+    aggregate instead of re-rolling the movement log on read.
+
+    Checkpointing persists the state across restarts, so a resumed stream
+    continues the running totals exactly where it stopped. Updated totals
+    land in a per-batch-partitioned parquet sink (idempotent replay, same
+    recipe as ``StreamingIngest``); the current snapshot is the
+    latest-batch row per key (:func:`stateful_supply_snapshot`)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        n_users: int,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.n_users = n_users
+        self.max_files_per_trigger = max_files_per_trigger
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(self.out_dir)
+        )
+
+    def run_available_now(self) -> None:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        schema = self.spark.read.parquet(self.source_dir).schema
+        events = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+            .parquet(self.source_dir)
+        )
+        movements = derive.cis2_events(
+            derive.feed_from_events(events, n_users=self.n_users)
+        )
+        updated = movements.groupBy("idx", "subidx", "token_id").applyInPandasWithState(
+            _update_supply,
+            outputStructType="idx long, subidx long, token_id string, total_supply string",
+            stateStructType="total string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            updated.writeStream.foreachBatch(self._write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def stateful_supply_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current supply = the latest emitted row per token key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("idx", "subidx", "token_id").orderBy(
+        F.col("ingest_batch").desc()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("idx", "subidx", "token_id", "total_supply")
+    )
+
+
 def tail_follow(spark: SparkSession, out_dir: str, from_id: int) -> DataFrame:
     """ST9 tail-read (examples/monitor-postgres.rs:57-91): the reference
     hand-rolls a poll-ascending-from-last-id loop; Structured Streaming
