@@ -56,7 +56,11 @@ def shingles(docs: DataFrame) -> DataFrame:
       lambda would re-evaluate the split per shingle element;
     - repartition before the explode: document corpora often arrive as few
       large files, and the CPU-heavy shingling must not be serialized onto
-      the scan's partitioning."""
+      the scan's partitioning;
+    - per-doc dedup is ``array_distinct`` *inside the row*, not a global
+      ``.distinct()`` — the distinctness scope is one document, so paying
+      a full shuffle of every exploded shingle for it would be pure
+      waste (and at 100 TB, the dominant cost)."""
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     tok = (
@@ -71,7 +75,7 @@ def shingles(docs: DataFrame) -> DataFrame:
             " ", *[F.element_at(t, i + off) for off in range(SHINGLE)]
         ),
     )
-    return tok.select("doc_id", F.explode(sh).alias("sh")).distinct()
+    return tok.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -176,11 +180,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import _spread
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
-    tok = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .distinct()
-        .withColumn("h", F.md5(F.col("tok")))
-    )
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
     bit_sums = [
         F.sum(
             F.when(

@@ -125,6 +125,61 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_blocked(
+    spark: SparkSession, sf_dir: str, threshold_micro: int = 400_000
+) -> DataFrame:
+    """Same result as :func:`near_dup_pairs`, different physical shape:
+    blocked numpy matrix products inside ``mapInPandas``.
+
+    Each task scores its Arrow batch of rows against the broadcast corpus
+    with one ``A @ M.T`` int64 matmul — BLAS-vectorized, ~2 orders of
+    magnitude more multiply-adds/sec than evaluating a 64-element
+    ``zip_with``/``aggregate`` expression tree per pair. This is the
+    100 TB brute-force kernel: the corpus block that rides along is the
+    LSH/IVF bucket's contents there, not the full table, and both sides
+    block; the integer dot keeps results bit-identical to the expression
+    variant and the DuckDB oracle (rounding reproduces Spark's HALF_UP).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    rows = emb.select("vec_id", "e").collect()
+    ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m_all = np.array([r["e"] for r in rows], dtype=np.int64)
+    norms_all = np.sqrt((m_all * m_all).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((ids_all, m_all, norms_all))
+
+    def score(batches):
+        cids, corpus, cnorms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(list(pdf["e"]), dtype=np.int64)
+            aids = pdf["vec_id"].to_numpy(np.int64)
+            anorms = np.sqrt((a * a).sum(axis=1).astype(np.float64))
+            sim = (1_000_000 * (a @ corpus.T)).astype(np.float64) / np.outer(
+                anorms, cnorms
+            )
+            simq = np.where(
+                sim >= 0, np.floor(sim + 0.5), np.ceil(sim - 0.5)
+            ).astype(np.int64)
+            keep = (simq >= threshold_micro) & (aids[:, None] < cids[None, :])
+            ai, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": aids[ai],
+                    "vec_b": cids[ci],
+                    "sim_micro": simq[ai, ci],
+                }
+            )
+
+    probe = emb.repartition(spark.sparkContext.defaultParallelism).select("vec_id", "e")
+    return probe.mapInPandas(
+        score, schema="vec_a long, vec_b long, sim_micro long"
+    ).orderBy("vec_a", "vec_b")
+
+
 def _centroid_sums(emb: DataFrame) -> DataFrame:
     """Per-label centroid *sum* vectors as ``(cell, cs: array<long>)``.
 

@@ -69,3 +69,10 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 def uses_top_k(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def shuffles_no_join(df: DataFrame) -> bool:
+    """True when no join in the plan shuffles both sides — every join is
+    broadcast (hash or nested-loop). The corpus/fact side stays put."""
+    plan = explain_str(df, "simple")
+    return "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

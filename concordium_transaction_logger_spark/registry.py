@@ -119,6 +119,20 @@ _COSINE_SIM = (
     "SQRT(CAST(list_dot_product(c.e, c.e) AS DOUBLE)))) AS BIGINT)"
 )
 
+_NEAR_DUP_SQL = wrap(
+    """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
+            (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
+             SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) AS sim_micro
+FROM qvec a JOIN qvec b ON a.vec_id < b.vec_id
+WHERE CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
+           (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
+            SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) >= 400000
+ORDER BY vec_a, vec_b
+"""
+)
+
 
 REGISTRY: dict[str, QueryDef] = {
     # ------------------------------------------------------------------
@@ -475,19 +489,13 @@ ORDER BY query_id, rank
     ),
     "embedding_near_dup_pairs": QueryDef(
         lambda spark, sf: similarity.near_dup_pairs(spark, sf, 400_000),
-        wrap(
-            f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
-            (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
-             SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) AS sim_micro
-FROM qvec a JOIN qvec b ON a.vec_id < b.vec_id
-WHERE CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
-           (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
-            SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) >= 400000
-ORDER BY vec_a, vec_b
-"""
-        ),
+        _NEAR_DUP_SQL,
+    ),
+    # Same semantics + oracle, matmul-vectorized physical shape (the
+    # 100 TB kernel) — benched in place of the expression-tree variant.
+    "embedding_near_dup_pairs_blocked": QueryDef(
+        lambda spark, sf: similarity.near_dup_pairs_blocked(spark, sf, 400_000),
+        _NEAR_DUP_SQL,
         bench=True,
     ),
     "ann_ivf_assign": QueryDef(

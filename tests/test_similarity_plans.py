@@ -1,0 +1,38 @@
+"""Physical-plan assertions for the similarity/dedup family: the corpus
+side must never shuffle through a join — small sides broadcast, vector
+kernels run scan-side (SCALE.md rules 1/3)."""
+
+from __future__ import annotations
+
+from concordium_transaction_logger_spark.operators import dedup, similarity
+from concordium_transaction_logger_spark.plans import layout
+
+
+def test_near_dup_pairs_joins_are_broadcast(spark, sf_dir):
+    df = similarity.near_dup_pairs(spark, sf_dir)
+    assert layout.shuffles_no_join(df)
+    assert "BroadcastNestedLoopJoin" in layout.explain_str(df, "simple")
+
+
+def test_blocked_near_dup_has_no_join_at_all(spark, sf_dir):
+    df = similarity.near_dup_pairs_blocked(spark, sf_dir)
+    plan = layout.explain_str(df, "simple")
+    assert "Join" not in plan, "matmul kernel replaces the pair join"
+    assert "MapInPandas" in plan
+
+
+def test_ivf_probe_broadcasts_centroids_and_probes(spark, sf_dir):
+    assert layout.shuffles_no_join(similarity.ivf_assign(spark, sf_dir))
+    assert layout.shuffles_no_join(similarity.ivf_topk(spark, sf_dir))
+
+
+def test_cosine_and_lsh_topk_broadcast_queries(spark, sf_dir):
+    assert layout.shuffles_no_join(similarity.cosine_topk(spark, sf_dir))
+    assert layout.shuffles_no_join(similarity.ann_lsh_topk(spark, sf_dir))
+
+
+def test_jaccard_size_join_is_broadcast(spark, sf_dir):
+    """The shingle self-join must shuffle (keyed by shingle), but the
+    doc-size enrichment joins must broadcast."""
+    plan = layout.explain_str(dedup.ngram_jaccard_pairs(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
