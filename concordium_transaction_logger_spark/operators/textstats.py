@@ -115,6 +115,67 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-2-style pretokenizer regex (contractions | space-glued word |
+#: space-glued number | space-glued punctuation run | whitespace run).
+#: Alternation-order dependent: Java regex and RE2 (DuckDB) both apply
+#: leftmost-first alternative semantics, so counts agree engine-to-engine.
+BPE_SPLIT = r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: the GPT-2 pretokenizer split (the unit BPE
+    merges start from — the standard 'how many tokens is this corpus'
+    estimator) next to the plain whitespace count. Pure regexp, JVM-side."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    lower = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lower, F.lit(BPE_SPLIT), F.lit(0))).alias(
+            "n_bpe_pieces"
+        ),
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+#: Winnowing parameters: k-gram size and window width.
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et al.,
+    SIGMOD'03): hash every token k-gram, slide a w-window over the hash
+    sequence, keep each window's minimum — the distinct minima are the
+    doc's fingerprint set (robust to local edits, unlike the whole-doc
+    hash). All array expressions, no shuffle until the final explode;
+    md5's lexicographic min stands in for the rolling hash so the DuckDB
+    oracle is bit-identical."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (WINNOW_K - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(WINNOW_K)])
+        ),
+    )
+    tok = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size(t) >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", grams.alias("h"))
+    )
+    h = F.col("h")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(h) - (WINNOW_W - 1)),
+        lambda i: F.array_min(F.slice(h, i, WINNOW_W)),
+    )
+    return (
+        tok.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 over the alnum-normalized text
     (the exact-dedup key; reference analog: 32-byte content hash)."""

@@ -214,6 +214,15 @@ FROM ati GROUP BY account ORDER BY account
         ),
         bench=True,
     ),
+    "account_activity_salted": QueryDef(
+        lambda spark, sf: queries.account_activity_salted(spark, sf, 16),
+        wrap(
+            """
+SELECT account, COUNT(*) AS n_txs, MAX(id) AS max_ati_id
+FROM ati GROUP BY account ORDER BY account
+"""
+        ),
+    ),
     "summary_parse": QueryDef(
         queries.parsed_summaries,
         wrap(
@@ -402,6 +411,38 @@ FROM toks ORDER BY doc_id
     ),
     "doc_quality": QueryDef(textstats.quality_scores, _quality_sql()),
     "doc_lang_id": QueryDef(textstats.lang_id, _lang_sql()),
+    "doc_bpe_token_stats": QueryDef(
+        textstats.bpe_token_stats,
+        wrap(
+            r"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text),
+      '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+')) AS n_bpe_pieces,
+  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+"""
+        ),
+        bench=True,
+    ),
+    "doc_winnow_fingerprints": QueryDef(
+        textstats.winnow_fingerprints,
+        wrap(
+            """
+, wgrams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 2),
+                        i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS h
+  FROM toks WHERE len(t) >= 6
+)
+SELECT doc_id,
+       unnest(list_distinct(list_transform(
+           generate_series(1, len(h) - 3), i -> list_min(h[i:i+3])))) AS fp
+FROM wgrams
+ORDER BY doc_id, fp
+"""
+        ),
+    ),
     "doc_fingerprints": QueryDef(
         textstats.fingerprints, wrap("SELECT doc_id, fp FROM fp ORDER BY doc_id")
     ),

@@ -53,12 +53,18 @@ def build_session(
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     shuffle = str(shuffle_partitions or os.environ.get("CTL_SHUFFLE_PARTITIONS", cpus))
 
+    import tempfile
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "ctl-warehouse"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

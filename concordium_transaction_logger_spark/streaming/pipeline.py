@@ -159,6 +159,72 @@ class WindowedRollup:
         q.awaitTermination()
 
 
+class SessionWindowRollup:
+    """Event-time *session windows* over the stream: per-user activity
+    sessions closed by a 30-minute silence gap (``F.session_window`` —
+    Spark's merging-window state machinery), the streaming twin of the
+    batch ``relational.user_sessions`` lag-based sessionization.
+
+    Append output mode (the only mode Spark supports for merging session
+    windows): a session is emitted *exactly once*, when the watermark
+    passes its end — i.e. a gap of silence has finalized it. Sessions
+    still open at the tail of the feed stay in the state store and emit on
+    a later run once further data closes them; :func:`session_snapshot`
+    therefore returns the *finalized* session set. The 0-second watermark
+    is the ST1 degenerate case (finalized feed ⇒ in-event-time-order
+    arrival across micro-batches)."""
+
+    GAP = "30 minutes"
+
+    def __init__(self, spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str, max_files_per_trigger: int | None = None):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "session_start_ms", F.unix_millis("session_window.start")
+            )
+            .withColumn("session_end_ms", F.unix_millis("session_window.end"))
+            .drop("session_window")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(self.out_dir)
+        )
+
+    def run_available_now(self) -> None:
+        schema = self.spark.read.parquet(self.source_dir).schema
+        events = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+            .parquet(self.source_dir)
+        )
+        agg = (
+            events.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .withWatermark("event_time", "0 seconds")
+            .groupBy(F.session_window("event_time", self.GAP), F.col("user_id"))
+            .agg(F.count("*").alias("n_events"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(self._write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def session_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The finalized sessions (each emitted exactly once by append mode)."""
+    return spark.read.parquet(out_dir).select(
+        "user_id", "session_start_ms", "session_end_ms", "n_events"
+    )
+
+
 def _update_supply(key, pdf_iter, state):
     """applyInPandasWithState update fn: running token supply per
     (idx, subidx, token_id). The total lives in the state store as a

@@ -1,0 +1,48 @@
+"""Physical-layout tests: the reference's covering indexes as storage
+layout (SURVEY §4, SCALE.md) — partition pruning for height predicates,
+bucketing that satisfies the aggregation distribution without a shuffle,
+and the salted-aggregation equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concordium_transaction_logger_spark.ingest import derive
+from concordium_transaction_logger_spark.operators import queries as q
+from concordium_transaction_logger_spark.plans import layout
+
+
+def test_height_partitioning_prunes(spark, sf_dir, tmp_path):
+    feed = derive.block_feed(spark, sf_dir)
+    path = str(tmp_path / "summaries_part")
+    layout.write_summaries_partitioned(derive.summaries(feed), path)
+
+    df = spark.read.parquet(path).filter(F.col("height_bucket") == 0)
+    plan = layout.explain_str(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "height_bucket" in pf[0], "height predicate must prune partitions"
+    assert df.count() == derive.summaries(feed).count()  # sf small: all bucket 0
+
+
+def test_bucketed_ati_aggregates_without_exchange(spark, sf_dir):
+    feed = derive.block_feed(spark, sf_dir)
+    layout.write_ati_bucketed(derive.ati(feed), "ati_bucketed_test", n_buckets=8)
+    try:
+        agg = (
+            spark.table("ati_bucketed_test")
+            .groupBy("account")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = layout.explain_str(agg, "simple")
+        assert "Exchange" not in plan, "bucket layout must satisfy the distribution"
+        assert agg.count() == derive.ati(feed).select("account").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ati_bucketed_test")
+
+
+def test_salted_activity_equals_unsalted(spark, sf_dir):
+    plain = sorted(tuple(r) for r in q.account_activity(spark, sf_dir).collect())
+    salted = sorted(
+        tuple(r) for r in q.account_activity_salted(spark, sf_dir, 16).collect()
+    )
+    assert plain == salted
