@@ -75,6 +75,39 @@ def enrich_dimension(
     return accounts.select("canonical_address").unionByName(new).distinct()
 
 
+def canonical_resolution(spark, sf_dir: str) -> DataFrame:
+    """J2 end-to-end as a driver-checkable query: every ati row's account
+    is materialized as a 32-byte *aliased* address (same 29-byte prefix as
+    its canonical form, last 3 bytes vary per row — the alias space,
+    main.rs:123-146), then resolved back through the broadcast prefix
+    join. Output is (ati id, canonical address hex) — all rows must
+    resolve, by construction.
+
+    The engine side works on true ``BinaryType`` addresses; the DuckDB
+    oracle mirrors the bytes as hex strings (29 bytes = 58 hex chars)
+    because DuckDB has no BLOB substring — the compared output is hex
+    either way."""
+    from ..ingest import derive
+
+    ati = derive.ati(derive.block_feed(spark, sf_dir))
+    acct = F.col("account").cast("string")
+    full = F.concat(
+        F.unhex(F.md5(acct)), F.unhex(F.md5(F.concat(acct, F.lit("x"))))
+    )
+    aliased = ati.select(
+        "id",
+        F.concat(
+            alias_prefix(full),
+            F.unhex(F.substring(F.md5(F.col("id").cast("string")), 1, 6)),
+        ).alias("address"),
+    )
+    accounts = ati.select(full.alias("canonical_address")).distinct()
+    resolved = canonicalize(aliased, accounts)
+    return resolved.select(
+        "id", F.lower(F.hex(F.col("canonical_address"))).alias("canonical_hex")
+    ).orderBy("id")
+
+
 def dedup_first_seen(df: DataFrame, group_cols: list[str], addr_col: str, order_col: str) -> DataFrame:
     """Per-group duplicate drop preserving first-seen order — the
     reference's per-tx ``seen`` HashSet (main.rs:831-852, A5).

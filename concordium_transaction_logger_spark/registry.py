@@ -15,6 +15,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from .ingest.oracle import wrap
+from .functions import addresses
 from .operators import dedup, queries, relational, similarity, textstats
 
 I64_MIN = queries.I64_MIN
@@ -119,6 +120,34 @@ _COSINE_SIM = (
     "SQRT(CAST(list_dot_product(c.e, c.e) AS DOUBLE)))) AS BIGINT)"
 )
 
+def _lsh_topk_sql() -> str:
+    """The LSH-bucketed ANN is fully SQL-expressible because the random
+    hyperplanes are deterministic md5-derived literals (similarity.py):
+    bit j of the signature = (plane_j · e) >= 0."""
+    from .operators.similarity import N_PLANES, _plane_component
+
+    def plane(j: int) -> str:
+        return "[" + ", ".join(str(_plane_component(j, d)) for d in range(64)) + "]"
+
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, {plane(j)}) >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(N_PLANES)
+    )
+    return wrap(
+        f"""
+, sig AS (SELECT vec_id, e, {bucket} AS b FROM qvec)
+SELECT query_id, neighbor_id, sim_micro,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim_micro DESC, neighbor_id ASC) AS rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COSINE_SIM} AS sim_micro
+  FROM sig q JOIN sig c ON q.b = c.b AND q.vec_id < 5 AND c.vec_id >= 5) s
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+    )
+
+
 _NEAR_DUP_SQL = wrap(
     """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -213,6 +242,26 @@ FROM ati GROUP BY account ORDER BY account
 """
         ),
         bench=True,
+    ),
+    "alias_canonical_resolution": QueryDef(
+        addresses.canonical_resolution,
+        wrap(
+            """
+, fulladdr AS (
+  SELECT id, md5(CAST(account AS VARCHAR)) || md5(CAST(account AS VARCHAR) || 'x') AS full_hex
+  FROM ati
+),
+aliased AS (
+  SELECT id,
+         substr(full_hex, 1, 58) || substr(md5(CAST(id AS VARCHAR)), 1, 6) AS addr_hex
+  FROM fulladdr
+),
+accounts AS (SELECT DISTINCT full_hex FROM fulladdr)
+SELECT a.id, c.full_hex AS canonical_hex
+FROM aliased a JOIN accounts c ON substr(a.addr_hex, 1, 58) = substr(c.full_hex, 1, 58)
+ORDER BY id
+"""
+        ),
     ),
     "account_activity_salted": QueryDef(
         lambda spark, sf: queries.account_activity_salted(spark, sf, 16),
@@ -525,7 +574,7 @@ ORDER BY query_id, rank
     ),
     "ann_lsh_topk": QueryDef(
         lambda spark, sf: similarity.ann_lsh_topk(spark, sf, 5, 10),
-        None,  # bucketed-recall variant: not SQL-expressible 1:1, rows-only
+        _lsh_topk_sql(),
         bench=True,
     ),
     "embedding_near_dup_pairs": QueryDef(
