@@ -136,6 +136,39 @@ def sample_frames(media: DataFrame, every_n: int = 2, frame_bytes: int = 8) -> D
     return media.filter(F.col("kind") == "video").mapInPandas(run, FRAMES_SCHEMA)
 
 
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from ``documents`` (the corpus
+    ships no real media files): one row per doc with a binary payload +
+    typed metadata. Payload bytes are the doc's double-md5 hex (64 ASCII
+    bytes) so the DuckDB oracle can mirror byte operations as string
+    operations; every 97th doc gets a NULL payload to exercise the
+    validation path."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hexpay = F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("f"))))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("binary"))
+        .otherwise(F.encode(hexpay, "utf-8"))
+    )
+    meta = F.struct(
+        F.when(kind == "image", (F.col("doc_id") % 8 + 1).cast("int")).alias("width"),
+        F.when(kind == "image", (F.col("doc_id") % 6 + 1).cast("int")).alias("height"),
+        F.when(kind == "audio", F.lit(16000)).alias("sample_rate"),
+        F.when(kind == "video", F.lit(8)).alias("n_frames"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
 def validate_media(media: DataFrame) -> DataFrame:
     """JVM-side payload/metadata validation — no Python in the hot path:
     flag rows whose payload is missing, empty, or inconsistent with

@@ -13,10 +13,11 @@ from dataclasses import dataclass
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .ingest.oracle import wrap
 from .functions import addresses
-from .operators import dedup, queries, relational, similarity, textstats
+from .operators import dedup, multimodal, queries, relational, similarity, textstats
 
 I64_MIN = queries.I64_MIN
 I64_MAX = queries.I64_MAX
@@ -654,6 +655,47 @@ FROM (SELECT query_id, neighbor_id,
       FROM probes JOIN cands USING (cell)) s
 QUALIFY rank <= 10
 ORDER BY query_id, rank
+"""
+        ),
+        bench=True,
+    ),
+    # ------------------------------------------------------------------
+    # Training-data pipeline: multimodal binary columns
+    # ------------------------------------------------------------------
+    "media_validation": QueryDef(
+        lambda spark, sf: multimodal.validate_media(
+            multimodal.media_from_documents(spark, sf)
+        ).orderBy("media_id"),
+        wrap(
+            """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CASE WHEN doc_id % 97 = 0 THEN NULL ELSE 64 END AS payload_bytes,
+       (doc_id % 97 = 0) AS is_invalid
+FROM documents
+ORDER BY media_id
+"""
+        ),
+    ),
+    "media_frame_sample": QueryDef(
+        lambda spark, sf: multimodal.sample_frames(
+            multimodal.media_from_documents(spark, sf), every_n=2, frame_bytes=8
+        )
+        .select(
+            "media_id",
+            "frame_index",
+            F.col("frame").cast("string").alias("frame_str"),
+        )
+        .orderBy("media_id", "frame_index"),
+        wrap(
+            """
+, vids AS (
+  SELECT doc_id, md5(text) || md5(text || 'f') AS pay
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 97 <> 0
+)
+SELECT doc_id AS media_id, j AS frame_index, substr(pay, j * 8 + 1, 8) AS frame_str
+FROM vids, (SELECT unnest([0, 2, 4, 6]) AS j) f
+ORDER BY media_id, frame_index
 """
         ),
         bench=True,
