@@ -34,7 +34,9 @@ def tokens(col: Column) -> Column:
 
 def _marker_count(text_lower: Column, words: tuple[str, ...]) -> Column:
     pattern = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(text_lower, F.lit(pattern), F.lit(0)))
+    return F.size(F.regexp_extract_all(text_lower, F.lit(pattern), F.lit(0))).cast(
+        "long"
+    )
 
 
 def _spread(docs: DataFrame) -> DataFrame:
@@ -49,10 +51,12 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-tokenize per derived expression."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
     t = F.col("t")
+    # Counts cast to long: DuckDB len()/length() yield BIGINT — keep the
+    # engine and oracle schemas dtype-identical, not just value-identical.
     return docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_uniq_tokens"),
         F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
             "chars_in_tokens"
         ),
@@ -83,8 +87,8 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0))
     return docs.select(
         "doc_id",
-        n.alias("n_chars"),
-        F.size(t).alias("n_tokens"),
+        n.cast("long").alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
         permille(alpha, n).alias("alpha_permille"),
         permille(digit, n).alias("digit_permille"),
         permille(space, n).alias("space_permille"),
@@ -130,12 +134,12 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower = F.lower(F.col("text"))
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(lower, F.lit(BPE_SPLIT), F.lit(0))).alias(
-            "n_bpe_pieces"
-        ),
-        F.size(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
-        ).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(BPE_SPLIT), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_pieces"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_ws_tokens"),
     ).orderBy("doc_id")
 
 
