@@ -1,0 +1,42 @@
+"""Scan-level optimizer evidence: filters reach the parquet scan
+(PushedFilters) and ReadSchema is pruned to the referenced columns —
+the difference between reading 6 columns and reading 100 TB of all of
+them (SCALE.md rule 2)."""
+
+from __future__ import annotations
+
+from concordium_transaction_logger_spark.operators import relational
+from concordium_transaction_logger_spark.plans import layout
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark, sf_dir):
+    df = relational.pricing_summary(spark, sf_dir)
+    pf = layout.pushed_filters(df)
+    assert "l_shipdate" in pf, f"shipdate filter must reach the scan, got: {pf!r}"
+
+
+def test_pricing_summary_prunes_scan_columns(spark, sf_dir):
+    plan = layout.explain_str(relational.pricing_summary(spark, sf_dir))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, "formatted plan must show ReadSchema"
+    schema_line = read_schemas[0]
+    assert "l_comment" not in schema_line, "unreferenced columns must be pruned"
+    for col in ("l_shipdate", "l_quantity", "l_extendedprice", "l_discount"):
+        assert col in schema_line
+
+
+def test_top_orders_pushes_both_date_filters(spark, sf_dir):
+    df = relational.top_orders_by_revenue(spark, sf_dir)
+    pf = layout.pushed_filters(df)
+    assert "l_shipdate" in pf and "o_orderdate" in pf
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    """SCALE.md rule 4: the shuffle carries |groups| rows, not |input| —
+    the plan must show a map-side partial HashAggregate below the
+    Exchange and the final one above it."""
+    plan = layout.explain_str(relational.pricing_summary(spark, sf_dir), "simple")
+    assert "partial_sum" in plan and plan.count("HashAggregate") >= 2
+    assert plan.index("HashAggregate") < plan.index("partial_sum"), (
+        "final aggregate above, partial below the Exchange"
+    )
