@@ -113,6 +113,11 @@ def iterate_account(spark: SparkSession, sf_dir: str, account: int) -> DataFrame
     return query_account(spark, sf_dir, account, limit=None, descending=False)
 
 
+def iterate_contract(spark: SparkSession, sf_dir: str, idx: int, subidx: int) -> DataFrame:
+    """Unbounded ascending contract scan (postgres.rs:376-383)."""
+    return query_contract(spark, sf_dir, idx, subidx, limit=None, descending=False)
+
+
 def resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Height of the last indexed summary — the restart offset
     (A3/T2: ``SELECT height FROM summaries ORDER BY id DESC LIMIT 1``,

@@ -202,6 +202,10 @@ REGISTRY: dict[str, QueryDef] = {
         _account_rows_sql(12, False, None, None),
         bench=True,
     ),
+    "iterate_contract": QueryDef(
+        lambda spark, sf: queries.iterate_contract(spark, sf, 7, 0),
+        _contract_rows_sql(7, 0, False, None, None),
+    ),
     "resume_offset": QueryDef(
         lambda spark, sf: queries.resume_offset(spark, sf),
         wrap("SELECT height FROM summaries ORDER BY id DESC LIMIT 1"),
