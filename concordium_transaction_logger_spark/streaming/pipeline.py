@@ -348,6 +348,30 @@ def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, name))
 
 
+def compact_sink(
+    spark: SparkSession, out_dir: str, name: str, target_files: int = 1
+) -> None:
+    """Small-file compaction for a streaming sink table.
+
+    Per-batch `foreachBatch` appends accumulate one file set per
+    micro-batch — at 100 TB that's the classic streaming small-files
+    problem (a day of 1-minute batches = 1440 file sets; scan planning
+    and footer reads dominate). Compaction rewrites the table at a chosen
+    file count, preserving rows exactly; it drops the per-batch
+    ``ingest_batch`` partitioning, so run it on *closed* tables or
+    behind the checkpoint's high-water mark (a compacted batch must never
+    be replayed — the reference's analog is Postgres VACUUM, not a
+    semantic operation). Rewrite-then-swap keeps readers consistent."""
+    path = os.path.join(out_dir, name)
+    tmp = path + ".compact"
+    df = spark.read.parquet(path).coalesce(target_files)
+    df.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def supply_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     """Running CIS2 supply rolled up from the append-only movement log —
     the A1/A2 upsert materialized on read."""

@@ -116,3 +116,32 @@ def test_restart_is_idempotent(spark, sf_dir, dirs):
         spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users
     ).run_available_now()
     assert read_sink(spark, dirs["out"], "summaries").count() == first
+
+
+def test_compact_sink_preserves_rows(spark, sf_dir, dirs):
+    import glob
+    import os
+
+    from concordium_transaction_logger_spark.streaming.pipeline import compact_sink
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    # several micro-batches => several file sets (disjoint slices)
+    for lo, hi in ((0, 300), (300, 600), (600, 10**9)):
+        events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users, max_files_per_trigger=1
+    ).run_available_now()
+
+    path = os.path.join(dirs["out"], "summaries")
+    before_rows = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
+    before_files = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert before_files > 2, "multiple batches should leave multiple file sets"
+
+    compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    after_rows = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
+    after_files = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert after_rows == before_rows
+    assert after_files == 1
