@@ -171,6 +171,29 @@ def priority_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_part_breadth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ variant of :func:`priority_part_breadth` — the 100 TB
+    path when the exact distinct's dedup shuffle is unaffordable: sketches
+    merge map-side, so the shuffle carries |groups| x sketch bytes instead
+    of |distinct keys| rows. rsd=2%.
+
+    Driver check is rows-only by design: HLL estimates are
+    engine-specific, so there is no cross-engine value oracle — the
+    exactness twin ``priority_part_breadth`` is the value-checked one, and
+    ``tests/test_approx.py`` bounds this one's error against it."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top purchasing users from the event stream (cents-exact)."""
     events = load_table(spark, sf_dir, "events")

@@ -422,6 +422,12 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
     ),
+    "priority_part_breadth_approx": QueryDef(
+        relational.priority_part_breadth_approx,
+        None,  # HLL sketches are engine-specific — no cross-engine value
+        # oracle exists; accuracy is bounded vs the exact twin in
+        # tests/test_approx.py, and the driver records rows-only.
+    ),
     "top_spenders": QueryDef(
         relational.top_spenders,
         """
