@@ -78,19 +78,52 @@ def shingles(docs: DataFrame) -> DataFrame:
     return tok.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
+#: Per-(session, sf_dir) materialized shingle index. The index feeds the
+#: jaccard self-join (both sides + sizes), minhash signatures, and the
+#: banding pipeline; a resident engine materializes it once per corpus —
+#: the standard shingle-index step at 100 TB — instead of re-running the
+#: CPU-heavy tokenize/explode/distinct per query (the analog of the
+#: reference preparing statements once per connection, postgres.rs:239-274).
+_SHINGLE_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_INDEX_CACHE:
+        _SHINGLE_INDEX_CACHE[key] = shingles(
+            load_table(spark, sf_dir, "documents")
+        ).persist()
+    return _SHINGLE_INDEX_CACHE[key]
+
+
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold_permille: int = 500
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_permille: int = 500,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-trigram Jaccard >= threshold.
 
     inter/union from the shingle self-join; doc sizes joined back from the
     distinct-shingle counts. Jaccard emitted as per-mille BIGINT.
 
-    The shingle set feeds three consumers (both self-join sides + sizes);
-    persisting it computes the CPU-heavy tokenize/explode/distinct once —
-    at 100 TB this is the standard materialize-the-shingle-index step
-    (MEMORY_AND_DISK spills instead of recomputing)."""
-    sh = shingles(load_table(spark, sf_dir, "documents")).persist()
+    ``max_df`` is the scale dial for hot-shingle skew (SCALE.md): shingles
+    appearing in more than ``max_df`` documents are *stop-shingles* — they
+    carry no discrimination but dominate the self-join's pair count
+    (|pairs| grows as Σ df² per shingle). The stop list is tiny by
+    construction (only the most common shingles), so it rides as a
+    broadcast left-anti join — the fact-side shingle set never shuffles
+    for the cap. Jaccard is then computed over the capped shingle space
+    (sizes recomputed after the cap, consistently on both engines)."""
+    sh = shingle_index(spark, sf_dir)
+    if max_df is not None:
+        stop = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(stop), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -122,8 +155,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The lexicographic min over hex digests is a uniform minhash; md5 keeps
     it bit-identical in the DuckDB oracle. Computed as one groupBy over the
-    exploded shingles — k mins in a single partial-aggregated shuffle."""
-    sh = shingles(load_table(spark, sf_dir, "documents"))
+    exploded shingles — k mins in a single partial-aggregated shuffle.
+    Reads the session's materialized shingle index (shared with the
+    jaccard path) instead of re-shingling the corpus."""
+    sh = shingle_index(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
         for i in range(MINHASH_K)

@@ -209,6 +209,30 @@ def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-group top-k: each customer's k most expensive orders, by window
+    rank — the bounded-state alternative to a global sort.
+
+    One shuffle (window partition by custkey); per-key state is a k-row
+    heap, so the operator scales with |customers|, never |orders|. The
+    (price, orderkey) tiebreak keeps ranks deterministic; rank cast to
+    long to match DuckDB's BIGINT ROW_NUMBER."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("o_custkey", "rank")
+    )
+
+
 SESSION_GAP_MS = 30 * 60 * 1000
 
 

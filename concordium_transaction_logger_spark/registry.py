@@ -17,7 +17,15 @@ from pyspark.sql import functions as F
 
 from .ingest.oracle import wrap
 from .functions import addresses
-from .operators import dedup, multimodal, queries, relational, similarity, textstats
+from .operators import (
+    dedup,
+    multimodal,
+    queries,
+    relational,
+    similarity,
+    temporal,
+    textstats,
+)
 
 I64_MIN = queries.I64_MIN
 I64_MAX = queries.I64_MAX
@@ -453,6 +461,56 @@ ORDER BY event_type, hour_bucket
         bench=True,
     ),
     # ------------------------------------------------------------------
+    # Temporal joins (as-of / banded range — SURVEY §2.12 extension ops)
+    # ------------------------------------------------------------------
+    "asof_purchase_last_click": QueryDef(
+        temporal.asof_last_touch,
+        wrap(
+            """
+SELECT p.event_id, p.user_id, p.ts_ms,
+       c.event_id AS matched_event_id, c.ts_ms AS matched_ts_ms,
+       p.ts_ms - c.ts_ms AS gap_ms
+FROM (SELECT * FROM evt WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM evt WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+ORDER BY p.event_id
+"""
+        ),
+        bench=True,
+    ),
+    "error_followup_burst": QueryDef(
+        temporal.error_followup_burst,
+        wrap(
+            """
+SELECT e.event_id, e.user_id, e.ts_ms, COUNT(f.event_id) AS n_follow
+FROM (SELECT * FROM evt WHERE event_type = 'error') e
+LEFT JOIN evt f
+  ON e.user_id = f.user_id
+ AND f.ts_ms > e.ts_ms AND f.ts_ms <= e.ts_ms + 300000
+GROUP BY e.event_id, e.user_id, e.ts_ms
+ORDER BY e.event_id
+"""
+        ),
+        bench=True,
+    ),
+    "top_orders_per_customer": QueryDef(
+        relational.top_orders_per_customer,
+        """
+SELECT o_custkey, o_orderkey, price_cents, rank
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+         ) AS rank
+  FROM orders)
+WHERE rank <= 3
+ORDER BY o_custkey, rank
+""",
+        bench=True,
+    ),
+    # ------------------------------------------------------------------
     # Training-data pipeline: text analysis
     # ------------------------------------------------------------------
     "doc_token_stats": QueryDef(
@@ -539,6 +597,29 @@ ORDER BY doc_a, doc_b
 """
         ),
         bench=True,
+    ),
+    # Same jaccard with the hot-shingle document-frequency cap — the
+    # skew dial that bounds the self-join pair count at 100 TB (SCALE.md
+    # "hot shingles"): stop-shingles (df > cap) are dropped via a
+    # broadcast anti-join before pair generation.
+    "doc_ngram_jaccard_dfcap": QueryDef(
+        lambda spark, sf: dedup.ngram_jaccard_pairs(spark, sf, 500, max_df=20),
+        wrap(
+            """
+, stop AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) > 20),
+capped AS (SELECT * FROM shingles WHERE sh NOT IN (SELECT sh FROM stop)),
+cap_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id)
+SELECT da AS doc_a, db AS doc_b, i AS n_inter,
+       CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) AS jaccard_permille
+FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2) t
+JOIN cap_sizes x ON x.doc_id = da
+JOIN cap_sizes y ON y.doc_id = db
+WHERE CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) >= 500
+ORDER BY doc_a, doc_b
+"""
+        ),
     ),
     "doc_minhash_signatures": QueryDef(
         dedup.minhash_signatures,
