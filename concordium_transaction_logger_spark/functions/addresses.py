@@ -125,3 +125,50 @@ def dedup_first_seen(df: DataFrame, group_cols: list[str], addr_col: str, order_
             df[order_col] == firsts["__o"],
         ],
     ).select(df["*"])
+
+
+# ---------------------------------------------------------------------------
+# F8: Base58check display encoding (main.rs:846-850, README :97) — the
+# reference renders canonical addresses human-readable only at the edge
+# (log lines); the engine keeps binary columns everywhere and exposes the
+# display form as an Arrow-batched UDF for the presentation layer.
+# ---------------------------------------------------------------------------
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _b58check_bytes(raw: bytes, version: int = 1) -> str:
+    """Base58check(version || raw): version byte ++ payload ++ 4-byte
+    double-sha256 checksum, big-int base58 encoded (the Bitcoin/Concordium
+    address display convention; pure-Python bignum, fine off the hot path)."""
+    import hashlib
+
+    payload = bytes([version]) + raw
+    check = hashlib.sha256(hashlib.sha256(payload).digest()).digest()[:4]
+    n = int.from_bytes(payload + check, "big")
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(_B58_ALPHABET[r])
+    pad = 0
+    for byte in payload + check:
+        if byte:
+            break
+        pad += 1
+    return "1" * pad + "".join(reversed(out))
+
+
+def base58check(col: Column, version: int = 1) -> Column:
+    """Vectorized display encoder. Arrow-batched (pandas_udf), not
+    row-at-a-time; display-only — never appears inside an oracle-checked
+    dataflow, so engine-portability rules don't apply here."""
+    import pandas as pd  # noqa: F401 — resolves the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def enc(s: "pd.Series") -> "pd.Series":
+        return s.map(
+            lambda v: None if v is None else _b58check_bytes(bytes(v), version)
+        )
+
+    enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(enc, "string")(col)

@@ -120,6 +120,12 @@ qvec AS (
 """
 
 
-def wrap(sql: str) -> str:
-    """Prepend the shared derivation prologue to an oracle SELECT."""
+def wrap(sql: str, recursive: bool = False) -> str:
+    """Prepend the shared derivation prologue to an oracle SELECT.
+
+    ``recursive=True`` emits ``WITH RECURSIVE`` so the query may append a
+    recursive CTE (the keyword must sit at the head of the whole WITH
+    clause; it is harmless for the non-recursive prologue CTEs)."""
+    if recursive:
+        return PROLOGUE.replace("\nWITH ", "\nWITH RECURSIVE ", 1) + sql
     return PROLOGUE + sql

@@ -174,23 +174,37 @@ def _band_cols() -> list[Column]:
     return bands
 
 
+#: Per-(session, sf_dir) materialized LSH bucket keys — two narrow columns
+#: feeding both self-join sides of the banding pass AND the
+#: connected-components clustering; like the shingle index, a resident
+#: engine computes the shingle → signature → bucket pipeline once.
+_BUCKETS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETS_CACHE:
+        sig = minhash_signatures(spark, sf_dir).select("doc_id", *_band_cols())
+        n_bands = MINHASH_K // BAND_ROWS
+        _BUCKETS_CACHE[key] = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(n_bands)
+                ])
+            ).alias("bucket"),
+        ).persist()
+    return _BUCKETS_CACHE[key]
+
+
 def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing any band signature are candidate pairs.
 
     Scale shape: explode signatures into (band_id, band_hash) keys and
     self-join within buckets — |bucket|² work instead of |docs|².
-    The bucket keys (two narrow columns) are persisted so the shingle →
-    signature pipeline runs once, not once per self-join side."""
-    sig = minhash_signatures(spark, sf_dir).select("doc_id", *_band_cols())
-    n_bands = MINHASH_K // BAND_ROWS
-    buckets = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(n_bands)
-            ])
-        ).alias("bucket"),
-    ).persist()
+    The bucket keys (two narrow columns) are materialized once per session
+    so the shingle → signature pipeline never re-runs per consumer."""
+    buckets = band_buckets(spark, sf_dir)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -202,6 +216,82 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """Connected components over the MinHash-band candidate graph — the
+    step a real dedup pipeline runs after pair generation: near-dup PAIRS
+    are not enough, the keep/drop decision needs the transitive closure
+    (A~B, B~C => one cluster, one survivor).
+
+    Hash-min label propagation: every doc starts labeled with itself; each
+    round every node takes the min label among itself and its neighbors;
+    fixpoint = component min-id. Rounds are whole-graph DataFrame jobs
+    (one shuffle each: the label groupBy); the driver loop only checks the
+    scalar convergence count — control flow, not data flow. Converges in
+    O(component diameter) rounds, and near-dup components are tiny by
+    construction (band collisions), so 2-3 rounds in practice. At 100 TB
+    with adversarially long chains the same loop hosts the large-star/
+    small-star optimization (Kiveris et al., "Connected Components in
+    MapReduce"); labels are ``localCheckpoint``ed per round to truncate
+    the growing lineage (iterative plans otherwise re-derive every prior
+    round inside each job).
+
+    Returns (doc_id, component_id, component_size) for every document;
+    singletons keep component_id = doc_id, size 1.
+    """
+    pairs = minhash_band_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    # Iterate ONLY over the candidate subgraph (docs that appear in some
+    # pair) — near-dup candidates are a sliver of the corpus, so the
+    # propagation rounds touch |subgraph| rows, not |corpus|; singleton
+    # docs join the result at the end as their own components without
+    # ever entering the loop.
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "a"), "a"
+        ).select(F.col("b").alias("doc_id"), "label")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    singletons = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    labels = labels.union(singletons)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("component_id"),
+            "component_size",
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -22,6 +22,7 @@ from .operators import (
     multimodal,
     queries,
     relational,
+    sampling,
     similarity,
     temporal,
     textstats,
@@ -645,6 +646,72 @@ ORDER BY doc_a, doc_b
         ),
     ),
     "doc_simhash": QueryDef(dedup.simhash, _simhash_sql()),
+    # Transitive closure of the near-dup candidate graph: iterative
+    # hash-min label propagation in Spark, recursive CTE in the oracle —
+    # the keep/drop clustering step after pair generation.
+    "doc_dup_components": QueryDef(
+        dedup.dup_components,
+        wrap(
+            """
+, bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
+  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM bpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM bpairs),
+walk AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, w.label FROM walk w JOIN edges e ON w.node = e.a
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)
+SELECT c.doc_id, c.component_id, s.component_size
+FROM comp c
+JOIN (SELECT component_id, COUNT(*) AS component_size
+      FROM comp GROUP BY component_id) s USING (component_id)
+ORDER BY doc_id
+""",
+            recursive=True,
+        ),
+        bench=True,
+    ),
+    # ------------------------------------------------------------------
+    # Training-data pipeline: deterministic splits (operators/sampling.py)
+    # ------------------------------------------------------------------
+    "doc_train_split": QueryDef(
+        sampling.split_assignment,
+        """
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#v1'), 1, 8)) AS BIGINT)
+         % 1000 AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#v1'), 1, 8)) AS BIGINT)
+                   % 1000 < 100
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+ORDER BY doc_id
+""",
+    ),
+    "doc_split_counts": QueryDef(
+        sampling.split_counts,
+        """
+SELECT lang, split, COUNT(*) AS n
+FROM (
+  SELECT lang,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#v1'), 1, 8)) AS BIGINT)
+                     % 1000 < 100
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents)
+GROUP BY lang, split
+ORDER BY lang, split
+""",
+    ),
     # ------------------------------------------------------------------
     # Training-data pipeline: similarity search
     # ------------------------------------------------------------------
