@@ -136,6 +136,62 @@ def sample_frames(media: DataFrame, every_n: int = 2, frame_bytes: int = 8) -> D
     return media.filter(F.col("kind") == "video").mapInPandas(run, FRAMES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor resize of image payloads to (out_w, out_h).
+
+    The payload's first width*height bytes are interpreted as a row-major
+    grayscale image (STUB for a real pixel decode — the *resample kernel*
+    itself is the real thing: vectorized numpy fancy-indexing per Arrow
+    batch, the shape a real thumbnailer takes at 100 TB). Output is a
+    narrow out_w*out_h-byte column, so downstream stages shuffle
+    thumbnails, never source payloads."""
+    import numpy as np
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["w"], pdf["h"]
+            ):
+                if payload is None:
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)[: w * h]
+                if len(arr) < w * h:
+                    continue  # malformed: shorter than metadata claims
+                arr = arr.reshape(int(h), int(w))
+                ri = (np.arange(out_h) * int(h)) // out_h
+                rj = (np.arange(out_w) * int(w)) // out_w
+                ids.append(mid)
+                outs.append(arr[ri][:, rj].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "out_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "pixels": pd.Series(outs, dtype="object"),
+                }
+            )
+
+    return imgs.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def media_from_documents(spark, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from ``documents`` (the corpus
     ships no real media files): one row per doc with a binary payload +

@@ -858,6 +858,38 @@ ORDER BY media_id, frame_index
         ),
         bench=True,
     ),
+    # Nearest-neighbor thumbnail resize: numpy kernel over Arrow batches in
+    # Spark; byte-exact string mirror in the oracle (payload bytes are
+    # ASCII hex by construction, so substr == byte indexing).
+    "media_resize": QueryDef(
+        lambda spark, sf: multimodal.resize_images(
+            multimodal.media_from_documents(spark, sf)
+        )
+        .select(
+            "media_id",
+            "out_w",
+            "out_h",
+            F.col("pixels").cast("string").alias("pixels_str"),
+        )
+        .orderBy("media_id"),
+        wrap(
+            """
+, imgs AS (
+  SELECT doc_id, md5(text) || md5(text || 'f') AS pay,
+         CAST(doc_id % 8 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 6 + 1 AS INTEGER) AS h
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 97 <> 0
+)
+SELECT doc_id AS media_id, 4 AS out_w, 4 AS out_h,
+       list_aggregate(flatten(list_transform(generate_series(0, 3), i ->
+         list_transform(generate_series(0, 3), j ->
+           substr(pay, ((i*h)//4)*w + ((j*w)//4) + 1, 1)))),
+         'string_agg', '') AS pixels_str
+FROM imgs
+ORDER BY media_id
+"""
+        ),
+    ),
     "embedding_label_centroids": QueryDef(
         similarity.label_centroids,
         wrap(

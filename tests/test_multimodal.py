@@ -62,3 +62,24 @@ def test_sample_frames(media):
 def test_validate_media(media):
     flags = {r.media_id: r.is_invalid for r in multimodal.validate_media(media).collect()}
     assert flags == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_resize_nearest_neighbor_kernel(spark, sf_dir):
+    """4x4 thumbnail of the (w x h) payload grid: spot-check one row
+    against a hand-computed nearest-neighbor index map."""
+    from concordium_transaction_logger_spark.operators import multimodal as mm
+
+    media = mm.media_from_documents(spark, sf_dir)
+    out = {r.media_id: r for r in mm.resize_images(media).collect()}
+    src = {
+        r.media_id: r
+        for r in media.filter("kind = 'image' AND payload IS NOT NULL").collect()
+    }
+    assert out.keys() == src.keys() and out
+    for mid, r in list(out.items())[:5]:
+        w, h = src[mid].meta.width, src[mid].meta.height
+        pay = bytes(src[mid].payload)
+        want = bytes(
+            pay[((i * h) // 4) * w + (j * w) // 4] for i in range(4) for j in range(4)
+        )
+        assert bytes(r.pixels) == want, mid
