@@ -218,6 +218,66 @@ class SessionWindowRollup:
         q.awaitTermination()
 
 
+class StreamingDedup:
+    """Cross-batch exactly-once dedup of the event feed by ``event_id`` —
+    the streaming twin of batch ``dropDuplicates``, for sources that can
+    re-deliver (at-least-once brokers, replayed segments).
+
+    Uses ``dropDuplicatesWithinWatermark``: the dedup state store keeps an
+    id only until the watermark passes its event time + ``within``. At
+    100 TB an *unbounded* ``dropDuplicates`` state is a slow leak (every
+    id ever seen, forever); bounding by the source's maximum re-delivery
+    skew is the production shape. The reference needs no dedup at all —
+    finality + resume-from-max-height (ST2) make re-delivery impossible —
+    so ``within`` here models a relaxed non-finalized source; tests use a
+    delay larger than the corpus's whole event-time span, making the
+    dedup exact.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        within: str = "1 hour",
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.within = within
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(self.out_dir)
+
+    def run_available_now(self) -> None:
+        schema = self.spark.read.parquet(self.source_dir).schema
+        events = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+            .parquet(self.source_dir)
+        )
+        deduped = (
+            events.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .withWatermark("event_time", self.within)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .drop("event_time")
+        )
+        q = (
+            deduped.writeStream.foreachBatch(self._write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def session_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
     """The finalized sessions (each emitted exactly once by append mode)."""
     return spark.read.parquet(out_dir).select(

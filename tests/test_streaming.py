@@ -145,3 +145,39 @@ def test_compact_sink_preserves_rows(spark, sf_dir, dirs):
     after_files = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     assert after_rows == before_rows
     assert after_files == 1
+
+
+def test_streaming_dedup_drops_cross_batch_redelivery(spark, sf_dir, dirs):
+    """An at-least-once source re-delivers a whole segment; the
+    watermark-bounded dedup state must drop every replayed id even when
+    the duplicate arrives in a LATER micro-batch."""
+    from concordium_transaction_logger_spark.streaming.pipeline import StreamingDedup
+
+    events = load_table(spark, sf_dir, "events")
+    # batch 1: ids < 400; batch 2: ids 200..600 (200-399 re-delivered)
+    for lo, hi in ((0, 400), (200, 600)):
+        (
+            events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dirs["source"])
+        )
+    StreamingDedup(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        within="90 days",  # > corpus event-time span => dedup is exact
+        max_files_per_trigger=1,  # force the duplicates into a later batch
+    ).run_available_now()
+
+    out = spark.read.parquet(dirs["out"])
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids)), "duplicate ids survived dedup"
+    expect = {
+        r.event_id
+        for r in events.filter(F.col("event_id") < 600).select("event_id").collect()
+    }
+    assert set(ids) == expect
+    # the replayed segment really did span micro-batches
+    assert out.select("ingest_batch").distinct().count() > 1
