@@ -200,6 +200,20 @@ def _centroid_sums(emb: DataFrame) -> DataFrame:
     )
 
 
+#: Per-(session, sf_dir) persisted centroid table — O(cells) rows, built
+#: once per session and broadcast into every assignment/probe consumer
+#: (a resident ANN index keeps its centroids resident).
+_CENTROID_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def centroids_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _CENTROID_CACHE:
+        emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+        _CENTROID_CACHE[key] = _centroid_sums(emb).persist()
+    return _CENTROID_CACHE[key]
+
+
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell assignment: each vector -> its nearest centroid by cosine
     (argmax over the broadcast centroid table; ties broken by cell id).
@@ -209,7 +223,7 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions. The centroid table is O(cells) and always broadcast — the
     corpus never shuffles for assignment."""
     emb = _quantized(load_table(spark, sf_dir, "embeddings"))
-    cents = _centroid_sums(emb)
+    cents = centroids_for(spark, sf_dir)
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "label",
@@ -246,7 +260,7 @@ def ivf_topk(
     occurs at most once — no dedup stage. The probe list (n_queries x
     nprobe rows) is broadcast; candidate vectors never shuffle."""
     emb = _quantized(load_table(spark, sf_dir, "embeddings"))
-    cents = _centroid_sums(emb)
+    cents = centroids_for(spark, sf_dir)
     scored_cells = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "e",
