@@ -82,7 +82,7 @@ def cosine_topk(
         F.col("sim_micro").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
@@ -294,7 +294,7 @@ def ivf_topk(
         F.col("sim_micro").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(wq))
+        scored.withColumn("rank", F.row_number().over(wq).cast("long"))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
@@ -380,7 +380,7 @@ def ann_lsh_topk(
         F.col("sim_micro").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )

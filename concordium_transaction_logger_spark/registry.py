@@ -334,8 +334,8 @@ WITH evt AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
 ), numbered AS (
   SELECT user_id, ts_ms,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -350,9 +350,9 @@ ORDER BY user_id, session_id
         relational.pricing_summary,
         """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-  SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) AS sum_base_price_cents,
-  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS sum_disc_price_cents,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -365,7 +365,7 @@ ORDER BY l_returnflag, l_linestatus
         relational.top_orders_by_revenue,
         """
 SELECT o_orderkey, o_orderpriority,
-  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS revenue_cents,
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
   epoch_ms(MAX(o_orderdate)) AS o_orderdate_ms
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -397,7 +397,7 @@ ORDER BY o_orderpriority
         relational.nation_revenue,
         """
 SELECT n_name,
-  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS revenue_cents
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -413,8 +413,8 @@ ORDER BY revenue_cents DESC, n_name
         relational.brand_revenue,
         """
 SELECT p_brand, p_type,
-  SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS revenue_cents,
-  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
   COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand, p_type
@@ -441,7 +441,7 @@ ORDER BY o_orderpriority
         relational.top_spenders,
         """
 SELECT user_id,
-  SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS spend_cents,
+  CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
   COUNT(*) AS n_purchases
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id
@@ -454,7 +454,7 @@ LIMIT 10
         """
 SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket,
   COUNT(*) AS n_events,
-  SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS value_cents
+  CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY event_type, hour_bucket
 ORDER BY event_type, hour_bucket
@@ -894,7 +894,7 @@ ORDER BY media_id
         similarity.label_centroids,
         wrap(
             """
-SELECT label, dim, SUM(e[dim]) AS sum_q, COUNT(*) AS n
+SELECT CAST(dim AS INTEGER) AS dim, label, CAST(SUM(e[dim]) AS BIGINT) AS sum_q, COUNT(*) AS n
 FROM qvec, (SELECT unnest(generate_series(1, 64)) AS dim) d
 GROUP BY label, dim
 ORDER BY label, dim

@@ -33,6 +33,31 @@ def _canon(columns, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+#: Spark simpleString / DuckDB type name → canonical dtype, for the
+#: schema-alignment check (the driver compares schemas, not just names —
+#: an int32 vs int64 drift is a gate failure even when values agree).
+_SPARK_CANON = {
+    "bigint": "i64",
+    "int": "i32",
+    "double": "f64",
+    "string": "str",
+    "boolean": "bool",
+    "binary": "bytes",
+}
+_DUCK_CANON = {
+    "BIGINT": "i64",
+    "INTEGER": "i32",
+    "DOUBLE": "f64",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "BLOB": "bytes",
+}
+
+
+def _canon_dtype(name: str, table: dict) -> str:
+    return table.get(name, name.lower())
+
+
 ORACLE_CASES = [(n, d) for n, d in REGISTRY.items() if d.oracle is not None]
 
 
@@ -49,6 +74,16 @@ def test_matches_duckdb(name, qd, spark, duck, sf_dir):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
     )
+    spark_types = {c: _canon_dtype(t, _SPARK_CANON) for c, t in sdf.dtypes}
+    duck_types = {
+        c: _canon_dtype(str(t), _DUCK_CANON) for c, t in zip(duck_cols, rel.types)
+    }
+    drift = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_types
+        if spark_types[c] != duck_types[c]
+    }
+    assert not drift, f"{name}: dtype drift (spark, duck): {drift}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
