@@ -233,6 +233,61 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
     )
 
 
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (priority, status) — a §2.12
+    explicit absence in the reference, present here as a first-class
+    analytics extension. Physically one partial-aggregated shuffle: Spark
+    expands the grouping sets map-side, so the shuffle carries
+    |groups across all levels| rows, not |input| per level.
+
+    Subtotal NULL markers are COALESCEd to 'ALL' so every output row is
+    non-null (portable ordering + unambiguous to consumers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_cents",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 1996 and 1997 — set ops are
+    a §2.12 absence; Spark plans ``intersect`` as a dedup aggregate +
+    left-semi hash join (one shuffle keyed by custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+        ).select("o_custkey")
+
+    return year(1996).intersect(year(1997)).orderBy("o_custkey")
+
+
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers ordering in 1996 but not 1997 —
+    planned as a left-anti hash join after dedup."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+        ).select("o_custkey")
+
+    return year(1996).subtract(year(1997)).orderBy("o_custkey")
+
+
 SESSION_GAP_MS = 30 * 60 * 1000
 
 

@@ -422,6 +422,43 @@ ORDER BY p_brand, p_type
 """,
         bench=True,
     ),
+    # §2.12 explicit absences in the reference, provided as extensions:
+    # rollup subtotals and set operations.
+    "order_priority_rollup": QueryDef(
+        relational.order_priority_rollup,
+        """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+""",
+        bench=True,
+    ),
+    "repeat_customers": QueryDef(
+        relational.repeat_customers,
+        """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY o_custkey
+""",
+    ),
+    "churned_customers": QueryDef(
+        relational.churned_customers,
+        """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY o_custkey
+""",
+    ),
     "priority_part_breadth": QueryDef(
         relational.priority_part_breadth,
         """
