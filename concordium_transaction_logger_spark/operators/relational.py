@@ -288,6 +288,61 @@ def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return year(1996).subtract(year(1997)).orderBy("o_custkey")
 
 
+def active_customers_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT: customers ordering in 1996 or 1997 — completes the
+    set-op trio (INTERSECT/EXCEPT/UNION, all §2.12 absences in the
+    reference). Spark plans union+distinct as concat → one hash-dedup
+    shuffle keyed by custkey; both inputs are the same pruned 2-column
+    scan, so at 100 TB this is a single pass over the date-pruned slice."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+        ).select("o_custkey")
+
+    return year(1996).union(year(1997)).distinct().orderBy("o_custkey")
+
+
+def nation_monthly_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative analytic frame (SUM ... ROWS UNBOUNDED PRECEDING) over a
+    monthly per-nation rollup — window *frames* are a §2.12 absence; this is
+    the running-balance shape every ledger consumer eventually asks for.
+
+    Scale shape: two broadcast dimension joins (customer projected to 2
+    columns, nation) so the orders fact never shuffles for the join; one
+    partial-aggregated shuffle down to |nation × month| rows (~2k); the
+    window then runs over the tiny aggregate, partitioned by nation — state
+    per partition is one running long, never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    from pyspark.sql.window import Window
+
+    monthly = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("month_cents"))
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "nation",
+        "month",
+        "month_cents",
+        F.sum("month_cents").over(w).alias("cum_cents"),
+    ).orderBy("nation", "month")
+
+
 SESSION_GAP_MS = 30 * 60 * 1000
 
 

@@ -459,6 +459,37 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01
 ORDER BY o_custkey
 """,
     ),
+    "active_customers_union": QueryDef(
+        relational.active_customers_union,
+        """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+UNION
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY o_custkey
+""",
+    ),
+    "nation_monthly_cumulative": QueryDef(
+        relational.nation_monthly_cumulative,
+        """
+SELECT nation, month, month_cents,
+       CAST(SUM(month_cents) OVER (
+            PARTITION BY nation ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+FROM (
+  SELECT n_name AS nation,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS month_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+) monthly
+ORDER BY nation, month
+""",
+        bench=True,
+    ),
     "priority_part_breadth": QueryDef(
         relational.priority_part_breadth,
         """
