@@ -40,3 +40,24 @@ def test_aggregation_is_partial_then_final(spark, sf_dir):
     assert plan.index("HashAggregate") < plan.index("partial_sum"), (
         "final aggregate above, partial below the Exchange"
     )
+
+
+def test_nation_monthly_cumulative_broadcasts_dims(spark, sf_dir):
+    """SCALE.md rules 3-4: both dimension joins broadcast (the orders fact
+    never shuffles for the join) and the cumulative frame runs above a
+    partial/final aggregate pair — the window sees |nation x month| rows."""
+    df = relational.nation_monthly_cumulative(spark, sf_dir)
+    plan = layout.explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_sum" in plan and plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_set_ops_plan_as_hash_joins(spark, sf_dir):
+    """INTERSECT/EXCEPT plan as dedup aggregate + semi/anti join, never a
+    cartesian or nested loop."""
+    for fn in (relational.repeat_customers, relational.churned_customers):
+        plan = layout.explain_str(fn(spark, sf_dir), "simple")
+        assert "Join" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
