@@ -343,6 +343,33 @@ def nation_monthly_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation", "month")
 
 
+def above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders above their customer's average
+    order value. Subqueries are a §2.12 absence in the reference; the
+    oracle keeps the correlated form, while the Spark plan is the
+    decorrelated one: a single window pass per customer computes
+    (n_orders, total_cents) and the comparison ``price > total/n`` is done
+    integer-exact as ``price * n > total`` (no doubles, no division).
+
+    Scale shape: one shuffle keyed by o_custkey; no join node and no
+    re-scan of orders (a naive correlated plan re-scans per outer row).
+    Per-customer window state is two longs."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", _cents(F.col("o_totalprice")).alias("o_cents")
+        )
+        .withColumn("n_orders", F.count("*").over(w))
+        .withColumn("total_cents", F.sum("o_cents").over(w))
+        .filter(F.col("o_cents") * F.col("n_orders") > F.col("total_cents"))
+        .select("o_orderkey", "o_custkey", "o_cents")
+        .orderBy("o_orderkey")
+    )
+
+
 SESSION_GAP_MS = 30 * 60 * 1000
 
 

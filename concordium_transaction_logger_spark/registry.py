@@ -490,6 +490,19 @@ ORDER BY nation, month
 """,
         bench=True,
     ),
+    "above_average_orders": QueryDef(
+        relational.above_average_orders,
+        """
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_cents
+FROM orders o
+WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+""",
+    ),
     "priority_part_breadth": QueryDef(
         relational.priority_part_breadth,
         """
