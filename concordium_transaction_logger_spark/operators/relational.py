@@ -409,6 +409,269 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped outer-join distribution: how many customers placed
+    exactly N (non-urgent) orders — the LEFT OUTER JOIN with an extra join
+    predicate, counted twice (per customer, then per count).
+
+    Scale shape: the outer join shuffles both sides on custkey (neither
+    side is small — at 100 TB this is the one unavoidable co-partition);
+    the second aggregate runs over |customers| rows pre-shrunk by the
+    first, and the distribution itself is tiny. COUNT(o_orderkey) counts
+    matched rows only, so no-order customers land in bucket 0."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_customer = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_customer.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier breadth: distinct suppliers per
+    (brand, size) for small parts, excluding suppliers in deficit — the
+    NOT IN shape (planned as a broadcast left-anti join; the exclusion
+    list is tiny) feeding a COUNT(DISTINCT).
+
+    Scale shape: part and the exclusion list broadcast, so lineitem never
+    shuffles for either join; the distinct-agg is the only exchange
+    (two-phase: dedup on (brand, size, suppkey), then count)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    supplier = load_table(spark, sf_dir, "supplier")
+    in_deficit = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(part.filter((F.col("p_size") <= 10) & (F.col("p_brand") != "Brand#13"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(in_deficit), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand", "p_size")
+    )
+
+
+def big_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: the GROUP BY ... HAVING shape
+    — orders whose total line quantity exceeds 250, joined back to the
+    order/customer detail.
+
+    Scale shape: the HAVING is a filter on a partially-aggregated
+    |orderkeys|-row frame; the surviving keyset is tiny (p99 of quantity
+    sums sits near 260), so it broadcasts into orders and the fact table
+    never shuffles. Top-k output is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            _cents(F.col("o_totalprice")).alias("price_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("price_cents").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped fraction-of-average filter: revenue from lineitems
+    whose quantity is below 20% of their part's average quantity. The
+    correlated AVG subquery is decorrelated to one per-part aggregate
+    joined back; the comparison ``qty < 0.2 * avg`` is kept integer-exact
+    as ``qty * 5 * n < sum`` (no doubles, no division).
+
+    Scale shape: the per-part aggregate is |parts| rows → broadcast, so
+    lineitem is scanned twice but never shuffled; output is one row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n_li"),
+        F.sum(F.round("l_quantity", 0).cast("long")).alias("qsum"),
+    ).withColumnRenamed("l_partkey", "pk")
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        .filter(F.round("l_quantity", 0).cast("long") * 5 * F.col("n_li") < F.col("qsum"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped anti-join + uncorrelated scalar subquery: customers
+    with an above-average account balance and no orders since mid-2000. The
+    global average is one aggregate row cross-joined in (broadcast by
+    construction); ``bal > avg`` is integer-exact as ``bal * n > total``.
+
+    Scale shape: the 1-row stats frame broadcasts; the anti-join's right
+    side is the date-pruned distinct custkey set. Customer shuffles once
+    (anti-join key) — at 100 TB both sides co-partition on custkey."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _cents(F.col("c_acctbal")).alias("c_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    stats = customer.agg(
+        F.count("*").alias("n_cust"), F.sum("c_cents").alias("total_cents")
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_cents") * F.col("n_cust") > F.col("total_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_cents")
+        .orderBy("c_custkey")
+    )
+
+
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, status) — all four grouping-set levels in one pass,
+    completing the grouping-sets family next to ROLLUP
+    (:func:`order_priority_rollup`). Same physical shape: map-side
+    grouping-set expansion, one partial-aggregated shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_cents",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+def priority_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority), (status)) — the two marginal
+    rollups only, no grand total and no cross product. Spark expands the
+    sets map-side like ROLLUP/CUBE: one shuffle carrying the union of
+    both marginals' groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY priority, status
+        """
+    )
+
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD over each customer's order history: previous/next order
+    timestamp and the inter-order gap — the navigation-function family
+    (the sessionizer uses LAG internally; this exposes LEAD and the raw
+    offsets as a first-class query).
+
+    Scale shape: one shuffle (window partition by custkey); per-key window
+    state is a single row lookback/lookahead, never a buffer."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("ts_ms", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ts_ms"),
+        )
+        .withColumn("prev_ms", F.lag("ts_ms").over(w))
+        .withColumn("next_ms", F.lead("ts_ms").over(w))
+        .withColumn("gap_ms", F.col("ts_ms") - F.col("prev_ms"))
+        .orderBy("o_custkey", "ts_ms", "o_orderkey")
+    )
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) over per-customer total spend — the global-ranking shape.
+
+    Scale note: a global NTILE forces the |customers| aggregate through a
+    single window partition. That is fine here (the input is already the
+    grouped frame, ~1e6 rows per 100 TB of orders); for a truly unbounded
+    key space the scale path is approx_percentile cutoffs + a broadcast
+    bucket join, which avoids the single-task sort at the cost of
+    boundary-exactness."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents")
+    )
+    w = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .orderBy("o_custkey")
+    )
+
+
+#: Pivot columns for :func:`nation_segment_pivot` — pinned so the output
+#: schema is static (Spark otherwise runs a distinct scan to discover them).
+MKTSEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def nation_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: customer counts per nation spread across market-segment
+    columns. Values are pinned (``MKTSEGMENTS``) so the plan is a single
+    pass — one partial-aggregated shuffle of |nations × segments| rows,
+    exactly like a plain groupBy; missing cells coalesce to 0."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pivoted = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment", MKTSEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(seg), F.lit(0)).cast("long").alias(f"seg_{seg.lower()}")
+            for seg in MKTSEGMENTS
+        ],
+    ).orderBy("n_name")
+
+
 def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event counts per (event_type, hour bucket) — the tumbling-window
     rollup shape used by the streaming path, computed batch-side.

@@ -518,6 +518,135 @@ ORDER BY o_orderpriority
         # oracle exists; accuracy is bounded vs the exact twin in
         # tests/test_approx.py, and the driver records rows-only.
     ),
+    "customer_order_distribution": QueryDef(
+        relational.customer_order_distribution,
+        """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) pc
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+""",
+        bench=True,
+    ),
+    "part_supplier_variety": QueryDef(
+        relational.part_supplier_variety,
+        """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10 AND p_brand <> 'Brand#13'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY p_brand, p_size
+""",
+        bench=True,
+    ),
+    "big_volume_orders": QueryDef(
+        relational.big_volume_orders,
+        """
+SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum_qty > 250) b
+  ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY price_cents DESC, o_orderkey ASC
+LIMIT 20
+""",
+        bench=True,
+    ),
+    "small_quantity_revenue": QueryDef(
+        relational.small_quantity_revenue,
+        """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk, COUNT(*) AS n_li,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qsum
+      FROM lineitem GROUP BY 1) p
+  ON l.l_partkey = p.pk
+WHERE CAST(ROUND(l_quantity) AS BIGINT) * 5 * n_li < qsum
+""",
+    ),
+    "rich_inactive_customers": QueryDef(
+        relational.rich_inactive_customers,
+        """
+SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_cents
+FROM customer c
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * (SELECT COUNT(*) FROM customer)
+      > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+ORDER BY c_custkey
+""",
+    ),
+    "order_status_cube": QueryDef(
+        relational.order_status_cube,
+        """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+""",
+    ),
+    "priority_status_grouping_sets": QueryDef(
+        relational.priority_status_grouping_sets,
+        """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+ORDER BY priority, status
+""",
+    ),
+    "customer_order_gaps": QueryDef(
+        relational.customer_order_gaps,
+        """
+SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ts_ms,
+       LAG(epoch_ms(o_orderdate)) OVER w AS prev_ms,
+       LEAD(epoch_ms(o_orderdate)) OVER w AS next_ms,
+       epoch_ms(o_orderdate) - LAG(epoch_ms(o_orderdate)) OVER w AS gap_ms
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey)
+ORDER BY o_custkey, ts_ms, o_orderkey
+""",
+    ),
+    "customer_spend_deciles": QueryDef(
+        relational.customer_spend_deciles,
+        """
+SELECT o_custkey, spend_cents,
+       NTILE(10) OVER (ORDER BY spend_cents DESC, o_custkey ASC) AS decile
+FROM (SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey)
+ORDER BY o_custkey
+""",
+    ),
+    "nation_segment_pivot": QueryDef(
+        relational.nation_segment_pivot,
+        """
+SELECT n_name,
+       COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS seg_automobile,
+       COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS seg_building,
+       COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS seg_furniture,
+       COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS seg_household,
+       COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS seg_machinery
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    ),
     "top_spenders": QueryDef(
         relational.top_spenders,
         """

@@ -30,7 +30,14 @@ def _norm(v):
 
 def _canon(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+    def null_first_key(row):
+        # NULLs sort before any value; same-column values share a type.
+        return tuple((v is None, 0 if v is None else v) for v in row)
+
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=null_first_key
+    )
 
 
 #: Spark simpleString / DuckDB type name → canonical dtype, for the

@@ -54,6 +54,44 @@ def test_nation_monthly_cumulative_broadcasts_dims(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_big_volume_orders_broadcasts_having_keyset(spark, sf_dir):
+    """The HAVING survivors (tiny keyset) and customer dim broadcast —
+    the orders fact never shuffles for a join; final top-k is a
+    TakeOrderedAndProject, not a full sort."""
+    plan = layout.explain_str(relational.big_volume_orders(spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_part_supplier_variety_anti_join_is_broadcast(spark, sf_dir):
+    """NOT IN exclusion plans as a broadcast left-anti join (the deficit
+    list is tiny); lineitem shuffles only for the distinct aggregate."""
+    plan = layout.explain_str(relational.part_supplier_variety(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_cube_and_grouping_sets_expand_map_side(spark, sf_dir):
+    """CUBE / GROUPING SETS plan as one map-side Expand + a single
+    partial/final aggregate pair — never one pass per grouping level."""
+    for fn in (relational.order_status_cube, relational.priority_status_grouping_sets):
+        plan = layout.explain_str(fn(spark, sf_dir), "simple")
+        assert "Expand" in plan
+        assert "partial_" in plan and plan.count("HashAggregate") >= 2
+        assert plan.count("Expand") == 1
+
+
+def test_small_quantity_revenue_broadcasts_per_part_agg(spark, sf_dir):
+    """The decorrelated per-part average joins back as a broadcast —
+    lineitem is scanned, never shuffled, for the fraction-of-average
+    filter."""
+    plan = layout.explain_str(relational.small_quantity_revenue(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_set_ops_plan_as_hash_joins(spark, sf_dir):
     """INTERSECT/EXCEPT plan as dedup aggregate + semi/anti join, never a
     cartesian or nested loop."""
