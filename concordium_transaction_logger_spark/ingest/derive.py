@@ -99,12 +99,28 @@ def n_users_for(spark: SparkSession, sf_dir: str) -> int:
     return _N_USERS_CACHE[key]
 
 
+#: Per-(session, sf_dir) materialized enriched feed. The reference's read
+#: queries never touch the chain — they hit the already-landed Postgres
+#: tables (postgres.rs:102-181); the batch analog is materializing the
+#: enriched feed (timestamp normalize + JSON ``k`` parse) once per
+#: (session, corpus) so every downstream query starts from columnar
+#: in-memory rows instead of re-scanning and re-parsing the events parquet.
+#: At full scale this role is played by the *sink tables the streaming path
+#: writes* (streaming/pipeline.py), partitioned/bucketed on disk — never a
+#: RAM cache of the raw feed.
+_FEED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def block_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch block feed over the driver's ``events`` table. The cached
-    user-universe scalar keeps every derived query a single-scan plan."""
-    return feed_from_events(
-        load_table(spark, sf_dir, "events"), n_users=n_users_for(spark, sf_dir)
-    )
+    """Batch block feed over the driver's ``events`` table, materialized
+    per session (see ``_FEED_CACHE``). The cached user-universe scalar
+    keeps the first materialization a single-scan plan."""
+    key = (id(spark), sf_dir)
+    if key not in _FEED_CACHE:
+        _FEED_CACHE[key] = feed_from_events(
+            load_table(spark, sf_dir, "events"), n_users=n_users_for(spark, sf_dir)
+        ).persist()
+    return _FEED_CACHE[key]
 
 
 def _height() -> Column:
