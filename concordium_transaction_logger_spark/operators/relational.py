@@ -672,6 +672,77 @@ def nation_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_name")
 
 
+def supplier_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/analytic window functions in one pass:
+    DENSE_RANK, PERCENT_RANK, CUME_DIST, FIRST/LAST/NTH_VALUE over
+    suppliers ranked by balance within their nation.
+
+    Fractional ranks are emitted per-mille (both engines compute the same
+    IEEE division then the same half-away-from-zero round, so the BIGINT
+    matches bit-for-bit). FIRST/LAST/NTH use the full-partition frame —
+    the default RANGE..CURRENT ROW frame would make LAST_VALUE degenerate.
+
+    Scale shape: one shuffle (window partition by nation); all six
+    functions share the same sort order, so Spark evaluates them in a
+    single Window operator."""
+    from pyspark.sql.window import Window
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    base = supplier.select(
+        "s_nationkey", "s_suppkey", _cents(F.col("s_acctbal")).alias("bal_cents")
+    )
+    order = Window.partitionBy("s_nationkey").orderBy(
+        F.col("bal_cents").desc(), F.col("s_suppkey").asc()
+    )
+    full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    permille = lambda c: F.round(c * 1000, 0).cast("long")
+    return base.select(
+        "s_nationkey",
+        "s_suppkey",
+        "bal_cents",
+        F.dense_rank().over(order).cast("long").alias("drank"),
+        permille(F.percent_rank().over(order)).alias("prank_permille"),
+        permille(F.cume_dist().over(order)).alias("cume_permille"),
+        F.first("s_suppkey").over(full).alias("richest"),
+        F.last("s_suppkey").over(full).alias("poorest"),
+        F.nth_value("s_suppkey", 2).over(full).alias("runner_up"),
+    ).orderBy("s_nationkey", "drank", "s_suppkey")
+
+
+#: Percentiles reported by :func:`doc_length_percentiles`, in per-mille.
+PCTL_PERMILLE = (250, 500, 750, 900, 990)
+
+
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles of document length — the distribution
+    profile every corpus intake runs first. The q-th percentile is the
+    value at sorted position ``(n-1)*q DIV 1000 + 1`` (pure integer math,
+    so Spark and DuckDB select the identical row; no interpolation, no
+    doubles).
+
+    Scale shape: one global sort of the (doc_id, n_chars) projection —
+    at 100 TB swap in approx_percentile (t-digest sketch, map-side
+    mergeable) when rank-exactness is not required; this operator is the
+    exact-answer twin."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    w = Window.orderBy(F.col("n_chars").asc())
+    ranked = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("n"))))
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("long") for q in PCTL_PERMILLE])
+    ).alias("q_permille")
+    return (
+        ranked.select("n_chars", "rn", "n", qs)
+        .filter(F.col("rn") == F.expr("(n - 1) * q_permille DIV 1000 + 1"))
+        .select("q_permille", F.col("n_chars").alias("pctl_n_chars"))
+        .orderBy("q_permille")
+    )
+
+
 def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event counts per (event_type, hour bucket) — the tumbling-window
     rollup shape used by the streaming path, computed batch-side.

@@ -180,6 +180,56 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfdf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-DF weight — the tf-idf shape with an
+    integer-exact weight: ``score = tf * (1_000_000 DIV df)`` (df = number
+    of documents containing the term). Integer division instead of
+    ``ln(N/df)`` keeps the score engine-portable; the ranking it induces
+    is the same monotone-in-tf, anti-monotone-in-df order.
+
+    Scale shape: three shuffles — (doc, term) tf counts, term df counts
+    (|vocabulary| rows, joined back by broadcast), and the per-doc top-k
+    window (k-row heap per doc). Document bodies never shuffle; only
+    (doc_id, term, counts) triples do."""
+    from pyspark.sql.window import Window
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    term = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = term.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("score", F.col("tf") * F.expr("1000000 DIV df"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def token_df_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary document-frequency distribution (the Zipf profile): how
+    many distinct terms appear in exactly N documents. Two partial
+    aggregations — per-term df over the distinct (doc, term) set, then the
+    df histogram (tiny). The corpus-health check run before dedup
+    thresholds (stop-shingle caps, minhash band sizing) are chosen."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tokset = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    df = tokset.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        df.groupBy("df")
+        .agg(F.count("*").alias("n_terms"))
+        .orderBy("df")
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 over the alnum-normalized text
     (the exact-dedup key; reference analog: 32-byte content hash)."""

@@ -647,6 +647,70 @@ GROUP BY n_name
 ORDER BY n_name
 """,
     ),
+    "supplier_rank_family": QueryDef(
+        relational.supplier_rank_family,
+        """
+SELECT s_nationkey, s_suppkey,
+       CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents,
+       DENSE_RANK() OVER w AS drank,
+       CAST(ROUND(1000 * PERCENT_RANK() OVER w) AS BIGINT) AS prank_permille,
+       CAST(ROUND(1000 * CUME_DIST() OVER w) AS BIGINT) AS cume_permille,
+       FIRST_VALUE(s_suppkey) OVER wf AS richest,
+       LAST_VALUE(s_suppkey) OVER wf AS poorest,
+       NTH_VALUE(s_suppkey, 2) OVER wf AS runner_up
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey
+             ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT) DESC, s_suppkey ASC),
+       wf AS (PARTITION BY s_nationkey
+              ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT) DESC, s_suppkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY s_nationkey, drank, s_suppkey
+""",
+    ),
+    "doc_length_percentiles": QueryDef(
+        relational.doc_length_percentiles,
+        """
+WITH ranked AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT q_permille, n_chars AS pctl_n_chars
+FROM ranked, (SELECT unnest(CAST([250, 500, 750, 900, 990] AS BIGINT[])) AS q_permille) q
+WHERE rn = (n - 1) * q_permille // 1000 + 1
+ORDER BY q_permille
+""",
+    ),
+    "doc_tfdf_top_terms": QueryDef(
+        textstats.tfdf_top_terms,
+        wrap(
+            """
+, term AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term GROUP BY doc_id, term),
+tdf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df, tf * (1000000 // df) AS score, rank
+FROM (
+  SELECT doc_id, term, tf, df,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf * (1000000 // df) DESC, term ASC) AS rank
+  FROM tf JOIN tdf USING (term))
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+        ),
+    ),
+    "doc_token_df_distribution": QueryDef(
+        textstats.token_df_distribution,
+        wrap(
+            """
+SELECT df, COUNT(*) AS n_terms
+FROM (SELECT tok, COUNT(*) AS df FROM tokset GROUP BY tok)
+GROUP BY df
+ORDER BY df
+"""
+        ),
+    ),
     "top_spenders": QueryDef(
         relational.top_spenders,
         """
