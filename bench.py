@@ -78,6 +78,8 @@ def main() -> None:
     dedup.shingle_index(spark, sf_dir).count()
     dedup.band_buckets(spark, sf_dir).count()
     similarity.centroids_for(spark, sf_dir).count()
+    similarity.ivf_index(spark, sf_dir).count()
+    similarity.lsh_index(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
