@@ -105,6 +105,93 @@ class StreamingIngest:
         q.awaitTermination()
 
 
+class StreamingEnrichment:
+    """Stream-static enrichment join — the reference's ingest-time
+    canonical-address resolution (J2, main.rs:823-853) as a native
+    Structured Streaming stream-static join: each micro-batch's affected
+    addresses join the broadcast ``accounts(canonical_address)`` dimension
+    on the 29-byte alias prefix; the static side is re-resolved per
+    micro-batch, so growing the dimension between batches is safe (the
+    cache-grow half of the reference's miss loop).
+
+    Output sink rows: (id, account, canonical_hex, is_miss) partitioned by
+    ``ingest_batch`` — idempotent replay like every other sink. At 100 TB
+    the dimension is the single-digit-GB broadcast table described in
+    ``functions/addresses.py``; the stream side never shuffles."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        accounts: DataFrame,
+        n_users: int,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.accounts = accounts
+        self.n_users = n_users
+        self.max_files_per_trigger = max_files_per_trigger
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    @staticmethod
+    def aliased_ati(ati: DataFrame) -> DataFrame:
+        """Materialize each ati row's 32-byte *aliased* address: canonical
+        29-byte prefix of the account's md5-derived address + 3 row-unique
+        trailing bytes (the alias space, main.rs:123-146)."""
+        from ..functions.addresses import alias_prefix
+
+        acct = F.col("account").cast("string")
+        full = F.concat(
+            F.unhex(F.md5(acct)), F.unhex(F.md5(F.concat(acct, F.lit("x"))))
+        )
+        return ati.select(
+            "id",
+            "account",
+            F.concat(
+                alias_prefix(full),
+                F.unhex(F.substring(F.md5(F.col("id").cast("string")), 1, 6)),
+            ).alias("address"),
+        )
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.addresses import canonicalize
+
+        feed = derive.feed_from_events(batch_df, n_users=self.n_users)
+        resolved = canonicalize(self.aliased_ati(derive.ati(feed)), self.accounts)
+        (
+            resolved.select(
+                "id",
+                "account",
+                F.lower(F.hex(F.col("canonical_address"))).alias("canonical_hex"),
+                "is_miss",
+            )
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(self.out_dir)
+        )
+
+    def run_available_now(self) -> None:
+        schema = self.spark.read.parquet(self.source_dir).schema
+        reader = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+            .parquet(self.source_dir)
+        )
+        q = (
+            reader.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 class WindowedRollup:
     """Event-time tumbling-window aggregation over the stream — counts and
     value-cents per (hour window, event_type).

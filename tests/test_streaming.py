@@ -95,6 +95,50 @@ def test_incremental_arrival_no_dupes(spark, sf_dir, dirs):
     assert got.select("id").distinct().count() == total
 
 
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, dirs):
+    """The J2 canonical-address resolution as a stream-static broadcast
+    join: streaming the feed in two files must resolve every aliased
+    address to the same canonical form the batch resolver produces, with
+    zero misses (the dimension covers the whole user universe)."""
+    from concordium_transaction_logger_spark.functions.addresses import (
+        canonical_resolution,
+    )
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingEnrichment,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    # The static dimension: every account's canonical md5-derived address.
+    feed = derive.block_feed(spark, sf_dir)
+    acct = F.col("account").cast("string")
+    accounts = (
+        derive.ati(feed)
+        .select(
+            F.concat(
+                F.unhex(F.md5(acct)), F.unhex(F.md5(F.concat(acct, F.lit("x"))))
+            ).alias("canonical_address")
+        )
+        .distinct()
+    )
+
+    _stage_events(spark, sf_dir, dirs["source"], 300)
+    events.filter(F.col("event_id") >= 300).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    enrich = StreamingEnrichment(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], accounts, n_users
+    )
+    enrich.run_available_now()
+
+    got = spark.read.parquet(dirs["out"])
+    assert got.filter(F.col("is_miss")).count() == 0
+    batch = canonical_resolution(spark, sf_dir)
+    assert _sorted_rows(
+        got.select("id", "canonical_hex"), ["id", "canonical_hex"]
+    ) == _sorted_rows(batch, ["id", "canonical_hex"])
+
+
 def test_restart_is_idempotent(spark, sf_dir, dirs):
     """Re-running with an intact checkpoint must not duplicate anything
     (ST2: resume from offset, main.rs:577-588)."""
