@@ -192,6 +192,29 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
     return imgs.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def byte_histogram(media: DataFrame) -> DataFrame:
+    """Byte-value distribution of the binary payload per media kind — the
+    corpus-intake integrity check for opaque media columns (spotting
+    truncated/constant/oddly-encoded payloads before any decode).
+
+    Pure JVM expressions: decode → per-position substring explode →
+    partial-aggregated count. The shuffle carries |kinds × byte values|
+    rows, never payloads. (Payload bytes are ASCII hex by construction
+    here, so the DuckDB oracle mirrors byte ops as string ops.)"""
+    valid = media.filter(F.col("payload").isNotNull()).select(
+        "kind", F.decode(F.col("payload"), "UTF-8").alias("pay_str")
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(pay_str)), i -> substring(pay_str, i, 1))"
+    )
+    return (
+        valid.select("kind", F.explode(chars).alias("byte_char"))
+        .groupBy("kind", "byte_char")
+        .agg(F.count("*").alias("n"))
+        .orderBy("kind", "byte_char")
+    )
+
+
 def media_from_documents(spark, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from ``documents`` (the corpus
     ships no real media files): one row per doc with a binary payload +

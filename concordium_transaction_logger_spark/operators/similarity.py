@@ -335,6 +335,28 @@ def ivf_topk(
     )
 
 
+def lang_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: embeddings ⋈ documents metadata — vector counts
+    and integer-exact squared-norm mass per (language, cluster label).
+    The shape every multimodal curation pipeline runs to audit how
+    clusters split across document attributes.
+
+    Scale shape: the metadata side is projected to 2 columns and the join
+    is a broadcast (embeddings never shuffle for it); one
+    partial-aggregated shuffle of |lang × label| rows."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        emb.join(F.broadcast(docs), emb["vec_id"] == docs["doc_id"])
+        .groupBy("lang", "label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(_dot(F.col("e"), F.col("e"))).alias("sum_norm2"),
+        )
+        .orderBy("lang", "label")
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid accumulators over the quantized embeddings:
     (label, dim) -> (sum_q, n). Division deferred to the consumer so the

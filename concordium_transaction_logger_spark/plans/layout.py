@@ -50,6 +50,36 @@ def write_ati_bucketed(ati: DataFrame, table_name: str, n_buckets: int = 32) -> 
     )
 
 
+def write_fk_bucketed(
+    ati: DataFrame,
+    summaries: DataFrame,
+    ati_table: str,
+    summaries_table: str,
+    n_buckets: int = 8,
+) -> None:
+    """Co-located FK join layout: both sides bucketed (and sorted) on the
+    join key — ``ati.summary`` and ``summaries.id`` — with the same bucket
+    count, so the J1 index→fact join runs as a sort-merge join with ZERO
+    exchanges: each task reads bucket i of both tables. This is the
+    at-rest analog of the reference's PK/FK indexes for the *unbounded*
+    read path (``iterate_*``), where the bounded path's broadcast-keyset
+    trick doesn't apply."""
+    (
+        ati.write.mode("overwrite")
+        .bucketBy(n_buckets, "summary")
+        .sortBy("summary")
+        .format("parquet")
+        .saveAsTable(ati_table)
+    )
+    (
+        summaries.write.mode("overwrite")
+        .bucketBy(n_buckets, "id")
+        .sortBy("id")
+        .format("parquet")
+        .saveAsTable(summaries_table)
+    )
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), mode

@@ -1164,6 +1164,36 @@ ORDER BY media_id
 """
         ),
     ),
+    "media_byte_histogram": QueryDef(
+        lambda spark, sf: multimodal.byte_histogram(
+            multimodal.media_from_documents(spark, sf)
+        ),
+        wrap(
+            """
+, med AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         md5(text) || md5(text || 'f') AS pay
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT kind, substr(pay, i, 1) AS byte_char, COUNT(*) AS n
+FROM med, (SELECT unnest(generate_series(1, 64)) AS i) s
+GROUP BY kind, byte_char
+ORDER BY kind, byte_char
+"""
+        ),
+    ),
+    "embedding_lang_label_stats": QueryDef(
+        similarity.lang_label_stats,
+        wrap(
+            """
+SELECT d.lang, q.label, COUNT(*) AS n_vecs,
+       CAST(SUM(list_dot_product(q.e, q.e)) AS BIGINT) AS sum_norm2
+FROM qvec q JOIN documents d ON q.vec_id = d.doc_id
+GROUP BY d.lang, q.label
+ORDER BY d.lang, q.label
+"""
+        ),
+    ),
     "embedding_label_centroids": QueryDef(
         similarity.label_centroids,
         wrap(

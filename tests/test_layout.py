@@ -40,6 +40,35 @@ def test_bucketed_ati_aggregates_without_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS ati_bucketed_test")
 
 
+def test_bucketed_fk_join_has_zero_exchanges(spark, sf_dir):
+    """SCALE.md: the J1 index→fact join over the co-located bucketed
+    layout must plan as a sort-merge join with no Exchange on either side
+    (each task reads bucket i of both tables) — the at-rest analog of the
+    reference's PK/FK covering indexes for the unbounded iterate path."""
+    feed = derive.block_feed(spark, sf_dir)
+    layout.write_fk_bucketed(
+        derive.ati(feed),
+        derive.summaries(feed),
+        "ati_fk_test",
+        "summaries_fk_test",
+        n_buckets=8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ati_t = spark.table("ati_fk_test")
+        summ_t = spark.table("summaries_fk_test")
+        joined = ati_t.join(summ_t, ati_t["summary"] == summ_t["id"])
+        plan = layout.explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed layout must co-locate the FK join"
+        assert joined.count() == derive.ati(feed).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ati_fk_test")
+        spark.sql("DROP TABLE IF EXISTS summaries_fk_test")
+
+
 def test_salted_activity_equals_unsalted(spark, sf_dir):
     plain = sorted(tuple(r) for r in q.account_activity(spark, sf_dir).collect())
     salted = sorted(
