@@ -76,6 +76,7 @@ def main() -> None:
 
     block_feed(spark, sf_dir).count()
     dedup.shingle_index(spark, sf_dir).count()
+    dedup.minhash_index(spark, sf_dir).count()
     dedup.band_buckets(spark, sf_dir).count()
     similarity.centroids_for(spark, sf_dir).count()
     similarity.ivf_index(spark, sf_dir).count()

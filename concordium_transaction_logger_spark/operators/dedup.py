@@ -150,20 +150,34 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Per-(session, sf_dir) materialized minhash signature table — the
+#: signature matrix IS the minhash index: built once from the shingle
+#: index, read by the signatures query, the banding pipeline, and any
+#: downstream Jaccard estimator.
+_MINHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _MINHASH_CACHE:
+        sh = shingle_index(spark, sf_dir)
+        aggs = [
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+        _MINHASH_CACHE[key] = sh.groupBy("doc_id").agg(*aggs).persist()
+    return _MINHASH_CACHE[key]
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K md5-derived minhashes per document: mh_i = MIN(md5(shingle||'#i')).
 
     The lexicographic min over hex digests is a uniform minhash; md5 keeps
     it bit-identical in the DuckDB oracle. Computed as one groupBy over the
-    exploded shingles — k mins in a single partial-aggregated shuffle.
-    Reads the session's materialized shingle index (shared with the
-    jaccard path) instead of re-shingling the corpus."""
-    sh = shingle_index(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(MINHASH_K)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    exploded shingles — k mins in a single partial-aggregated shuffle —
+    materialized per session as the minhash index (see
+    :func:`minhash_index`)."""
+    return minhash_index(spark, sf_dir).orderBy("doc_id")
 
 
 def _band_cols() -> list[Column]:
@@ -184,7 +198,7 @@ _BUCKETS_CACHE: dict[tuple[int, str], DataFrame] = {}
 def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _BUCKETS_CACHE:
-        sig = minhash_signatures(spark, sf_dir).select("doc_id", *_band_cols())
+        sig = minhash_index(spark, sf_dir).select("doc_id", *_band_cols())
         n_bands = MINHASH_K // BAND_ROWS
         _BUCKETS_CACHE[key] = sig.select(
             "doc_id",
@@ -241,31 +255,30 @@ def dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
     Returns (doc_id, component_id, component_size) for every document;
     singletons keep component_id = doc_id, size 1.
     """
-    pairs = minhash_band_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .persist()
-    )
-    # Iterate ONLY over the candidate subgraph (docs that appear in some
-    # pair) — near-dup candidates are a sliver of the corpus, so the
-    # propagation rounds touch |subgraph| rows, not |corpus|; singleton
-    # docs join the result at the end as their own components without
-    # ever entering the loop.
+    # Propagate over the bipartite doc <-> band-bucket graph instead of
+    # materialized pairwise edges: a bucket is a *clique* (every member
+    # pair is a candidate), so bucket-hop propagation reaches the same
+    # fixpoint as the pair graph while each round touches Σ|bucket| rows
+    # — the pair graph is Σ df² per bucket, which is exactly the blowup
+    # hot buckets suffer at 100 TB. Round = two partial-aggregated
+    # shuffles: min label per bucket, then min bucket-label per doc.
+    buckets = band_buckets(spark, sf_dir)
     labels = (
-        edges.select(F.col("a").alias("doc_id"))
+        buckets.select("doc_id")
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        prop = edges.join(
-            labels.withColumnRenamed("doc_id", "a"), "a"
-        ).select(F.col("b").alias("doc_id"), "label")
+        bucket_min = (
+            buckets.join(labels, "doc_id")
+            .groupBy("bucket")
+            .agg(F.min("label").alias("blabel"))
+        )
         new_labels = (
-            labels.union(prop)
+            buckets.join(bucket_min, "bucket")
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("blabel").alias("label"))
             .localCheckpoint()
         )
         changed = (
