@@ -192,6 +192,79 @@ class StreamingEnrichment:
         q.awaitTermination()
 
 
+class StreamStreamAttribution:
+    """Watermarked stream-stream interval join: each purchase joined to
+    the same user's clicks in the preceding ``window_ms`` — the streaming
+    twin of the batch banded range join (`operators/temporal.py`), and
+    the one join family Structured Streaming adds machinery for: both
+    sides are unbounded, so the time-range condition + watermarks bound
+    the join state (clicks older than the window are evicted).
+
+    Semantics: inner join, append mode — a match is emitted once, exactly
+    when both events have arrived; finality of the feed (ST1) makes the
+    degenerate 0-second watermark safe. At 100 TB the state store holds
+    one window of clicks per user — O(active users × window rate), never
+    the stream history."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        window_ms: int = 300_000,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.window_ms = window_ms
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _typed(self, events: DataFrame, kind: str, prefix: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.timestamp_millis(F.expr("ts DIV 1000000")).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "0 seconds")
+        )
+
+    def run_available_now(self) -> None:
+        schema = self.spark.read.parquet(self.source_dir).schema
+        reader = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+            .parquet(self.source_dir)
+        )
+        purchases = self._typed(reader, "purchase", "p")
+        clicks = self._typed(reader, "click", "c")
+        joined = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {self.window_ms // 1000} SECONDS")),
+            "inner",
+        ).select(
+            "p_event_id",
+            "c_event_id",
+            F.col("p_user").alias("user_id"),
+            (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", self.out_dir)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 class WindowedRollup:
     """Event-time tumbling-window aggregation over the stream — counts and
     value-cents per (hour window, event_type).

@@ -139,6 +139,47 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, dirs):
     ) == _sorted_rows(batch, ["id", "canonical_hex"])
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, dirs):
+    """The watermarked stream-stream interval join must produce exactly
+    the pairs the equivalent batch inner join produces — purchases
+    attributed to same-user clicks within the preceding 5 minutes."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamStreamAttribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    _stage_events(spark, sf_dir, dirs["source"], 10**9)
+    StreamStreamAttribution(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], window_ms=300_000
+    ).run_available_now()
+    got = spark.read.parquet(dirs["out"])
+
+    ev = events.select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000000").alias("ts_ms")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ms").alias("c_ms"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ms") <= F.col("p_ms"))
+        & (F.col("c_ms") >= F.col("p_ms") - 300_000),
+    ).select(
+        "p_event_id", "c_event_id", "user_id", (F.col("p_ms") - F.col("c_ms")).alias("gap_ms")
+    )
+    cols = ["p_event_id", "c_event_id", "user_id", "gap_ms"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+    assert got.count() > 0
+
+
 def test_restart_is_idempotent(spark, sf_dir, dirs):
     """Re-running with an intact checkpoint must not duplicate anything
     (ST2: resume from offset, main.rs:577-588)."""
