@@ -85,7 +85,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        # Arrow-batched result transport (toPandas with Arrow on) — the
+        # standard engine result path; row-at-a-time collect() spends more
+        # time re-boxing Python rows than Spark spends on the query.
+        fn(spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
