@@ -90,9 +90,16 @@ _SHINGLE_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
 def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _SHINGLE_INDEX_CACHE:
-        _SHINGLE_INDEX_CACHE[key] = shingles(
-            load_table(spark, sf_dir, "documents")
-        ).persist()
+        # ``shh`` is the 8-byte join key for equality-only consumers (the
+        # jaccard self-join): shuffling a fixed 64-bit hash instead of the
+        # ~40-byte shingle string is the at-scale representation (collision
+        # odds ~n²/2⁶⁴ — negligible against the jaccard threshold); minhash
+        # still consumes the string form.
+        _SHINGLE_INDEX_CACHE[key] = (
+            shingles(load_table(spark, sf_dir, "documents"))
+            .withColumn("shh", F.xxhash64("sh"))
+            .persist()
+        )
     return _SHINGLE_INDEX_CACHE[key]
 
 
@@ -115,20 +122,20 @@ def ngram_jaccard_pairs(
     broadcast left-anti join — the fact-side shingle set never shuffles
     for the cap. Jaccard is then computed over the capped shingle space
     (sizes recomputed after the cap, consistently on both engines)."""
-    sh = shingle_index(spark, sf_dir)
+    sh = shingle_index(spark, sf_dir).select("doc_id", "shh")
     if max_df is not None:
         stop = (
-            sh.groupBy("sh")
+            sh.groupBy("shh")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
-            .select("sh")
+            .select("shh")
         )
-        sh = sh.join(F.broadcast(stop), "sh", "left_anti")
+        sh = sh.join(F.broadcast(stop), "shh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.shh") == F.col("b.shh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )

@@ -743,6 +743,28 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of :func:`doc_length_percentiles`: ``approx_percentile``
+    (t-digest-style summary, map-side mergeable) — the 100 TB path where
+    the exact variant's global sort is unaffordable. Like the HLL twin
+    (`priority_part_breadth_approx`), sketch outputs are engine-specific,
+    so the driver records a rows-only check; `tests/test_approx.py` bounds
+    the rank error against the exact twin."""
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    pct = docs.agg(
+        F.percentile_approx(
+            "n_chars", [q / 1000 for q in PCTL_PERMILLE], 10_000
+        ).alias("p")
+    )
+    qs = F.array(*[F.lit(q).cast("long") for q in PCTL_PERMILLE])
+    return pct.select(
+        F.explode(F.arrays_zip(qs.alias("q_permille"), F.col("p").alias("pctl_n_chars"))).alias("z")
+    ).select(
+        F.col("z.q_permille").alias("q_permille"),
+        F.col("z.pctl_n_chars").alias("pctl_n_chars"),
+    )
+
+
 def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event counts per (event_type, hour bucket) — the tumbling-window
     rollup shape used by the streaming path, computed batch-side.

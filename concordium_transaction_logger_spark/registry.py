@@ -682,6 +682,11 @@ WHERE rn = (n - 1) * q_permille // 1000 + 1
 ORDER BY q_permille
 """,
     ),
+    "doc_length_percentiles_approx": QueryDef(
+        relational.doc_length_percentiles_approx,
+        None,  # t-digest sketches are engine-specific — rows-only check;
+        # rank error vs the exact twin is bounded in tests/test_approx.py.
+    ),
     "doc_tfdf_top_terms": QueryDef(
         textstats.tfdf_top_terms,
         wrap(

@@ -31,6 +31,11 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime bloom-filter pruning: for large sort-merge joins the build
+    # side's join keys seed a bloom filter pushed into the probe side's
+    # scan — at 100 TB this prunes most of a selective join's probe input
+    # before the shuffle. Semantics-preserving, so safe to force on.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

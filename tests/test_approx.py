@@ -7,6 +7,25 @@ from __future__ import annotations
 from concordium_transaction_logger_spark.operators import relational
 
 
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """The t-digest percentile sketch must land within a small value error
+    of the exact rank-selected percentile (tight here because accuracy
+    10_000 exceeds the corpus size — at real scale the bound loosens to
+    the configured rank accuracy)."""
+    exact = {
+        r.q_permille: r.pctl_n_chars
+        for r in relational.doc_length_percentiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r.q_permille: r.pctl_n_chars
+        for r in relational.doc_length_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for q, v in exact.items():
+        rel_err = abs(approx[q] - v) / max(v, 1)
+        assert rel_err < 0.02, f"q={q}: approx={approx[q]} exact={v}"
+
+
 def test_approx_distinct_within_rsd_bound(spark, sf_dir):
     exact = {
         r.o_orderpriority: r.n_parts
