@@ -85,18 +85,17 @@ def feed_from_events(events: DataFrame, n_users: int | None = None) -> DataFrame
     return evt.crossJoin(F.broadcast(agg))
 
 
-#: Per-(session, sf_dir) cache of the user-universe size — the analog of
-#: the reference seeding its canonical-address cache once per node
-#: connection (main.rs:766-784) instead of re-fetching per block/query.
-_N_USERS_CACHE: dict[tuple[int, str], int] = {}
-
-
 def n_users_for(spark: SparkSession, sf_dir: str) -> int:
-    key = (id(spark), sf_dir)
-    if key not in _N_USERS_CACHE:
+    """Session-cached user-universe size — the analog of the reference
+    seeding its canonical-address cache once per node connection
+    (main.rs:766-784) instead of re-fetching per block/query."""
+    from ..cache import get_or_build
+
+    def build() -> int:
         events = load_table(spark, sf_dir, "events")
-        _N_USERS_CACHE[key] = int(events.agg(F.max("user_id")).first()[0]) + 1
-    return _N_USERS_CACHE[key]
+        return int(events.agg(F.max("user_id")).first()[0]) + 1
+
+    return get_or_build("n_users", spark, sf_dir, build)
 
 
 #: Per-(session, sf_dir) materialized enriched feed. The reference's read
@@ -108,19 +107,23 @@ def n_users_for(spark: SparkSession, sf_dir: str) -> int:
 #: At full scale this role is played by the *sink tables the streaming path
 #: writes* (streaming/pipeline.py), partitioned/bucketed on disk — never a
 #: RAM cache of the raw feed.
-_FEED_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def block_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch block feed over the driver's ``events`` table, materialized
-    per session (see ``_FEED_CACHE``). The cached user-universe scalar
-    keeps the first materialization a single-scan plan."""
-    key = (id(spark), sf_dir)
-    if key not in _FEED_CACHE:
-        _FEED_CACHE[key] = feed_from_events(
+    per session (see module docstring above and ``cache.py``). The cached
+    user-universe scalar keeps the first materialization a single-scan
+    plan."""
+    from ..cache import get_or_build
+
+    return get_or_build(
+        "block_feed",
+        spark,
+        sf_dir,
+        lambda: feed_from_events(
             load_table(spark, sf_dir, "events"), n_users=n_users_for(spark, sf_dir)
-        ).persist()
-    return _FEED_CACHE[key]
+        ).persist(),
+    )
 
 
 def _height() -> Column:

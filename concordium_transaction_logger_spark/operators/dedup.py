@@ -84,23 +84,24 @@ def shingles(docs: DataFrame) -> DataFrame:
 #: the standard shingle-index step at 100 TB — instead of re-running the
 #: CPU-heavy tokenize/explode/distinct per query (the analog of the
 #: reference preparing statements once per connection, postgres.rs:239-274).
-_SHINGLE_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _SHINGLE_INDEX_CACHE:
+    from ..cache import get_or_build
+
+    def build() -> DataFrame:
         # ``shh`` is the 8-byte join key for equality-only consumers (the
         # jaccard self-join): shuffling a fixed 64-bit hash instead of the
         # ~40-byte shingle string is the at-scale representation (collision
         # odds ~n²/2⁶⁴ — negligible against the jaccard threshold); minhash
         # still consumes the string form.
-        _SHINGLE_INDEX_CACHE[key] = (
+        return (
             shingles(load_table(spark, sf_dir, "documents"))
             .withColumn("shh", F.xxhash64("sh"))
             .persist()
         )
-    return _SHINGLE_INDEX_CACHE[key]
+
+    return get_or_build("shingle_index", spark, sf_dir, build)
 
 
 def ngram_jaccard_pairs(
@@ -157,23 +158,22 @@ def ngram_jaccard_pairs(
     )
 
 
-#: Per-(session, sf_dir) materialized minhash signature table — the
-#: signature matrix IS the minhash index: built once from the shingle
-#: index, read by the signatures query, the banding pipeline, and any
-#: downstream Jaccard estimator.
-_MINHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _MINHASH_CACHE:
+    """Per-(session, sf_dir) materialized minhash signature table — the
+    signature matrix IS the minhash index: built once from the shingle
+    index, read by the signatures query, the banding pipeline, and any
+    downstream Jaccard estimator."""
+    from ..cache import get_or_build
+
+    def build() -> DataFrame:
         sh = shingle_index(spark, sf_dir)
         aggs = [
             F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
             for i in range(MINHASH_K)
         ]
-        _MINHASH_CACHE[key] = sh.groupBy("doc_id").agg(*aggs).persist()
-    return _MINHASH_CACHE[key]
+        return sh.groupBy("doc_id").agg(*aggs).persist()
+
+    return get_or_build("minhash_index", spark, sf_dir, build)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,19 +195,17 @@ def _band_cols() -> list[Column]:
     return bands
 
 
-#: Per-(session, sf_dir) materialized LSH bucket keys — two narrow columns
-#: feeding both self-join sides of the banding pass AND the
-#: connected-components clustering; like the shingle index, a resident
-#: engine computes the shingle → signature → bucket pipeline once.
-_BUCKETS_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _BUCKETS_CACHE:
+    """Per-(session, sf_dir) materialized LSH bucket keys — two narrow
+    columns feeding both self-join sides of the banding pass AND the
+    connected-components clustering; like the shingle index, a resident
+    engine computes the shingle → signature → bucket pipeline once."""
+    from ..cache import get_or_build
+
+    def build() -> DataFrame:
         sig = minhash_index(spark, sf_dir).select("doc_id", *_band_cols())
         n_bands = MINHASH_K // BAND_ROWS
-        _BUCKETS_CACHE[key] = sig.select(
+        return sig.select(
             "doc_id",
             F.explode(
                 F.array(*[
@@ -215,7 +213,8 @@ def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ])
             ).alias("bucket"),
         ).persist()
-    return _BUCKETS_CACHE[key]
+
+    return get_or_build("band_buckets", spark, sf_dir, build)
 
 
 def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -200,36 +200,34 @@ def _centroid_sums(emb: DataFrame) -> DataFrame:
     )
 
 
-#: Per-(session, sf_dir) persisted centroid table — O(cells) rows, built
-#: once per session and broadcast into every assignment/probe consumer
-#: (a resident ANN index keeps its centroids resident).
-_CENTROID_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def centroids_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _CENTROID_CACHE:
-        emb = _quantized(load_table(spark, sf_dir, "embeddings"))
-        _CENTROID_CACHE[key] = _centroid_sums(emb).persist()
-    return _CENTROID_CACHE[key]
+    """Per-(session, sf_dir) persisted centroid table — O(cells) rows,
+    built once per session and broadcast into every assignment/probe
+    consumer (a resident ANN index keeps its centroids resident)."""
+    from ..cache import get_or_build
 
-
-#: Per-(session, sf_dir) persisted IVF index: every corpus vector with its
-#: assigned cell, quantized components, and precomputed norm. Built once
-#: per session (the index-build half of IVF); at 100 TB this is *written
-#: partitioned by cell* so probes read only nprobe cells' partitions.
-_IVF_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+    return get_or_build(
+        "ivf_centroids",
+        spark,
+        sf_dir,
+        lambda: _centroid_sums(
+            _quantized(load_table(spark, sf_dir, "embeddings"))
+        ).persist(),
+    )
 
 
 def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized IVF assignment: (vec_id, label, cell,
     cell_sim_micro, e, vnorm) — rank-1 cell per vector over the broadcast
-    centroid table. Shared by :func:`ivf_assign` (the index-build query)
-    and :func:`ivf_topk` (the probe path's candidate side), so the
-    corpus × centroid scoring runs once per session, not once per
-    consumer branch."""
-    key = (id(spark), sf_dir)
-    if key not in _IVF_INDEX_CACHE:
+    centroid table, persisted per (session, sf_dir). Shared by
+    :func:`ivf_assign` (the index-build query) and :func:`ivf_topk` (the
+    probe path's candidate side), so the corpus × centroid scoring runs
+    once per session, not once per consumer branch. At 100 TB this is
+    *written partitioned by cell* so probes read only nprobe cells'
+    partitions."""
+    from ..cache import get_or_build
+
+    def build() -> DataFrame:
         emb = _quantized(load_table(spark, sf_dir, "embeddings"))
         cents = centroids_for(spark, sf_dir)
         scored = emb.crossJoin(F.broadcast(cents)).select(
@@ -244,7 +242,7 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("vec_id").orderBy(
             F.col("cell_sim_micro").desc(), F.col("cell").asc()
         )
-        _IVF_INDEX_CACHE[key] = (
+        return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(
@@ -257,7 +255,8 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-    return _IVF_INDEX_CACHE[key]
+
+    return get_or_build("ivf_index", spark, sf_dir, build)
 
 
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,20 +400,23 @@ def lsh_signature(df: DataFrame, dims: int = 64) -> DataFrame:
     return df.withColumn("lsh_bucket", sig)
 
 
-#: Per-(session, sf_dir) persisted LSH signature index — quantized vectors
-#: with bucket and precomputed norm. Both sides of the bucket join read
-#: it, so the 8-plane signature expression runs once per corpus, not once
-#: per join branch; at 100 TB this table is *written partitioned by
-#: bucket* (SCALE.md) so a probe reads one partition group.
-_LSH_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _LSH_INDEX_CACHE:
-        emb = lsh_signature(_quantized(load_table(spark, sf_dir, "embeddings")))
-        _LSH_INDEX_CACHE[key] = emb.withColumn("vnorm", _norm(F.col("e"))).persist()
-    return _LSH_INDEX_CACHE[key]
+    """Per-(session, sf_dir) persisted LSH signature index — quantized
+    vectors with bucket and precomputed norm. Both sides of the bucket
+    join read it, so the 8-plane signature expression runs once per
+    corpus, not once per join branch; at 100 TB this table is *written
+    partitioned by bucket* (SCALE.md) so a probe reads one partition
+    group."""
+    from ..cache import get_or_build
+
+    return get_or_build(
+        "lsh_index",
+        spark,
+        sf_dir,
+        lambda: lsh_signature(_quantized(load_table(spark, sf_dir, "embeddings")))
+        .withColumn("vnorm", _norm(F.col("e")))
+        .persist(),
+    )
 
 
 def ann_lsh_topk(
