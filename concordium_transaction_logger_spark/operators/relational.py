@@ -370,6 +370,105 @@ def above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted as
+    active per week offset — the table behind every retention curve.
+
+    Scale shape: one aggregate finds each user's cohort week (|users|
+    rows, co-partitioned with the second aggregate on user_id so the
+    cohort join is shuffle-free under AQE); the final distinct-count
+    shuffles (cohort, offset, user) triples, never raw events."""
+    events = load_table(spark, sf_dir, "events")
+    evt = events.select("user_id", F.expr(f"(ts DIV 1000000) DIV {WEEK_MS}").alias("week"))
+    cohort = evt.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        evt.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup → first click after signup →
+    first purchase after that click, counted per stage.
+
+    Each stage is a groupBy over the previous stage's survivors joined
+    back to the (type-filtered, pruned) event scan — the stage frames
+    shrink monotonically, and every join key is user_id, so AQE reuses
+    one co-partitioning down the funnel. Output is three rows."""
+    events = load_table(spark, sf_dir, "events")
+    evt = events.select(
+        "user_id", "event_type", F.expr("ts DIV 1000000").alias("ts_ms")
+    )
+    signup = (
+        evt.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("s_ms"))
+    )
+    click = (
+        evt.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts_ms") > F.col("s_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("c_ms"))
+    )
+    purchase = (
+        evt.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts_ms") > F.col("c_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("p_ms"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("1_signup", signup)
+        .unionByName(stage("2_click_after_signup", click))
+        .unionByName(stage("3_purchase_after_click", purchase))
+        .orderBy("stage")
+    )
+
+
+HOUR_MS = 3600 * 1000
+
+
+def event_type_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup: 2-hour windows advancing hourly — each event
+    lands in exactly two windows, expressed as a 2-element explode before
+    the aggregation (the batch twin of a streaming sliding window; Spark's
+    streaming `window(..., '2 hours', '1 hour')` compiles to the same
+    explode-then-aggregate).
+
+    Scale shape: the explode doubles rows *after* column pruning (3 narrow
+    columns), and partial aggregation shrinks them to |windows × types|
+    before the only shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    h = F.expr(f"(ts DIV 1000000) DIV {HOUR_MS}")
+    return (
+        events.select(
+            "event_type",
+            "value",
+            F.explode(F.array(h, h - 1)).alias("window_start_hour"),
+        )
+        .groupBy("event_type", "window_start_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .orderBy("event_type", "window_start_hour")
+    )
+
+
 SESSION_GAP_MS = 30 * 60 * 1000
 
 

@@ -728,6 +728,56 @@ ORDER BY spend_cents DESC, user_id
 LIMIT 10
 """,
     ),
+    "weekly_retention": QueryDef(
+        relational.weekly_retention,
+        wrap(
+            """
+, weeks AS (SELECT user_id, ts_ms // 604800000 AS week FROM evt),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM weeks JOIN cohort USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+        ),
+        bench=True,
+    ),
+    "event_funnel": QueryDef(
+        relational.event_funnel,
+        wrap(
+            """
+, s AS (SELECT user_id, MIN(ts_ms) AS s_ms FROM evt
+        WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts_ms) AS c_ms
+      FROM evt e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts_ms > s.s_ms GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts_ms) AS p_ms
+      FROM evt e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_ms > c.c_ms GROUP BY e.user_id)
+SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s
+UNION ALL
+SELECT '2_click_after_signup', COUNT(*) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', COUNT(*) FROM p
+ORDER BY stage
+"""
+        ),
+    ),
+    "event_type_sliding": QueryDef(
+        relational.event_type_sliding,
+        wrap(
+            """
+SELECT event_type, w AS window_start_hour, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT event_type, value,
+             unnest([ts_ms // 3600000, ts_ms // 3600000 - 1]) AS w
+      FROM evt)
+GROUP BY event_type, w
+ORDER BY event_type, w
+"""
+        ),
+    ),
     "event_type_hourly": QueryDef(
         relational.event_type_hourly,
         """
