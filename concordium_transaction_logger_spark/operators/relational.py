@@ -370,6 +370,23 @@ def above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part rollup: order volume by ISO weekday (1 = Monday) — the
+    calendar-function family (extract/date_part) as a first-class query.
+    Spark's ``weekday`` is 0-based Monday; emitted +1 to match ISO
+    numbering (DuckDB ``isodow``). One partial-aggregated shuffle of ≤7
+    groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy((F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .orderBy("iso_dow")
+    )
+
+
 WEEK_MS = 7 * 24 * 3600 * 1000
 
 

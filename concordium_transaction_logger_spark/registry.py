@@ -728,6 +728,16 @@ ORDER BY spend_cents DESC, user_id
 LIMIT 10
 """,
     ),
+    "orders_by_weekday": QueryDef(
+        relational.orders_by_weekday,
+        """
+SELECT CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY iso_dow
+ORDER BY iso_dow
+""",
+    ),
     "weekly_retention": QueryDef(
         relational.weekly_retention,
         wrap(

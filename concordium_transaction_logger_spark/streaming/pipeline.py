@@ -40,6 +40,14 @@ from ..session import apply_runtime_confs
 #: Append-only sink tables written per micro-batch.
 SINKS = ("summaries", "ati", "cti", "cis2_events", "bindings_all")
 
+#: Event kinds the derivation understands. Anything else hard-fails the
+#: ingest when strict (the reference's forward-compat contract: unknown
+#: enum variants abort indexing rather than write garbage — ``Upward``/
+#: ``known_or_else``, main.rs:332-341, 606-615; "update the SDK"). Note
+#: the deliberate asymmetry with the read path (P7), which silently drops
+#: malformed rows: strict on write, lenient on read (SURVEY §4).
+KNOWN_EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
+
 
 def _derive_all(feed: DataFrame) -> dict[str, DataFrame]:
     return {
@@ -62,6 +70,7 @@ class StreamingIngest:
         checkpoint_dir: str,
         n_users: int,
         max_files_per_trigger: int | None = None,
+        strict: bool = True,
     ):
         self.spark = apply_runtime_confs(spark)
         self.source_dir = source_dir
@@ -69,6 +78,7 @@ class StreamingIngest:
         self.checkpoint_dir = checkpoint_dir
         self.n_users = n_users
         self.max_files_per_trigger = max_files_per_trigger
+        self.strict = strict
         # Idempotent replay: a re-run batch replaces its own partition.
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -79,6 +89,19 @@ class StreamingIngest:
         """One micro-batch ≙ one reference block transaction
         (insert_block, main.rs:545-574): all five sinks written for the
         batch, keyed by ``ingest_batch`` for idempotent replay."""
+        if self.strict:
+            unknown = (
+                batch_df.filter(~F.col("event_type").isin(*KNOWN_EVENT_TYPES))
+                .select("event_type")
+                .limit(1)
+                .collect()
+            )
+            if unknown:
+                raise ValueError(
+                    f"unknown event_type {unknown[0][0]!r} in batch {batch_id}: "
+                    "refusing to index (strict-on-write forward-compat, "
+                    "main.rs:332-341 — update the derivation rules)"
+                )
         feed = derive.feed_from_events(batch_df, n_users=self.n_users)
         for name, df in _derive_all(feed).items():
             (

@@ -95,6 +95,28 @@ def test_incremental_arrival_no_dupes(spark, sf_dir, dirs):
     assert got.select("id").distinct().count() == total
 
 
+def test_strict_ingest_rejects_unknown_event_type(spark, sf_dir, dirs):
+    """Forward-compat hard-fail (main.rs:332-341): an event type the
+    derivation rules don't know must abort the ingest, not silently write
+    a partial interpretation. The read path stays lenient (P7) — the
+    strict/lenient asymmetry is the reference's contract."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    poisoned = events.limit(50).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit("refund")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    poisoned.coalesce(1).write.mode("append").parquet(dirs["source"])
+    ingest = StreamingIngest(spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users)
+    with pytest.raises((StreamingQueryException, ValueError)) as err:
+        ingest.run_available_now()
+    assert "refund" in str(err.value)
+
+
 def test_stream_static_enrichment_matches_batch(spark, sf_dir, dirs):
     """The J2 canonical-address resolution as a stream-static broadcast
     join: streaming the feed in two files must resolve every aliased
