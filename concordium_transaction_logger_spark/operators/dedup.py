@@ -314,6 +314,20 @@ def dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
     )
 
 
+def dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final keep/drop decision: one row per document with its
+    component and whether it survives (the component's min doc_id is the
+    deterministic keeper). This is the artifact a curation pipeline
+    actually writes — `dup_components` is its internal step."""
+    comp = dup_components(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        "component_size",
+        (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    ).orderBy("doc_id")
+
+
 NIBBLES = 16  # simhash over 16 bits: one md5 hex nibble per bit position
 
 

@@ -180,6 +180,46 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Quality-gate thresholds (per-mille / absolute) — the accept/reject
+#: rules a curation intake applies before any expensive processing.
+GATE_MIN_CHARS = 100
+GATE_MIN_ALPHA_PERMILLE = 500
+GATE_MAX_DIGIT_PERMILLE = 300
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accept/reject each document against the quality thresholds, with
+    the *first* failing rule as the reason (rule order is part of the
+    contract) — the gating step that runs before tokenize/shingle/embed
+    so rejected documents never enter the expensive pipeline.
+
+    Pure row-local expressions over one scan; the verdict is a narrow
+    (doc_id, verdict, reason) frame, so downstream anti-joins against
+    rejects broadcast."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    lower = F.lower(F.col("text"))
+    n = F.length("text")
+    alpha_pm = F.when(
+        n > 0,
+        F.round(1000.0 * F.length(F.regexp_replace(lower, "[^a-z]", "")) / n, 0),
+    ).otherwise(F.lit(0)).cast("long")
+    digit_pm = F.when(
+        n > 0,
+        F.round(1000.0 * F.length(F.regexp_replace(lower, "[^0-9]", "")) / n, 0),
+    ).otherwise(F.lit(0)).cast("long")
+    reason = (
+        F.when(n < GATE_MIN_CHARS, F.lit("too_short"))
+        .when(alpha_pm < GATE_MIN_ALPHA_PERMILLE, F.lit("low_alpha"))
+        .when(digit_pm > GATE_MAX_DIGIT_PERMILLE, F.lit("digit_heavy"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("accept"),
+    ).orderBy("doc_id")
+
+
 def tfdf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Per-document top-k terms by TF-DF weight — the tf-idf shape with an
     integer-exact weight: ``score = tf * (1_000_000 DIV df)`` (df = number

@@ -687,6 +687,26 @@ ORDER BY q_permille
         None,  # t-digest sketches are engine-specific — rows-only check;
         # rank error vs the exact twin is bounded in tests/test_approx.py.
     ),
+    "doc_quality_gate": QueryDef(
+        textstats.quality_gate,
+        wrap(
+            """
+SELECT doc_id, reason, reason = 'ok' AS accept
+FROM (
+  SELECT doc_id,
+    CASE WHEN length(text) < 100 THEN 'too_short'
+         WHEN (CASE WHEN length(text) > 0
+                    THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) AS BIGINT)
+                    ELSE 0 END) < 500 THEN 'low_alpha'
+         WHEN (CASE WHEN length(text) > 0
+                    THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^0-9]', '', 'g')) / length(text)) AS BIGINT)
+                    ELSE 0 END) > 300 THEN 'digit_heavy'
+         ELSE 'ok' END AS reason
+  FROM documents)
+ORDER BY doc_id
+"""
+        ),
+    ),
     "doc_tfdf_top_terms": QueryDef(
         textstats.tfdf_top_terms,
         wrap(
@@ -988,6 +1008,39 @@ ORDER BY doc_a, doc_b
     # Transitive closure of the near-dup candidate graph: iterative
     # hash-min label propagation in Spark, recursive CTE in the oracle —
     # the keep/drop clustering step after pair generation.
+    "doc_dup_verdict": QueryDef(
+        dedup.dedup_verdict,
+        wrap(
+            """
+, bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
+  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM bpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM bpairs),
+walk AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, w.label FROM walk w JOIN edges e ON w.node = e.a
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)
+SELECT c.doc_id, c.component_id, s.component_size,
+       c.doc_id = c.component_id AS keep
+FROM comp c
+JOIN (SELECT component_id, COUNT(*) AS component_size
+      FROM comp GROUP BY component_id) s USING (component_id)
+ORDER BY doc_id
+""",
+            recursive=True,
+        ),
+    ),
     "doc_dup_components": QueryDef(
         dedup.dup_components,
         wrap(

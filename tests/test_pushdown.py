@@ -92,6 +92,25 @@ def test_small_quantity_revenue_broadcasts_per_part_agg(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_sliding_window_is_generate_then_partial_agg(spark, sf_dir):
+    """The sliding window explodes each event into its two windows
+    (Generate) *after* column pruning, then partial-aggregates — the
+    shuffle carries |windows x types| rows, not 2x the event count."""
+    plan = layout.explain_str(relational.event_type_sliding(spark, sf_dir), "simple")
+    assert "Generate" in plan
+    assert "partial_" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_funnel_and_retention_never_cartesian(spark, sf_dir):
+    """Funnel stages and the cohort join are equi-joins on user_id with
+    partial aggregation — no nested-loop/cartesian anywhere."""
+    for fn in (relational.event_funnel, relational.weekly_retention):
+        plan = layout.explain_str(fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "partial_" in plan and plan.count("HashAggregate") >= 2
+
+
 def test_set_ops_plan_as_hash_joins(spark, sf_dir):
     """INTERSECT/EXCEPT plan as dedup aggregate + semi/anti join, never a
     cartesian or nested loop."""
