@@ -43,6 +43,36 @@ def split_assignment(
     ).orderBy("doc_id")
 
 
+#: Per-language keep rates (per-mille) for :func:`stratified_sample` —
+#: the language-rebalancing dial: downsample the dominant language,
+#: keep everything else.
+SAMPLE_RATES_PERMILLE = {"en": 300}
+SAMPLE_DEFAULT_PERMILLE = 1000
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, salt: str = "s1"
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a document iff its
+    hash bucket falls under its language's keep rate — the corpus
+    rebalancing step (e.g. cap English at 30%, keep rare languages
+    whole). Same retry-stable hash-bucket machinery as the train/val
+    split; a row's fate is a pure function of (doc_id, salt).
+
+    Pure projection + filter, no shuffle; at 100 TB this runs scan-side
+    and the dropped rows never leave the reader."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_DEFAULT_PERMILLE)
+    for lang, permille in SAMPLE_RATES_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    b = _bucket(F.col("doc_id"), salt)
+    return (
+        docs.select("doc_id", "lang", b.alias("bucket"), rate.cast("long").alias("rate_permille"))
+        .filter(F.col("bucket") < F.col("rate_permille"))
+        .orderBy("doc_id")
+    )
+
+
 def split_counts(
     spark: SparkSession, sf_dir: str, val_permille: int = 100, salt: str = "v1"
 ) -> DataFrame:

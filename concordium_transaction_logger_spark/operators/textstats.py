@@ -270,6 +270,26 @@ def token_df_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: document count, total/min/max length,
+    and language breadth — the provenance-level health table an intake
+    reviews before weighting sources. One partial-aggregated shuffle of
+    |sources| rows (the distinct-lang count dedups on (source, lang)
+    first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 over the alnum-normalized text
     (the exact-dedup key; reference analog: 32-byte content hash)."""

@@ -1090,6 +1090,32 @@ FROM documents
 ORDER BY doc_id
 """,
     ),
+    "doc_stratified_sample": QueryDef(
+        sampling.stratified_sample,
+        """
+SELECT doc_id, lang, bucket, rate_permille
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8)) AS BIGINT)
+           % 1000 AS bucket,
+         CAST(CASE WHEN lang = 'en' THEN 300 ELSE 1000 END AS BIGINT) AS rate_permille
+  FROM documents)
+WHERE bucket < rate_permille
+ORDER BY doc_id
+""",
+    ),
+    "doc_source_profile": QueryDef(
+        textstats.source_profile,
+        """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    ),
     "doc_split_counts": QueryDef(
         sampling.split_counts,
         """
