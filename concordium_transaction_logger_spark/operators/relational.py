@@ -135,6 +135,34 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rolled up the full dimension chain region → nation →
+    customer → orders → lineitem (the complete TPC-H Q5 geography).
+    All three dimensions broadcast; the fact chain shuffles once on
+    orderkey; output is |region × nation| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
 def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue and volume per part brand/type — lineitem ⋈ broadcast(part);
     the fact table shuffles only for the final group-by."""

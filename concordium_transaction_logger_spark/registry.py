@@ -409,6 +409,21 @@ ORDER BY revenue_cents DESC, n_name
 """,
         bench=True,
     ),
+    "region_nation_revenue": QueryDef(
+        relational.region_nation_revenue,
+        """
+SELECT r_name AS region, n_name AS nation,
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+    ),
     "brand_revenue": QueryDef(
         relational.brand_revenue,
         """
