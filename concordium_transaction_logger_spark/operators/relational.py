@@ -909,6 +909,245 @@ def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def nation_pair_volume(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-shaped volume-shipping query: trade volume between two
+    nations by (supplier nation, customer nation, ship year).
+
+    Scale shape: the nation-pair filter is pushed INTO the supplier and
+    customer dimensions before any fact-table join — supplier/customer
+    shrink to 2/25ths and stay broadcast, so the only shuffle is
+    lineitem⋈orders on orderkey; the OR over the two (supp, cust)
+    orientations is a residual predicate on the already-joined row, not a
+    join-order obstacle (cf. SURVEY §2.12: reference has no such query —
+    training-pipeline extension surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "volume_cents"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def nation_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    target_nation: str = "NATION_3",
+    region: str = "EUROPE",
+    part_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: the target nation's per-mille share of
+    regional order volume for one part type, per order year.
+
+    The share is a conditional aggregation — ONE pass computes numerator
+    (volume where supplier is the target nation) and denominator together;
+    no self-join, no second scan. part/customer/nation/region/supplier all
+    broadcast; lineitem⋈orders on orderkey is the lone shuffle. The
+    per-mille is a rounded ratio of two exact integer-cents sums, so both
+    engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == part_type)
+    nation = load_table(spark, sf_dir, "nation")
+    region_df = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    cust_nations = nation.join(
+        F.broadcast(region_df), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0))
+            ).alias("nation_cents"),
+            F.sum(vol).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            F.round(1000 * F.col("nation_cents") / F.col("total_cents"), 0)
+            .cast("long")
+            .alias("share_permille"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def promo_revenue_permille(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion share: per-mille of 1997 revenue from
+    PROMO-type parts — a two-output conditional aggregation folding into a
+    single row (no GROUP BY key at all: partial aggs collapse to one row
+    per partition, then one tiny final reduce)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.round(1000 * F.col("promo_cents") / F.col("total_cents"), 0)
+            .cast("long")
+            .alias("promo_permille"),
+        )
+    )
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate join: revenue from lineitems
+    matching any of three (brand, size-range, quantity-range) branches.
+
+    The quantity bounds (the union hull 1..30) and the brand list are
+    pushed down to the scans as sargable prefilters; the exact OR-of-ANDs
+    is the join's residual predicate. At 100 TB the hull prefilter is what
+    keeps the shuffle small — the residual only sees survivors."""
+    branches = [
+        ("Brand#11", 1, 15, 1, 11),
+        ("Brand#12", 1, 25, 10, 20),
+        ("Brand#13", 1, 35, 20, 30),
+    ]
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin([b[0] for b in branches])
+    )
+    residual = None
+    for brand, size_lo, size_hi, q_lo, q_hi in branches:
+        clause = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        residual = clause if residual is None else (residual | clause)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(residual)
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.count("*").alias("qualifying_lines"),
+        )
+    )
+
+
+def lone_late_supplier(spark: SparkSession, sf_dir: str, late_days: int = 60) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated existence: suppliers who were the
+    ONLY late supplier on finished multi-supplier orders.
+
+    EXISTS (another supplier on the order) ≙ left-semi self-join;
+    NOT EXISTS (another LATE supplier) ≙ left-anti against the late set.
+    Both self-joins hash on l_orderkey, so with the fact table partitioned
+    by orderkey (plans/layout bucketing) all three sides co-locate into one
+    exchange. `late` is reduced to DISTINCT (orderkey, suppkey) pairs
+    before the joins — count(*) afterwards is exactly orders-kept-waiting
+    per supplier."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    lone = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lone.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
 def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event counts per (event_type, hour bucket) — the tumbling-window
     rollup shape used by the streaming path, computed batch-side.

@@ -298,3 +298,60 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", "")).alias("fp"),
     )
+
+
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile — the boilerplate/spam signal a
+    training-data quality pipeline gates on: distinct-token ratio and the
+    share of the single most frequent token, both in per-mille.
+
+    Repetition is document-local, so the whole profile is computed INSIDE
+    the row (SCALE.md: per-doc stats never justify a global shuffle): sort
+    the token array, then ONE O(n) expression fold (`aggregate`) over the
+    sorted runs finds the longest run = most frequent token. Ties resolve
+    to the lexicographically smallest token for free — sorted order visits
+    it first and only strictly-longer runs overtake. Zero exchanges except
+    the output sort; at 100 TB this is embarrassingly parallel."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("t")
+    zero_l = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero_l.alias("run"),
+        zero_l.alias("best_c"),
+        F.lit("").alias("best_tok"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        take = run > acc["best_c"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(take, run).otherwise(acc["best_c"]).alias("best_c"),
+            F.when(take, x).otherwise(acc["best_tok"]).alias("best_tok"),
+        )
+
+    prof = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size(t) > 0)
+        .select(
+            "doc_id",
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+            F.aggregate(F.array_sort(t), init, step).alias("m"),
+        )
+    )
+    return prof.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(1000.0 * F.col("n_distinct") / F.col("n_tokens"), 0)
+        .cast("long")
+        .alias("distinct_permille"),
+        F.col("m.best_tok").alias("top_token"),
+        F.col("m.best_c").alias("top_count"),
+        F.round(1000.0 * F.col("m.best_c") / F.col("n_tokens"), 0)
+        .cast("long")
+        .alias("top_share_permille"),
+    ).orderBy("doc_id")

@@ -838,6 +838,102 @@ ORDER BY event_type, hour_bucket
     # ------------------------------------------------------------------
     # Temporal joins (as-of / banded range — SURVEY §2.12 extension ops)
     # ------------------------------------------------------------------
+    "nation_pair_volume": QueryDef(
+        relational.nation_pair_volume,
+        """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+        bench=True,
+    ),
+    "nation_market_share": QueryDef(
+        relational.nation_market_share,
+        """
+WITH vols AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS nation_cents,
+  CAST(SUM(vol) AS BIGINT) AS total_cents,
+  CAST(ROUND(1000.0 * SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) / SUM(vol)) AS BIGINT) AS share_permille
+FROM vols
+GROUP BY o_year
+ORDER BY o_year
+""",
+        bench=True,
+    ),
+    "promo_revenue_permille": QueryDef(
+        relational.promo_revenue_permille,
+        """
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+  CAST(ROUND(1000.0 * SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) ELSE 0 END)
+       / SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))) AS BIGINT) AS promo_permille
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+""",
+        bench=True,
+    ),
+    "disjunctive_part_revenue": QueryDef(
+        relational.disjunctive_part_revenue,
+        """
+SELECT
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS qualifying_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+        bench=True,
+    ),
+    "lone_late_supplier": QueryDef(
+        relational.lone_late_supplier,
+        """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+        bench=True,
+    ),
     "asof_purchase_last_click": QueryDef(
         temporal.asof_last_touch,
         wrap(
@@ -898,6 +994,35 @@ SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq_tokens,
        THEN CAST(ROUND(1000.0 * COALESCE(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT), 0) / len(t)) AS BIGINT)
        ELSE 0 END AS mean_token_len_permille
 FROM toks ORDER BY doc_id
+"""
+        ),
+        bench=True,
+    ),
+    "doc_repetition_profile": QueryDef(
+        textstats.repetition_profile,
+        wrap(
+            """
+, rep_cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+rep_ranked AS (
+  SELECT doc_id, tok, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn,
+         SUM(c) OVER (PARTITION BY doc_id) AS n_tokens,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
+  FROM rep_cnt
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  CAST(ROUND(1000.0 * n_distinct / n_tokens) AS BIGINT) AS distinct_permille,
+  tok AS top_token,
+  CAST(c AS BIGINT) AS top_count,
+  CAST(ROUND(1000.0 * c / n_tokens) AS BIGINT) AS top_share_permille
+FROM rep_ranked WHERE rn = 1
+ORDER BY doc_id
 """
         ),
         bench=True,

@@ -118,3 +118,43 @@ def test_set_ops_plan_as_hash_joins(spark, sf_dir):
         plan = layout.explain_str(fn(spark, sf_dir), "simple")
         assert "Join" in plan
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_disjunctive_part_revenue_pushes_hull_prefilters(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs stays as the join residual, but its
+    sargable hull (quantity 1..30, brand IN list) must reach the scans —
+    at 100 TB the hull is what keeps the broadcast probe small."""
+    df = relational.disjunctive_part_revenue(spark, sf_dir)
+    pf = layout.pushed_filters(df)
+    assert "l_quantity" in pf, f"quantity hull must reach the lineitem scan: {pf!r}"
+    assert "p_brand" in pf, f"brand list must reach the part scan: {pf!r}"
+
+
+def test_market_share_is_single_pass_conditional_agg(spark, sf_dir):
+    """Q8 shape: numerator and denominator come from ONE scan of lineitem
+    (conditional aggregation), never a self-join or union of two scans."""
+    plan = layout.explain_str(relational.nation_market_share(spark, sf_dir), "simple")
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l and "lineitem" in l]
+    assert len(scans) == 1, f"lineitem must be scanned exactly once, got {len(scans)}"
+    assert "Union" not in plan
+
+
+def test_lone_late_supplier_semi_and_anti_join(spark, sf_dir):
+    """Q21 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti; the supplier
+    dimension broadcasts; the final top-10 is TakeOrderedAndProject."""
+    plan = layout.explain_str(relational.lone_late_supplier(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nation_pair_volume_prefilters_dims_before_fact_join(spark, sf_dir):
+    """Q7 shape: the nation-pair filter lands in the supplier/customer
+    dimension branches (broadcast), never as a post-join filter over an
+    unfiltered fact join; the pair residual is the only remaining OR."""
+    df = relational.nation_pair_volume(spark, sf_dir)
+    plan = layout.explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    pf = layout.pushed_filters(df)
+    assert "l_shipdate" in pf
