@@ -458,3 +458,72 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def _int8_codes(df: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the milli-unit embedding.
+
+    ``scale = max(1, ceil(max|e| / 127))``; each component becomes
+    ``round(e / scale)`` in [-127, 127] — 4x smaller than the int32/int64
+    milli representation (the point at 100 TB: an int8 corpus is the
+    difference between scanning 25 TB and 100 TB per brute-force pass,
+    and it's what SIMD int8 dot-product kernels want).
+
+    All arithmetic is integer, computed half-away-from-zero on the
+    absolute value — ``(2|x| + s) // (2s)`` — so Spark and DuckDB agree
+    exactly (both compute a non-negative integer division; no negative
+    floor/truncate divergence). Cosine between codes needs NO rescaling:
+    the per-vector scale cancels in dot/(norm*norm)."""
+    emb = _quantized(df)
+    e = F.col("e")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((F.array_max(F.transform(e, F.abs)) + 126) / 127).cast("long"),
+    )
+    withs = emb.select("vec_id", "label", "e", s.alias("s"))
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.when(x < 0, -F.floor((-2 * x + F.col("s")) / (2 * F.col("s"))))
+        .otherwise(F.floor((2 * x + F.col("s")) / (2 * F.col("s"))))
+        .cast("long"),
+    )
+    return withs.select("vec_id", "label", q.alias("q8"))
+
+
+def cosine_topk_int8(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k cosine neighbors over int8-quantized codes — the compressed
+    brute-force path. Same join/window shape as :func:`cosine_topk`
+    (broadcast queries, per-partition scoring, per-query top-k window);
+    only the element width changes. Recall vs the exact path is asserted
+    in tests/test_similarity_plans.py."""
+    emb = _int8_codes(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("qe"),
+        _norm(F.col("q8")).alias("qn"),
+    )
+    cands = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q8").alias("ce"),
+        _norm(F.col("q8")).alias("cn"),
+    )
+    scored = cands.join(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        _sim_micro(
+            _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+        ).alias("sim_micro_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

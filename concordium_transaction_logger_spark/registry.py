@@ -1289,6 +1289,37 @@ ORDER BY query_id, rank
         ),
         bench=True,
     ),
+    "ann_cosine_topk_int8": QueryDef(
+        lambda spark, sf: similarity.cosine_topk_int8(spark, sf, 5, 10),
+        wrap(
+            """
+, i8s AS (
+  SELECT vec_id,
+         GREATEST(1, (list_max(list_transform(e, x -> abs(x))) + 126) // 127) AS s,
+         e
+  FROM qvec
+),
+i8 AS (
+  SELECT vec_id,
+         list_transform(e, x -> CASE WHEN x < 0 THEN -((-2*x + s) // (2*s))
+                                     ELSE (2*x + s) // (2*s) END) AS q8
+  FROM i8s
+)
+SELECT query_id, neighbor_id, sim_micro_q,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim_micro_q DESC, neighbor_id ASC) AS rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(ROUND(1000000 * list_dot_product(q.q8, c.q8) /
+              (SQRT(CAST(list_dot_product(q.q8, q.q8) AS DOUBLE)) *
+               SQRT(CAST(list_dot_product(c.q8, c.q8) AS DOUBLE)))) AS BIGINT) AS sim_micro_q
+  FROM i8 q JOIN i8 c ON q.vec_id < 5 AND c.vec_id >= 5) s
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+        ),
+        bench=True,
+    ),
     "ann_lsh_topk": QueryDef(
         lambda spark, sf: similarity.ann_lsh_topk(spark, sf, 5, 10),
         _lsh_topk_sql(),

@@ -36,3 +36,32 @@ def test_jaccard_size_join_is_broadcast(spark, sf_dir):
     doc-size enrichment joins must broadcast."""
     plan = layout.explain_str(dedup.ngram_jaccard_pairs(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_int8_topk_recall_against_exact(spark, sf_dir):
+    """The compressed path must stay a faithful ANN: overlap@10 with the
+    exact milli-unit ranking >= 80% averaged over the query set (int8
+    keeps ~2 decimal digits per component — plenty for cosine top-k)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(spark, sf_dir, 5, 10).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_int8(spark, sf_dir, 5, 10).collect()
+    }
+    assert exact and len(exact) == len(quant)
+    overlap = len(exact & quant) / len(exact)
+    assert overlap >= 0.8, f"int8 recall too low: {overlap:.2f}"
+
+
+def test_int8_codes_are_bounded(spark, sf_dir):
+    """Every quantized component fits int8: |q| <= 127."""
+    from pyspark.sql import functions as F
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    codes = similarity._int8_codes(load_table(spark, sf_dir, "embeddings"))
+    n_bad = codes.filter(
+        F.array_max(F.transform(F.col("q8"), F.abs)) > 127
+    ).count()
+    assert n_bad == 0
