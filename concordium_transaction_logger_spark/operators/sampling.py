@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 
@@ -83,4 +84,84 @@ def split_counts(
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "split")
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataFrame:
+    """Sequence packing — concat-and-chunk documents into fixed
+    ``budget``-token training bins, the step that turns a curated corpus
+    into dense training sequences (no padding waste).
+
+    Packing is greedy-by-position: within each source shard, documents
+    concatenate in doc_id order and a document belongs to the bin its
+    first token lands in (``bin_id = prev_cumsum DIV budget``). The
+    running sum is a window per SOURCE, not a global one — packing scope
+    is the shard, so at 100 TB every shard packs independently (range
+    partition per source; no single-partition global window, which would
+    serialize the corpus through one task).
+
+    Output is the bin manifest: docs per bin, tokens per bin, fill rate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from .textstats import tokens
+
+    sized = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = sized.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget))
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return (
+        assigned.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .withColumn(
+            "fill_permille",
+            F.round(1000.0 * F.col("bin_tokens") / F.lit(budget), 0).cast("long"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def split_contamination(
+    spark: SparkSession, sf_dir: str, val_permille: int = 100, salt: str = "v1"
+) -> DataFrame:
+    """Decontamination check: validation documents sharing any 3-gram
+    shingle with the training split — the train/test-leakage audit every
+    benchmark-clean pipeline runs before training.
+
+    Physical shape: the session's materialized shingle index is split by
+    the same retry-stable hash as :func:`split_assignment`; the train
+    side collapses to DISTINCT shingle hashes; the val side inner-joins
+    on the 8-byte hash and counts matches per val doc. The join shuffles
+    on the shingle hash — at 100 TB the train shingle set is the big
+    side, so the runtime bloom filter (session conf) prunes val shingles
+    scan-side, and a stop-shingle df-cap (see ngram_jaccard_pairs) keeps
+    hot shingles from skewing the exchange."""
+    from .dedup import shingle_index
+
+    sh = shingle_index(spark, sf_dir).select("doc_id", "shh")
+    b = _bucket(F.col("doc_id"), salt)
+    tagged = sh.withColumn("is_val", b < val_permille)
+    train_sh = (
+        tagged.filter(~F.col("is_val")).select("shh").distinct()
+    )
+    val_sh = tagged.filter(F.col("is_val")).select("doc_id", "shh")
+    return (
+        val_sh.join(train_sh, "shh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .orderBy("doc_id")
     )

@@ -1217,6 +1217,48 @@ ORDER BY doc_id
     # ------------------------------------------------------------------
     # Training-data pipeline: deterministic splits (operators/sampling.py)
     # ------------------------------------------------------------------
+    "doc_pack_sequences": QueryDef(
+        sampling.pack_sequences,
+        wrap(
+            """
+, pk AS (
+  SELECT d.source, d.doc_id, len(t.t) AS n_tokens
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+),
+pkc AS (
+  SELECT source, doc_id, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS bin_id
+  FROM pk
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(ROUND(1000.0 * SUM(n_tokens) / 256) AS BIGINT) AS fill_permille
+FROM pkc GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+        ),
+        bench=True,
+    ),
+    "doc_split_contamination": QueryDef(
+        sampling.split_contamination,
+        wrap(
+            """
+, csplit AS (
+  SELECT doc_id, sh,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#v1'), 1, 8)) AS BIGINT)
+           % 1000 < 100 AS is_val
+  FROM shingles
+),
+ctrain AS (SELECT DISTINCT sh FROM csplit WHERE NOT is_val)
+SELECT doc_id, COUNT(*) AS n_shared_shingles
+FROM (SELECT doc_id, sh FROM csplit WHERE is_val) v JOIN ctrain USING (sh)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+        ),
+        bench=True,
+    ),
     "doc_train_split": QueryDef(
         sampling.split_assignment,
         """

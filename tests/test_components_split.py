@@ -60,3 +60,66 @@ def test_base58check_column(spark):
     rows = df.select(base58check(F.col("addr")).alias("b58")).collect()
     assert rows[0].b58 == _b58check_bytes(bytes(32))
     assert rows[1].b58 is None
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing must conserve documents and tokens, and bin ids must be
+    dense-from-zero per source (greedy concat leaves no empty bin: every
+    bin boundary is crossed by some document's first token)."""
+    from concordium_transaction_logger_spark.operators.textstats import tokens
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    bins = sampling.pack_sequences(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("t")
+    )
+    totals = {
+        r["source"]: (r["n"], r["tok"])
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(F.size("t")).alias("tok"))
+        .collect()
+    }
+    per_source = {}
+    for r in bins:
+        n, tok, ids = per_source.setdefault(r["source"], [0, 0, []])
+        per_source[r["source"]][0] += r["n_docs"]
+        per_source[r["source"]][1] += r["bin_tokens"]
+        per_source[r["source"]][2].append(r["bin_id"])
+    assert set(per_source) == set(totals)
+    for src, (n, tok, ids) in per_source.items():
+        assert (n, tok) == totals[src], f"{src}: docs/tokens not conserved"
+        assert ids == sorted(ids)
+        assert ids[0] == 0 and ids == list(range(ids[-1] + 1)), (
+            f"{src}: bin ids must be dense from 0, got {ids[:5]}..."
+        )
+
+
+def test_pack_sequences_window_is_per_source(spark, sf_dir):
+    """The running sum must be a per-source window — a global
+    (single-partition) window would serialize the corpus at 100 TB."""
+    plan = sampling.pack_sequences(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re
+    wspecs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wspecs and all("source" in w for w in wspecs), wspecs
+
+
+def test_contamination_only_flags_val_docs_with_train_overlap(spark, sf_dir):
+    """Every flagged doc is a val doc; its shared-shingle count is
+    positive and bounded by its own shingle count."""
+    cont = {r["doc_id"]: r["n_shared_shingles"]
+            for r in sampling.split_contamination(spark, sf_dir).collect()}
+    assert cont, "synthetic corpus repeats vocabulary; expect overlap"
+    val_ids = {
+        r["doc_id"]
+        for r in sampling.split_assignment(spark, sf_dir).collect()
+        if r["split"] == "val"
+    }
+    assert set(cont) <= val_ids
+    sh_counts = {
+        r["doc_id"]: r["n"]
+        for r in dedup.shingle_index(spark, sf_dir)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    for d, n in cont.items():
+        assert 0 < n <= sh_counts[d]
