@@ -1163,3 +1163,72 @@ def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.sum(_cents(F.col("value"))).alias("value_cents"))
         .orderBy("event_type", "hour_bucket")
     )
+
+
+def part_margin_by_nation(spark: SparkSession, sf_dir: str, name_like: str = "rod") -> DataFrame:
+    """TPC-H Q9-shaped profit rollup: margin on parts whose name contains a
+    token, by supplier nation and ship year.
+
+    Margin = revenue cents - catalog cost cents (quantity x retail price);
+    both are exact integer cents, so the engines agree bit-for-bit. The
+    contains-filter pushes to the part scan as a StringContains predicate
+    (asserted in test_pushdown) — at 100 TB this prunes the broadcast
+    build side before it ever ships."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_like)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    margin = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - _cents(
+        F.col("l_quantity") * F.col("p_retailprice")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("supp_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.sum(margin).alias("margin_cents"))
+        .orderBy("supp_nation", "ship_year")
+    )
+
+
+def peak_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped global-argmax selection: the supplier(s) whose
+    1997H1 revenue equals the maximum over all suppliers.
+
+    The scalar max is a 1-row aggregate broadcast back over the per-
+    supplier rollup (never a single-task global window): one partial-agg
+    shuffle on suppkey, one broadcast — ties all surface, deterministic
+    order by suppkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-07-01").cast("timestamp_ntz")
+    by_supp = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_revenue_cents"
+            )
+        )
+    )
+    peak = by_supp.agg(F.max("total_revenue_cents").alias("peak_cents"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        by_supp.join(F.broadcast(peak), F.col("total_revenue_cents") == F.col("peak_cents"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"), "s_name", "total_revenue_cents"
+        )
+        .orderBy("s_suppkey")
+    )

@@ -934,6 +934,39 @@ LIMIT 10
 """,
         bench=True,
     ),
+    "part_margin_by_nation": QueryDef(
+        relational.part_margin_by_nation,
+        """
+SELECT sn.n_name AS supp_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         - CAST(ROUND((l_quantity * p_retailprice) * 100) AS BIGINT)) AS BIGINT) AS margin_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%rod%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY supp_nation, ship_year
+ORDER BY supp_nation, ship_year
+""",
+        bench=True,
+    ),
+    "peak_revenue_suppliers": QueryDef(
+        relational.peak_revenue_suppliers,
+        """
+WITH by_supp AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS s_suppkey, s_name, total_revenue_cents
+FROM by_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM by_supp)
+ORDER BY s_suppkey
+""",
+        bench=True,
+    ),
     "asof_purchase_last_click": QueryDef(
         temporal.asof_last_touch,
         wrap(

@@ -158,3 +158,19 @@ def test_nation_pair_volume_prefilters_dims_before_fact_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     pf = layout.pushed_filters(df)
     assert "l_shipdate" in pf
+
+
+def test_part_margin_pushes_contains_filter(spark, sf_dir):
+    """Q9 shape: the name-contains predicate must reach the part scan as a
+    StringContains pushed filter — it prunes the broadcast build side."""
+    df = relational.part_margin_by_nation(spark, sf_dir)
+    pf = layout.pushed_filters(df)
+    assert "p_name" in pf and ("Contains" in pf or "contains" in pf), pf
+
+
+def test_peak_revenue_scalar_max_is_broadcast_not_window(spark, sf_dir):
+    """Q15 shape: the global max joins back as a broadcast 1-row frame —
+    never a single-task global window over the rollup."""
+    plan = layout.explain_str(relational.peak_revenue_suppliers(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
