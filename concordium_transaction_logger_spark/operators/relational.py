@@ -1232,3 +1232,217 @@ def peak_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped keyless filter-aggregate: revenue delta from dropping
+    a discount band for small-quantity 1997 shipments.
+
+    The cheapest possible query shape: scan -> map-side partial agg -> one
+    1-row reduce. The shipdate range and quantity bound push to the parquet
+    scan; the discount band is compared in integer per-cent
+    (``round(discount*100)``) so both engines bucket identically instead of
+    comparing raw doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_quantity") < 24)
+            & disc_pct.between(5, 7)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_increase_cents"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-20 customers by revenue
+    lost to returns in one quarter.
+
+    orders is quarter-filtered before the fact join (partition-prunable at
+    scale); customer+nation broadcast; final top-20 is a
+    TakeOrderedAndProject with custkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1997-07-01").cast("timestamp_ntz")
+    hi = F.lit("1997-10-01").cast("timestamp_ntz")
+    cust_dim = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.max(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def concentrated_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped concentration filter (adapted: no partsupp table, so
+    "stock value" is lifetime revenue per part): parts whose revenue share
+    exceeds 0.05% of the global total.
+
+    The HAVING-against-a-global-scalar is a 1-row aggregate broadcast back
+    over the per-part rollup (BroadcastNestedLoopJoin on a single row —
+    constant cost), never a global window. The share test is exact integer
+    math: ``revenue*10000 > 5*total``; at 100 TB the product approaches
+    int64 range, so the scale dial is comparing per-mille shares instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        )
+    )
+    total = per_part.agg(F.sum("revenue_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("revenue_cents") * 10000 > F.lit(5) * F.col("total_cents"))
+        .select("l_partkey", "revenue_cents")
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_partkey").asc())
+    )
+
+
+def late_shipment_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional split (adapted: no shipmode/receiptdate
+    columns, so the grouping key is the returnflag and "late" means shipped
+    more than 90 days after the order date): high- vs low-priority order
+    counts among late shipments.
+
+    One fact-fact join on orderkey (both sides co-hash, so a
+    bucketed-by-orderkey layout collapses it to zero exchanges), then a
+    single conditional-agg pass — never two filtered twin aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str, size: int = 15) -> DataFrame:
+    """TPC-H Q2-shaped per-group-min join-back (adapted: no partsupp table,
+    so an "offer" is a lineitem's unit price from a EUROPE supplier): for
+    each part of a given size, the European supplier(s) quoting the minimum
+    unit price.
+
+    The correlated MIN subquery decorrelates to a per-part aggregate joined
+    back on equality — both sides of that join already hash on partkey, and
+    the min side is |parts|-sized, so it broadcasts. part and the
+    region-filtered supplier dim broadcast into the fact scan; unit price is
+    rounded to integer cents with an identical expression tree in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == size)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    unit_cents = F.round((F.col("l_extendedprice") / F.col("l_quantity")) * 100, 0).cast(
+        "long"
+    )
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", unit_cents.alias("unit_cents"))
+    )
+    min_offer = offers.groupBy("p_partkey").agg(F.min("unit_cents").alias("min_cents"))
+    return (
+        offers.join(
+            F.broadcast(min_offer.withColumnRenamed("p_partkey", "mp_partkey")),
+            (F.col("p_partkey") == F.col("mp_partkey"))
+            & (F.col("unit_cents") == F.col("min_cents")),
+        )
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "unit_cents")
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-share semi-join chain (adapted: no partsupp,
+    so "excess availability" means a supplier shipped more than half of a
+    part's total 1997 quantity): EUROPE suppliers who dominate at least one
+    part.
+
+    Two aggregation granularities over ONE shuffle lineage — the
+    (part,supp) rollup re-aggregates to the part total without touching the
+    fact again; the dominance test is exact integer math (``2*supp >
+    total``); the winner pairs semi-join into the region-filtered supplier
+    dimension, so supplier rows are never duplicated per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    qty = F.round("l_quantity", 0).cast("long")
+    per_pair = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).alias("supp_qty"))
+    )
+    per_part = per_pair.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        per_pair.join(
+            F.broadcast(per_part.withColumnRenamed("l_partkey", "pp_partkey")),
+            F.col("l_partkey") == F.col("pp_partkey"),
+        )
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        supp_dim.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+    )

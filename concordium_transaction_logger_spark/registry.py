@@ -967,6 +967,107 @@ ORDER BY s_suppkey
 """,
         bench=True,
     ),
+    "forecast_revenue_change": QueryDef(
+        relational.forecast_revenue_change,
+        """
+SELECT
+  CAST(SUM(CAST(ROUND((l_extendedprice * l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_increase_cents,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_quantity < 24
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+""",
+        bench=True,
+    ),
+    "returned_item_losses": QueryDef(
+        relational.returned_item_losses,
+        """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  CAST(MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+""",
+        bench=True,
+    ),
+    "concentrated_part_revenue": QueryDef(
+        relational.concentrated_part_revenue,
+        """
+WITH pr AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, revenue_cents
+FROM pr
+WHERE revenue_cents * 10000 > 5 * (SELECT SUM(revenue_cents) FROM pr)
+ORDER BY revenue_cents DESC, l_partkey
+""",
+        bench=True,
+    ),
+    "late_shipment_priority_split": QueryDef(
+        relational.late_shipment_priority_split,
+        """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+        bench=True,
+    ),
+    "cheapest_supplier_per_part": QueryDef(
+        relational.cheapest_supplier_per_part,
+        """
+WITH offers AS (
+  SELECT p_partkey, s_suppkey, s_name, n_name,
+    CAST(ROUND((l_extendedprice / l_quantity) * 100) AS BIGINT) AS unit_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size = 15
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT DISTINCT p_partkey, s_suppkey, s_name, n_name, unit_cents
+FROM offers o
+WHERE unit_cents = (SELECT MIN(unit_cents) FROM offers m WHERE m.p_partkey = o.p_partkey)
+ORDER BY p_partkey, s_suppkey
+LIMIT 100
+""",
+        bench=True,
+    ),
+    "dominant_part_suppliers": QueryDef(
+        relational.dominant_part_suppliers,
+        """
+WITH per_pair AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_pair p
+  WHERE supp_qty * 2 > (SELECT SUM(supp_qty) FROM per_pair t WHERE t.l_partkey = p.l_partkey)
+)
+ORDER BY s_suppkey
+""",
+        bench=True,
+    ),
     "asof_purchase_last_click": QueryDef(
         temporal.asof_last_touch,
         wrap(

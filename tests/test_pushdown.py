@@ -174,3 +174,35 @@ def test_peak_revenue_scalar_max_is_broadcast_not_window(spark, sf_dir):
     plan = layout.explain_str(relational.peak_revenue_suppliers(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_forecast_revenue_pushes_range_filters(spark, sf_dir):
+    """Q6 shape: shipdate range and quantity bound must reach the parquet
+    scan; only the integer-bucketed discount band stays as a residual."""
+    df = relational.forecast_revenue_change(spark, sf_dir)
+    pf = layout.pushed_filters(df)
+    assert "l_shipdate" in pf and "l_quantity" in pf, pf
+
+
+def test_concentrated_revenue_total_is_single_row_broadcast(spark, sf_dir):
+    """Q11 shape: the HAVING-against-global-total compares to a broadcast
+    1-row aggregate — never a global window over the rollup."""
+    plan = layout.explain_str(relational.concentrated_part_revenue(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_cheapest_supplier_min_joins_back_broadcast(spark, sf_dir):
+    """Q2 shape: the per-part MIN decorrelates to a broadcast join-back,
+    and the region-filtered supplier dim broadcasts into the fact scan."""
+    plan = layout.explain_str(relational.cheapest_supplier_per_part(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dominant_suppliers_semi_join(spark, sf_dir):
+    """Q20 shape: winners reach the supplier dimension as a semi join, so
+    supplier rows are never duplicated per dominated part."""
+    plan = layout.explain_str(relational.dominant_part_suppliers(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
