@@ -359,3 +359,27 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
     )
     return agg.select("doc_id", sig.alias("simhash16")).orderBy("doc_id")
+
+
+def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup-health dashboard: per-source document counts, distinct
+    text counts, and duplicate rate in per-mille — the summary a curation
+    pipeline reports after (or before) an exact-dedup pass.
+
+    COUNT(DISTINCT md5(text)) dedups on the 128-bit fingerprint, never the
+    body, so the distinct shuffle carries 32-byte keys; at 100 TB this is
+    the same two-shuffle distinct-agg shape as `part_supplier_variety`, and
+    the approx twin (HLL on the fingerprint) is the documented dial."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count("*")
+    d = F.count_distinct(F.md5("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            d.alias("n_distinct"),
+            (n - d).alias("dup_docs"),
+            F.round(1000.0 * (n - d) / n, 0).cast("long").alias("dup_permille"),
+        )
+        .orderBy("source")
+    )

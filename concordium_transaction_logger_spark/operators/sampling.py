@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
+from .textstats import tokens
 
 
 def _bucket(key: Column, salt: str) -> Column:
@@ -164,4 +165,40 @@ def split_contamination(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
         .orderBy("doc_id")
+    )
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str, cap_permille: int = 4000) -> DataFrame:
+    """Corpus mixture planner: per-language token counts vs a uniform
+    target mixture, emitting the repeat factor (in per-mille) that a
+    sampling pass would apply to hit the target — the "data mixing" step
+    that decides how often each slice is epoch-repeated.
+
+    Shape: one partial agg to |langs| rows, the global total re-aggregated
+    from the rollup (1 row) and broadcast back — the Q11 concentration
+    shape, so the fact table is scanned once and never re-shuffled. The
+    repeat factor is exact integer math (``(target*1000) div have``) and is
+    capped so a vanishing slice can't demand unbounded epochs."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("lang_tokens")
+    )
+    totals = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count("*").alias("n_langs"),
+    )
+    target = F.col("total_tokens").cast("long") / F.col("n_langs")
+    repeat = F.least(
+        F.round(1000.0 * target / F.col("lang_tokens"), 0).cast("long"),
+        F.lit(cap_permille).cast("long"),
+    )
+    return (
+        per_lang.join(F.broadcast(totals))
+        .select(
+            "lang",
+            "lang_tokens",
+            F.round(target, 0).cast("long").alias("target_tokens"),
+            repeat.alias("repeat_permille"),
+        )
+        .orderBy("lang")
     )

@@ -527,3 +527,83 @@ def cosine_topk_int8(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+#: fixed k-means geometry so the Spark run and the SQL oracle agree exactly.
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DIM = 64
+
+
+def _kmeans_assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment against literal integer centroids.
+
+    Distance is squared L2 in milli-units — pure int64 arithmetic, so both
+    engines agree bit-for-bit; ties break to the smallest centroid id via
+    struct ordering inside ``array_min``."""
+    choices = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.array(*[F.lit(int(v)).cast("long") for v in vec]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    best = F.array_min(choices)
+    return emb.select(
+        "vec_id", "e", best["cid"].alias("cluster"), best["d"].alias("d")
+    )
+
+
+def kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embedding corpus, reported
+    as the per-cluster size + inertia profile — the clustering step a
+    curation pipeline runs for topic balancing / SemDeDup-style pruning.
+
+    Iterative-algorithm-on-Spark shape: each iteration is one distributed
+    assignment pass (centroids are LITERALS compiled into the scan — no
+    join, no shuffle of the corpus) followed by a |k|-row aggregate the
+    driver collects to build the next iteration's literals — the standard
+    Lloyd's round-trip (k x dim ints over the wire, same as MLlib). All
+    arithmetic is integer (milli-quantized components, squared-L2
+    distances, round-half-up centroid means), so the DuckDB oracle — the
+    same two iterations unrolled as CTEs — matches exactly. Clusters that
+    empty out drop from the centroid set (matching the oracle's join
+    semantics); init is the first k vectors, deterministic anywhere."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e")
+    init = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    cents = [(int(r.vec_id), list(r.e)) for r in init]
+    for _ in range(KMEANS_ITERS - 1):
+        assigned = _kmeans_assign(emb, cents)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.round(F.sum(F.col("e")[i]) / F.count("*"), 0)
+                    .cast("long")
+                    .alias(f"c{i}")
+                    for i in range(KMEANS_DIM)
+                ],
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cluster"]), [int(r[f"c{i}"]) for i in range(KMEANS_DIM)])
+            for r in rows
+        )
+    final = _kmeans_assign(emb, cents)
+    return (
+        final.groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"), F.sum("d").alias("inertia"))
+        .orderBy("cluster")
+    )

@@ -1201,6 +1201,76 @@ ORDER BY doc_id, fp
     # ------------------------------------------------------------------
     # Training-data pipeline: deduplication
     # ------------------------------------------------------------------
+    "corpus_dedup_stats": QueryDef(
+        dedup.corpus_dedup_stats,
+        """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
+  COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_docs,
+  CAST(ROUND(1000.0 * (COUNT(*) - COUNT(DISTINCT md5(text))) / COUNT(*)) AS BIGINT) AS dup_permille
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+        bench=True,
+    ),
+    "corpus_mixture_plan": QueryDef(
+        sampling.mixture_plan,
+        """
+WITH per_lang AS (
+  SELECT lang,
+    CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_langs FROM per_lang
+)
+SELECT lang, lang_tokens,
+  CAST(ROUND(CAST(total_tokens AS DOUBLE) / n_langs) AS BIGINT) AS target_tokens,
+  LEAST(CAST(ROUND(1000.0 * (CAST(total_tokens AS DOUBLE) / n_langs) / lang_tokens) AS BIGINT),
+        CAST(4000 AS BIGINT)) AS repeat_permille
+FROM per_lang, t
+ORDER BY lang
+""",
+        bench=True,
+    ),
+    "embedding_kmeans_profile": QueryDef(
+        similarity.kmeans_profile,
+        """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM q WHERE vec_id < 8),
+d1 AS (
+  SELECT q.vec_id, q.e, c.cid,
+    list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
+  FROM q CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, e, cid AS cluster, d FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+c1 AS (
+  SELECT cluster AS cid, list(comp ORDER BY i) AS ce FROM (
+    SELECT cluster, i, CAST(ROUND(CAST(SUM(e[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+    FROM a1, range(1, 65) t(i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+),
+d2 AS (
+  SELECT q.vec_id, c.cid,
+    list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
+  FROM q CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster, d FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)
+SELECT cluster, COUNT(*) AS n_vecs, CAST(SUM(d) AS BIGINT) AS inertia
+FROM a2 GROUP BY cluster ORDER BY cluster
+""",
+        bench=True,
+    ),
     "doc_exact_dup_groups": QueryDef(
         dedup.exact_dup_groups,
         wrap(

@@ -206,3 +206,13 @@ def test_dominant_suppliers_semi_join(spark, sf_dir):
     supplier rows are never duplicated per dominated part."""
     plan = layout.explain_str(relational.dominant_part_suppliers(spark, sf_dir), "simple")
     assert "LeftSemi" in plan
+
+
+def test_mixture_plan_total_is_single_row_broadcast(spark, sf_dir):
+    """Mixture planner: the global token total re-aggregates the per-lang
+    rollup and broadcasts back (1 row) — never a global window."""
+    from concordium_transaction_logger_spark.operators import sampling
+
+    plan = layout.explain_str(sampling.mixture_plan(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan

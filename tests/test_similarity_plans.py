@@ -65,3 +65,36 @@ def test_int8_codes_are_bounded(spark, sf_dir):
         F.array_max(F.transform(F.col("q8"), F.abs)) > 127
     ).count()
     assert n_bad == 0
+
+
+def test_kmeans_assignment_is_joinless(spark, sf_dir):
+    """Lloyd's assignment compiles centroids into literal expressions —
+    the corpus is scanned, never joined or re-shuffled per centroid."""
+    df = similarity.kmeans_profile(spark, sf_dir)
+    plan = layout.explain_str(df, "simple")
+    assert "Join" not in plan, plan
+
+
+def test_kmeans_clusters_partition_the_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cluster; inertia is non-negative
+    and shrinks (or holds) as Lloyd's iterates from the init assignment."""
+    rows = similarity.kmeans_profile(spark, sf_dir).collect()
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    assert all(r.inertia >= 0 for r in rows)
+    emb = similarity._quantized(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "e"
+    )
+    init = [
+        (int(r.vec_id), list(r.e))
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    inertia0 = (
+        similarity._kmeans_assign(emb, init)
+        .groupBy()
+        .sum("d")
+        .collect()[0][0]
+    )
+    assert sum(r.inertia for r in rows) <= inertia0
