@@ -564,21 +564,16 @@ def _kmeans_assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFr
     )
 
 
-def kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration Lloyd's k-means over the embedding corpus, reported
-    as the per-cluster size + inertia profile — the clustering step a
-    curation pipeline runs for topic balancing / SemDeDup-style pruning.
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[int]]]:
+    """Run the fixed Lloyd's iterations and return the final centroid set.
 
-    Iterative-algorithm-on-Spark shape: each iteration is one distributed
-    assignment pass (centroids are LITERALS compiled into the scan — no
-    join, no shuffle of the corpus) followed by a |k|-row aggregate the
-    driver collects to build the next iteration's literals — the standard
-    Lloyd's round-trip (k x dim ints over the wire, same as MLlib). All
-    arithmetic is integer (milli-quantized components, squared-L2
-    distances, round-half-up centroid means), so the DuckDB oracle — the
-    same two iterations unrolled as CTEs — matches exactly. Clusters that
-    empty out drop from the centroid set (matching the oracle's join
-    semantics); init is the first k vectors, deterministic anywhere."""
+    Each iteration is one distributed assignment pass followed by a
+    |k|-row aggregate the driver collects to build the next iteration's
+    literals — the standard Lloyd's round-trip (k x dim ints over the
+    wire, same as MLlib). Per-dim means are 64 column aggregates (no
+    explode); clusters that empty out drop from the centroid set."""
     emb = _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e")
     init = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
     cents = [(int(r.vec_id), list(r.e)) for r in init]
@@ -601,9 +596,88 @@ def kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r["cluster"]), [int(r[f"c{i}"]) for i in range(KMEANS_DIM)])
             for r in rows
         )
-    final = _kmeans_assign(emb, cents)
+    return cents
+
+
+def kmeans_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized k-means assignment (vec_id, e, cluster, d) after
+    the fixed Lloyd's iterations — a session index shared by the profile
+    query and SemDeDup blocking (at 100 TB: written partitioned by
+    cluster, like the IVF assignment)."""
+    from ..cache import get_or_build
+
+    return get_or_build(
+        "kmeans_assign",
+        spark,
+        sf_dir,
+        lambda: _kmeans_assign(
+            _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e"),
+            _kmeans_centroids(spark, sf_dir),
+        ).persist(),
+    )
+
+
+def kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embedding corpus, reported
+    as the per-cluster size + inertia profile — the clustering step a
+    curation pipeline runs for topic balancing / SemDeDup-style pruning.
+
+    Iterative-algorithm-on-Spark shape: each assignment pass compiles the
+    centroids into LITERAL expressions (no join, no shuffle of the
+    corpus); see :func:`_kmeans_centroids` for the driver round-trip. All
+    arithmetic is integer (milli-quantized components, squared-L2
+    distances, round-half-up centroid means), so the DuckDB oracle — the
+    same two iterations unrolled as CTEs — matches exactly. Init is the
+    first k vectors, deterministic anywhere."""
     return (
-        final.groupBy("cluster")
+        kmeans_index(spark, sf_dir)
+        .groupBy("cluster")
         .agg(F.count("*").alias("n_vecs"), F.sum("d").alias("inertia"))
         .orderBy("cluster")
+    )
+
+
+def semdedup_pairs(
+    spark: SparkSession, sf_dir: str, threshold_micro: int = 400_000
+) -> DataFrame:
+    """SemDeDup-style cluster-blocked near-duplicate pairs: score only
+    pairs that share a k-means cluster (Abbas et al. 2023's blocking), so
+    the pair space is sum(|cluster|²) instead of |corpus|² — THE scale
+    path for embedding dedup at 100 TB, where all-pairs is impossible.
+
+    Reads the session's materialized k-means assignment; the self-join
+    hashes both sides on the cluster id (partition-pruned when the index
+    is written partitioned by cluster). Scoring is the same integer-exact
+    quantized cosine as the brute-force baseline, so within-cluster pairs
+    match `embedding_near_dup_pairs` exactly — recall loss is only
+    cross-cluster pairs, measured in `test_similarity_plans.py`."""
+    idx = kmeans_index(spark, sf_dir).select("vec_id", "cluster", "e")
+    withn = idx.select(
+        "vec_id", "cluster", "e", _norm(F.col("e")).alias("n")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cluster").alias("ca"),
+        F.col("e").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster").alias("cb"),
+        F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    scored = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("ca").alias("cluster"),
+            _sim_micro(
+                _dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
+            ).alias("sim_micro"),
+        )
+    )
+    return scored.filter(F.col("sim_micro") >= threshold_micro).orderBy(
+        "vec_a", "vec_b"
     )

@@ -355,3 +355,41 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_share_permille"),
     ).orderBy("doc_id")
+
+
+#: deterministic stand-in weight table for the linear quality scorer —
+#: hash-derived so it reproduces in any engine; a trained model ships real
+#: weights through the identical plumbing.
+CLS_SALT = "w1"
+
+
+def quality_classifier(
+    spark: SparkSession, sf_dir: str, threshold: int = 0
+) -> DataFrame:
+    """fastText-style linear quality scorer: score(doc) = sum of per-token
+    weights, keep iff score >= threshold — the model-based quality filter
+    (DCLM / fineweb-edu style) slot in the curation pipeline.
+
+    The weight table is a deterministic STAND-IN (md5-derived ints in
+    [-10, 10]; a trained classifier would ship real weights — the
+    plumbing is what's real): hashed-feature lookup per token, summed
+    row-locally. Zero shuffles — the score is a pure projection computed
+    inside the scan, so at 100 TB the filter runs scan-side exactly like
+    the heuristic gate (`doc_quality_gate`) it complements."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+
+    def w(tok: Column) -> Column:
+        h = F.md5(F.concat(tok, F.lit("#" + CLS_SALT)))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 21) - 10
+
+    score = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + w(x))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(t).cast("long").alias("n_tokens"),
+            score.alias("quality_score"),
+            (score >= F.lit(threshold)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1463,6 +1463,27 @@ ORDER BY doc_id
         ),
         bench=True,
     ),
+    "doc_quality_classifier": QueryDef(
+        textstats.quality_classifier,
+        """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(list_sum(list_transform(t,
+    tok -> CAST(('0x' || substr(md5(tok || '#w1'), 1, 8)) AS BIGINT) % 21 - 10)),
+    0) AS BIGINT) AS quality_score,
+  CAST(COALESCE(list_sum(list_transform(t,
+    tok -> CAST(('0x' || substr(md5(tok || '#w1'), 1, 8)) AS BIGINT) % 21 - 10)),
+    0) AS BIGINT) >= 0 AS keep
+FROM toks
+ORDER BY doc_id
+""",
+        bench=True,
+    ),
     "doc_train_split": QueryDef(
         sampling.split_assignment,
         """
@@ -1580,6 +1601,50 @@ ORDER BY query_id, rank
     "embedding_near_dup_pairs_blocked": QueryDef(
         lambda spark, sf: similarity.near_dup_pairs_blocked(spark, sf, 400_000),
         _NEAR_DUP_SQL,
+        bench=True,
+    ),
+    "embedding_semdedup_pairs": QueryDef(
+        lambda spark, sf: similarity.semdedup_pairs(spark, sf, 400_000),
+        wrap(
+            """
+, c0 AS (SELECT vec_id AS cid, e AS ce FROM qvec WHERE vec_id < 8),
+d1 AS (
+  SELECT q.vec_id, q.e, c.cid,
+    list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
+  FROM qvec q CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, e, cid AS cluster, d FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+c1 AS (
+  SELECT cluster AS cid, list(comp ORDER BY i) AS ce FROM (
+    SELECT cluster, i, CAST(ROUND(CAST(SUM(e[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+    FROM a1, range(1, 65) t(i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+),
+d2 AS (
+  SELECT q.vec_id, c.cid,
+    list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
+  FROM qvec q CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+m AS (SELECT q.vec_id, q.e, a.cluster FROM qvec q JOIN a2 a USING (vec_id))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+  CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
+       (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
+        SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) AS sim_micro
+FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
+      (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
+       SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) >= 400000
+ORDER BY vec_a, vec_b
+"""
+        ),
         bench=True,
     ),
     "ann_ivf_assign": QueryDef(

@@ -98,3 +98,27 @@ def test_kmeans_clusters_partition_the_corpus(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r.inertia for r in rows) <= inertia0
+
+
+def test_semdedup_pairs_subset_of_brute_force(spark, sf_dir):
+    """Cluster blocking only loses cross-cluster pairs: every SemDeDup
+    pair appears in the brute-force set with the identical score, and
+    within-cluster recall is 1.0 by construction."""
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["sim_micro"]
+        for r in similarity.near_dup_pairs(spark, sf_dir, 400_000).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"]): r["sim_micro"]
+        for r in similarity.semdedup_pairs(spark, sf_dir, 400_000).collect()
+    }
+    assert blocked, "cluster blocking found no near-dup pairs at all"
+    for pair, sim in blocked.items():
+        assert brute.get(pair) == sim, f"{pair}: {sim} vs {brute.get(pair)}"
+    # Recall here is bounded by clustering quality (k=8, 2 Lloyd's
+    # iterations on 500 synthetic vectors) — production SemDeDup tunes
+    # k/iterations per corpus and probes adjacent clusters to close the
+    # gap; the invariants above (subset + identical scores) are the
+    # correctness contract.
+    recall = len(blocked) / len(brute)
+    assert recall >= 0.25, f"cluster-blocking recall too low: {recall:.2f}"
