@@ -536,32 +536,40 @@ KMEANS_DIM = 64
 
 
 def _kmeans_assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
-    """Nearest-centroid assignment against literal integer centroids.
+    """Nearest-centroid assignment as an Arrow-batched numpy kernel.
 
-    Distance is squared L2 in milli-units — pure int64 arithmetic, so both
-    engines agree bit-for-bit; ties break to the smallest centroid id via
-    struct ordering inside ``array_min``."""
-    choices = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("e"),
-                        F.array(*[F.lit(int(v)).cast("long") for v in vec]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(int(cid)).cast("long").alias("cid"),
+    Distance is squared L2 in milli-units — pure int64 arithmetic
+    (``|a|² - 2aCᵀ + |C|²`` as one matmul per batch), so both engines
+    agree bit-for-bit; ``cents`` must be sorted by centroid id so
+    ``argmin``'s first-occurrence rule breaks ties to the smallest id
+    (matching the oracle's ``ORDER BY d, cid``). The centroid block rides
+    into each task via the closure (k×dim ints) — no join, no shuffle of
+    the corpus, and the matmul replaces a per-row 64-element expression
+    tree whose codegen dominated wall time."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.int64)
+    csq = (cmat * cmat).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(list(pdf["e"]), dtype=np.int64)
+            d = (a * a).sum(axis=1)[:, None] - 2 * (a @ cmat.T) + csq[None, :]
+            j = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "e": pdf["e"],
+                    "cluster": cids[j],
+                    "d": d[np.arange(len(j)), j],
+                }
             )
-            for cid, vec in cents
-        ]
-    )
-    best = F.array_min(choices)
-    return emb.select(
-        "vec_id", "e", best["cid"].alias("cluster"), best["d"].alias("d")
-    )
+
+    return emb.mapInPandas(assign, "vec_id long, e array<long>, cluster long, d long")
 
 
 def _kmeans_centroids(
@@ -579,22 +587,24 @@ def _kmeans_centroids(
     cents = [(int(r.vec_id), list(r.e)) for r in init]
     for _ in range(KMEANS_ITERS - 1):
         assigned = _kmeans_assign(emb, cents)
+        # Per-dim means as (cluster, pos) rows — a 2-key agg over the
+        # exploded components compiles in milliseconds, where 64 separate
+        # sum expressions paid ~2 s of whole-stage-codegen; rounding stays
+        # Spark-side so the oracle's ROUND semantics are matched verbatim.
         rows = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.round(F.sum(F.col("e")[i]) / F.count("*"), 0)
-                    .cast("long")
-                    .alias(f"c{i}")
-                    for i in range(KMEANS_DIM)
-                ],
-            )
+            assigned.select("cluster", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.sum("v") / F.count("*"), 0).cast("long").alias("comp"))
             .collect()
         )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(
+                r["comp"]
+            )
         cents = sorted(
-            (int(r["cluster"]), [int(r[f"c{i}"]) for i in range(KMEANS_DIM)])
-            for r in rows
+            (cid, [comps[p] for p in range(KMEANS_DIM)])
+            for cid, comps in by_cluster.items()
         )
     return cents
 
@@ -622,9 +632,10 @@ def kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the per-cluster size + inertia profile — the clustering step a
     curation pipeline runs for topic balancing / SemDeDup-style pruning.
 
-    Iterative-algorithm-on-Spark shape: each assignment pass compiles the
-    centroids into LITERAL expressions (no join, no shuffle of the
-    corpus); see :func:`_kmeans_centroids` for the driver round-trip. All
+    Iterative-algorithm-on-Spark shape: each assignment pass ships the
+    centroid block into the scan via the kernel closure (no join, no
+    shuffle of the corpus); see :func:`_kmeans_centroids` for the driver
+    round-trip. All
     arithmetic is integer (milli-quantized components, squared-L2
     distances, round-half-up centroid means), so the DuckDB oracle — the
     same two iterations unrolled as CTEs — matches exactly. Init is the
@@ -645,39 +656,53 @@ def semdedup_pairs(
     the pair space is sum(|cluster|²) instead of |corpus|² — THE scale
     path for embedding dedup at 100 TB, where all-pairs is impossible.
 
-    Reads the session's materialized k-means assignment; the self-join
-    hashes both sides on the cluster id (partition-pruned when the index
-    is written partitioned by cluster). Scoring is the same integer-exact
-    quantized cosine as the brute-force baseline, so within-cluster pairs
-    match `embedding_near_dup_pairs` exactly — recall loss is only
-    cross-cluster pairs, measured in `test_similarity_plans.py`."""
+    Reads the session's materialized k-means assignment and scores each
+    cluster independently inside ``applyInPandas`` — one |cluster|²
+    int64 matmul per group (the same kernel as the blocked brute force),
+    shuffled once on the cluster id (partition-pruned when the index is
+    written partitioned by cluster). The kernel reproduces the quantized
+    cosine bit-exactly, so within-cluster pairs match
+    `embedding_near_dup_pairs` — recall loss is only cross-cluster
+    pairs, measured in `test_similarity_plans.py`."""
+    import numpy as np
+    import pandas as pd
+
     idx = kmeans_index(spark, sf_dir).select("vec_id", "cluster", "e")
-    withn = idx.select(
-        "vec_id", "cluster", "e", _norm(F.col("e")).alias("n")
-    )
-    a = withn.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("cluster").alias("ca"),
-        F.col("e").alias("ea"),
-        F.col("n").alias("na"),
-    )
-    b = withn.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cluster").alias("cb"),
-        F.col("e").alias("eb"),
-        F.col("n").alias("nb"),
-    )
-    scored = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.col("ca").alias("cluster"),
-            _sim_micro(
-                _dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
-            ).alias("sim_micro"),
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cluster": pd.Series(dtype="int64"),
+                "sim_micro": pd.Series(dtype="int64"),
+            }
         )
-    )
-    return scored.filter(F.col("sim_micro") >= threshold_micro).orderBy(
-        "vec_a", "vec_b"
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(np.int64))
+        ids = pdf["vec_id"].to_numpy(np.int64)[order]
+        m = np.array(list(pdf["e"]), dtype=np.int64)[order]
+        norms = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+        sim = (1_000_000 * (m @ m.T)).astype(np.float64) / np.outer(norms, norms)
+        simq = np.where(sim >= 0, np.floor(sim + 0.5), np.ceil(sim - 0.5)).astype(
+            np.int64
+        )
+        keep = (simq >= threshold_micro) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        if not len(ai):
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ai],
+                "vec_b": ids[bi],
+                "cluster": np.full(len(ai), int(pdf["cluster"].iloc[0]), dtype=np.int64),
+                "sim_micro": simq[ai, bi],
+            }
+        )
+
+    return (
+        idx.groupBy("cluster")
+        .applyInPandas(score, "vec_a long, vec_b long, cluster long, sim_micro long")
+        .orderBy("vec_a", "vec_b")
     )
