@@ -1446,3 +1446,46 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp_dim.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .orderBy("s_suppkey")
     )
+
+
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the events stream: per column the
+    row count, null count, distinct count, and min/max — the table stats
+    a cost-based optimizer (and a pipeline health dashboard) feeds on.
+
+    ONE scan: all per-column aggregates run in a single keyless agg row
+    (count-distincts share one Expand), then unpivot driver-side via
+    ``inline`` — the profile never re-reads the table per column. Values
+    are emitted as strings of integers/cents so the schema is uniform
+    across numeric and string columns and engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000000").alias("ts_ms"),
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+    )
+    cols = ["event_id", "user_id", "ts_ms", "event_type", "value_cents"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    row = ev.agg(F.count("*").alias("__n"), *aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_val"),
+                F.col(f"{c}__mx").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.inline(entries)).orderBy("col_name")

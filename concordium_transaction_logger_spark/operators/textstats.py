@@ -393,3 +393,36 @@ def quality_classifier(
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition: the fraction of token
+    bigrams that are duplicates of an earlier bigram in the same doc —
+    the boilerplate/looping-text signal that complements the top-token
+    share in `doc_repetition_profile`.
+
+    Bigram scope is the document, so everything is row-local array math
+    (transform over an index sequence + array_distinct) — zero shuffles;
+    at 100 TB the filter runs scan-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bg = F.expr(
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i])) "
+        "ELSE array() END"
+    )
+    nb = F.size(F.col("b")).cast("long")
+    nd = F.size(F.array_distinct(F.col("b"))).cast("long")
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .select("doc_id", bg.alias("b"))
+        .select(
+            "doc_id",
+            nb.alias("n_bigrams"),
+            nd.alias("n_distinct_bigrams"),
+            F.when(nb > 0, F.round(1000.0 * (nb - nd) / nb, 0).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("dup_permille"),
+        )
+        .orderBy("doc_id")
+    )

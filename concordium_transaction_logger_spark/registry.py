@@ -1463,6 +1463,59 @@ ORDER BY doc_id
         ),
         bench=True,
     ),
+    "doc_bigram_repetition": QueryDef(
+        textstats.bigram_repetition,
+        """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(2, len(t) + 1), i -> t[i-1] || ' ' || t[i])
+              ELSE CAST([] AS VARCHAR[]) END AS b
+  FROM toks
+)
+SELECT doc_id,
+  CAST(len(b) AS BIGINT) AS n_bigrams,
+  CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct_bigrams,
+  CASE WHEN len(b) > 0
+       THEN CAST(ROUND(1000.0 * (len(b) - len(list_distinct(b))) / len(b)) AS BIGINT)
+       ELSE 0 END AS dup_permille
+FROM bg
+ORDER BY doc_id
+""",
+        bench=True,
+    ),
+    "events_column_profile": QueryDef(
+        relational.events_column_profile,
+        """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT 'event_id' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(event_id) AS n_nulls,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       CAST(MIN(event_id) AS VARCHAR) AS min_val, CAST(MAX(event_id) AS VARCHAR) AS max_val FROM ev
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id),
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM ev
+UNION ALL
+SELECT 'ts_ms', COUNT(*), COUNT(*) - COUNT(ts_ms), COUNT(DISTINCT ts_ms),
+       CAST(MIN(ts_ms) AS VARCHAR), CAST(MAX(ts_ms) AS VARCHAR) FROM ev
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type),
+       MIN(event_type), MAX(event_type) FROM ev
+UNION ALL
+SELECT 'value_cents', COUNT(*), COUNT(*) - COUNT(value_cents), COUNT(DISTINCT value_cents),
+       CAST(MIN(value_cents) AS VARCHAR), CAST(MAX(value_cents) AS VARCHAR) FROM ev
+ORDER BY col_name
+""",
+        bench=True,
+    ),
     "doc_quality_classifier": QueryDef(
         textstats.quality_classifier,
         """

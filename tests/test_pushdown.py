@@ -216,3 +216,23 @@ def test_mixture_plan_total_is_single_row_broadcast(spark, sf_dir):
     plan = layout.explain_str(sampling.mixture_plan(spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_bigram_repetition_is_shuffle_free(spark, sf_dir):
+    """Intra-doc repetition is row-local array math — no Exchange
+    anywhere in the plan (the global sort for display is the only
+    allowed one)."""
+    from concordium_transaction_logger_spark.operators import textstats
+
+    df = textstats.bigram_repetition(spark, sf_dir)
+    plan = layout.explain_str(df.limit(10), "simple")
+    assert "Join" not in plan
+
+
+def test_column_profile_scans_once(spark, sf_dir):
+    """The ANALYZE-style profile reads the table exactly once — all
+    per-column aggregates share a single scan."""
+    df = relational.events_column_profile(spark, sf_dir)
+    plan = layout.explain_str(df, "simple")
+    n_scans = plan.count("FileScan") or plan.count("Scan parquet")
+    assert n_scans == 1, plan
