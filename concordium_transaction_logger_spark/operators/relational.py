@@ -1489,3 +1489,42 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.inline(entries)).orderBy("col_name")
+
+
+def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring/alerting shape: each (event_type, hour) count compared
+    to its trailing 24-hour average — the ratio (per-mille) an anomaly
+    alert thresholds on.
+
+    Two stages: the hourly rollup (partial agg, |types x hours| rows out)
+    then one analytic window per event_type over the TINY rollup — the
+    window never touches raw events, so at 100 TB it runs on thousands of
+    rows regardless of input size. The first bucket of each type has no
+    trailing history: ratio is NULL there (both engines agree)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type", F.expr("(ts DIV 1000000) DIV 3600000").alias("hour_bucket")
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-24, -1)
+    )
+    trailing = F.avg("n_events").over(w)
+    return (
+        hourly.select(
+            "event_type",
+            "hour_bucket",
+            "n_events",
+            F.round(1000.0 * F.col("n_events") / trailing, 0)
+            .cast("long")
+            .alias("ratio_permille"),
+        )
+        .orderBy("event_type", "hour_bucket")
+    )

@@ -967,6 +967,23 @@ ORDER BY s_suppkey
 """,
         bench=True,
     ),
+    "event_hourly_anomaly": QueryDef(
+        relational.event_hourly_anomaly,
+        """
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket, COUNT(*) AS n_events
+  FROM events
+  GROUP BY event_type, hour_bucket
+)
+SELECT event_type, hour_bucket, n_events,
+  CAST(ROUND(1000.0 * n_events / AVG(n_events) OVER (
+    PARTITION BY event_type ORDER BY hour_bucket
+    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) AS BIGINT) AS ratio_permille
+FROM hourly
+ORDER BY event_type, hour_bucket
+""",
+        bench=True,
+    ),
     "forecast_revenue_change": QueryDef(
         relational.forecast_revenue_change,
         """

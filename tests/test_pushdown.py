@@ -236,3 +236,22 @@ def test_column_profile_scans_once(spark, sf_dir):
     plan = layout.explain_str(df, "simple")
     n_scans = plan.count("FileScan") or plan.count("Scan parquet")
     assert n_scans == 1, plan
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Fleet-wide plan hygiene: no registry query may plan a
+    CartesianProduct — every pair-generating shape must be a broadcast
+    nested loop (bounded build side) or a keyed join. A Cartesian here
+    would be quadratic shuffle I/O at 100 TB."""
+    from concordium_transaction_logger_spark.registry import REGISTRY
+
+    offenders = []
+    for name, qd in REGISTRY.items():
+        try:
+            plan = layout.explain_str(qd.spark(spark, sf_dir), "simple")
+        except Exception as exc:  # pragma: no cover - surface as failure
+            offenders.append(f"{name}: explain failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
