@@ -461,6 +461,85 @@ class StreamingDedup:
         q.awaitTermination()
 
 
+class StreamingAnomaly:
+    """Streaming twin of ``relational.event_hourly_anomaly``: tail-follows
+    the :class:`WindowedRollup` sink and raises an alert row whenever a
+    (event_type, hour) count exceeds ``threshold_permille`` of its
+    trailing-24h average — the monitoring loop a resident engine runs on
+    its own rollup.
+
+    Reference-style state placement: the trailing history is the rollup
+    sink itself, re-read per micro-batch (like the enrichment dimension —
+    growth-safe), never a state store. The per-batch history join is a
+    time-banded range join on a |types x hours| rollup, so its cost is
+    independent of raw event volume; alerts write with window-keyed
+    dynamic partition overwrite, so a window re-alerting in a later batch
+    (its count grew) overwrites rather than duplicates — idempotent under
+    replay (ST2)."""
+
+    WINDOW_MS = 3_600_000
+    TRAIL_MS = 24 * 3_600_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        rollup_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        threshold_permille: int = 1050,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.rollup_dir = rollup_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.threshold_permille = threshold_permille
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        hist = self.spark.read.parquet(self.rollup_dir).select(
+            F.col("event_type").alias("h_type"),
+            F.col("window_start_ms").alias("h_start"),
+            F.col("n_events").alias("h_n"),
+        )
+        fresh = batch_df.select("event_type", "window_start_ms", "n_events")
+        trail = (
+            fresh.join(
+                hist,
+                (F.col("h_type") == F.col("event_type"))
+                & (F.col("h_start") >= F.col("window_start_ms") - self.TRAIL_MS)
+                & (F.col("h_start") < F.col("window_start_ms")),
+                "left",
+            )
+            .groupBy("event_type", "window_start_ms", "n_events")
+            .agg(F.avg("h_n").alias("trailing_avg"))
+        )
+        ratio = F.round(1000.0 * F.col("n_events") / F.col("trailing_avg"), 0).cast(
+            "long"
+        )
+        alerts = trail.select(
+            "event_type",
+            "window_start_ms",
+            "n_events",
+            ratio.alias("ratio_permille"),
+        ).filter(F.col("ratio_permille") >= self.threshold_permille)
+        (
+            alerts.write.mode("overwrite")
+            .partitionBy("window_start_ms")
+            .parquet(self.out_dir)
+        )
+
+    def run_available_now(self) -> None:
+        schema = self.spark.read.parquet(self.rollup_dir).schema
+        rollup = self.spark.readStream.schema(schema).parquet(self.rollup_dir)
+        q = (
+            rollup.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def session_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
     """The finalized sessions (each emitted exactly once by append mode)."""
     return spark.read.parquet(out_dir).select(

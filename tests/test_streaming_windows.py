@@ -48,3 +48,79 @@ def test_tail_follow_sees_only_new_rows(spark, sf_dir, tmp_path):
     rows = spark.sql("SELECT id FROM tail").collect()
     assert rows and all(r.id > 900 for r in rows)
     assert len(rows) == events.filter(F.col("event_id") > 900).count()
+
+
+def test_streaming_anomaly_matches_batch_expectation(spark, sf_dir, tmp_path):
+    """The alert stream equals the batch computation of the same
+    time-banded trailing ratio over the rollup sink — and re-running the
+    anomaly stream is a no-op (window-keyed overwrite = idempotent)."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingAnomaly,
+    )
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "events").coalesce(1).write.parquet(src)
+    roll_out = str(tmp_path / "roll")
+    WindowedRollup(spark, src, roll_out, str(tmp_path / "ck1")).run_available_now()
+
+    alert_out = str(tmp_path / "alerts")
+    anom = StreamingAnomaly(
+        spark, roll_out, alert_out, str(tmp_path / "ck2"), threshold_permille=1050
+    )
+    anom.run_available_now()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(alert_out)
+            .select("event_type", "window_start_ms", "n_events", "ratio_permille")
+            .collect(),
+        )
+    )
+
+    roll = spark.read.parquet(roll_out).select(
+        "event_type", "window_start_ms", "n_events"
+    )
+    h = roll.select(
+        F.col("event_type").alias("h_type"),
+        F.col("window_start_ms").alias("h_start"),
+        F.col("n_events").alias("h_n"),
+    )
+    want_df = (
+        roll.join(
+            h,
+            (F.col("h_type") == F.col("event_type"))
+            & (F.col("h_start") >= F.col("window_start_ms") - StreamingAnomaly.TRAIL_MS)
+            & (F.col("h_start") < F.col("window_start_ms")),
+            "left",
+        )
+        .groupBy("event_type", "window_start_ms", "n_events")
+        .agg(F.avg("h_n").alias("trailing_avg"))
+        .select(
+            "event_type",
+            "window_start_ms",
+            "n_events",
+            F.round(1000.0 * F.col("n_events") / F.col("trailing_avg"), 0)
+            .cast("long")
+            .alias("ratio_permille"),
+        )
+        .filter(F.col("ratio_permille") >= 1050)
+    )
+    want = sorted(map(tuple, want_df.collect()))
+    assert want, "fixture produced no anomalies — lower the test threshold"
+    assert got == want
+
+    # idempotency: a second run over the same (fully-consumed) rollup
+    # must not change the alert set.
+    anom2 = StreamingAnomaly(
+        spark, roll_out, alert_out, str(tmp_path / "ck3"), threshold_permille=1050
+    )
+    anom2.run_available_now()
+    again = sorted(
+        map(
+            tuple,
+            spark.read.parquet(alert_out)
+            .select("event_type", "window_start_ms", "n_events", "ratio_permille")
+            .collect(),
+        )
+    )
+    assert again == want
