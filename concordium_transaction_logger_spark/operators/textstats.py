@@ -426,3 +426,30 @@ def bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def winnow_dup_pairs(
+    spark: SparkSession, sf_dir: str, min_shared: int = 2
+) -> DataFrame:
+    """Cross-document repeated-substring detection: document pairs sharing
+    at least ``min_shared`` winnowing fingerprints — the scalable stand-in
+    for suffix-array substring dedup (Lee et al. 2022): winnowing
+    guarantees any shared token run of length >= K+W-1 leaves at least one
+    common fingerprint, and the fingerprint set is a sparse sample (~1/W
+    of k-grams), so the self-join is orders of magnitude lighter than a
+    full shingle join.
+
+    Same join scaling story as n-gram jaccard: hot fingerprints
+    (boilerplate) are the skew risk — the document-frequency cap dial
+    applies identically at 100 TB."""
+    fp = winnow_fingerprints(spark, sf_dir)
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1215,6 +1215,31 @@ ORDER BY doc_id, fp
     "doc_fingerprints": QueryDef(
         textstats.fingerprints, wrap("SELECT doc_id, fp FROM fp ORDER BY doc_id")
     ),
+    "doc_winnow_dup_pairs": QueryDef(
+        textstats.winnow_dup_pairs,
+        wrap(
+            """
+, wgrams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 2),
+                        i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS h
+  FROM toks WHERE len(t) >= 6
+),
+wfp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(h) - 3), i -> list_min(h[i:i+3])))) AS fp
+  FROM wgrams
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= 2
+ORDER BY doc_a, doc_b
+"""
+        ),
+        bench=True,
+    ),
     # ------------------------------------------------------------------
     # Training-data pipeline: deduplication
     # ------------------------------------------------------------------
