@@ -1528,3 +1528,70 @@ def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_bucket")
     )
+
+
+def nation_participation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: per nation, customer count vs supplier
+    count — nations present on either side survive (the join type the
+    rest of the fleet never needed: audits do).
+
+    Both inputs are |nations|-sized rollups, so the full-outer join is a
+    broadcast-able reconciliation of two tiny aggregates — the fact
+    tables are never outer-joined."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    merged = cust.join(supp, F.col("ck") == F.col("sk"), "full_outer").select(
+        F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+    return (
+        merged.join(F.broadcast(nation), F.col("nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "n_customers",
+            "n_suppliers",
+            (F.col("n_customers") - F.col("n_suppliers")).alias("imbalance"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def orders_trailing_month_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: for each order, how many orders the same
+    customer placed in the trailing 30 days (inclusive) — the
+    velocity/fraud-signal shape, and the RANGE-frame member of the window
+    family (every other frame in the fleet is ROWS-based).
+
+    One shuffle on custkey; the frame is evaluated over epoch-seconds so
+    both engines share integer range arithmetic."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("od_ms"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_ms")
+        .rangeBetween(-30 * 86_400_000, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "od_ms",
+            F.count("*").over(w).alias("n_trailing_month"),
+        )
+        .orderBy("o_orderkey")
+    )

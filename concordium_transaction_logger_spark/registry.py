@@ -967,6 +967,35 @@ ORDER BY s_suppkey
 """,
         bench=True,
     ),
+    "nation_participation_balance": QueryDef(
+        relational.nation_participation_balance,
+        """
+WITH cust AS (SELECT c_nationkey AS ck, COUNT(*) AS n_customers FROM customer GROUP BY ck),
+supp AS (SELECT s_nationkey AS sk, COUNT(*) AS n_suppliers FROM supplier GROUP BY sk),
+merged AS (
+  SELECT COALESCE(ck, sk) AS nationkey,
+         COALESCE(n_customers, 0) AS n_customers,
+         COALESCE(n_suppliers, 0) AS n_suppliers
+  FROM cust FULL OUTER JOIN supp ON ck = sk
+)
+SELECT n_name, n_customers, n_suppliers,
+       n_customers - n_suppliers AS imbalance
+FROM merged JOIN nation ON nationkey = n_nationkey
+ORDER BY n_name
+""",
+        bench=True,
+    ),
+    "orders_trailing_month_count": QueryDef(
+        relational.orders_trailing_month_count,
+        """
+SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS od_ms,
+  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+       RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_month
+FROM orders
+ORDER BY o_orderkey
+""",
+        bench=True,
+    ),
     "event_hourly_anomaly": QueryDef(
         relational.event_hourly_anomaly,
         """
