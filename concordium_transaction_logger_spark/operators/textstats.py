@@ -453,3 +453,28 @@ def winnow_dup_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval shape: the language-ID confusion matrix — per
+    (labeled lang, predicted lang) counts and within-label share
+    per-mille. The evaluation loop every curation classifier needs,
+    expressed as two tiny aggregates over the scorer's output (the
+    |langs x codes| rollup re-windows in place; raw docs shuffle once
+    into the count)."""
+    from pyspark.sql.window import Window
+
+    cm = (
+        lang_id(spark, sf_dir)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(1000.0 * F.col("n") / F.sum("n").over(w), 0)
+        .cast("long")
+        .alias("share_permille"),
+    ).orderBy("lang", "pred_lang")

@@ -86,7 +86,7 @@ ORDER BY doc_id
     )
 
 
-def _lang_sql() -> str:
+def _lang_pred_exprs() -> tuple[str, str, list[str]]:
     score_cols = ", ".join(
         "len(regexp_extract_all(lower(text), '\\b({alt})\\b')) AS score_{code}".format(
             alt="|".join(words), code=code
@@ -98,11 +98,33 @@ def _lang_sql() -> str:
     pred = "CASE WHEN {best} = 0 THEN 'und' ".format(best=best) + " ".join(
         f"WHEN score_{c} = {best} THEN '{c}'" for c in codes
     ) + " END"
+    return score_cols, pred, codes
+
+
+def _lang_sql() -> str:
+    score_cols, pred, codes = _lang_pred_exprs()
     return wrap(
         f"""
 SELECT doc_id, lang, {pred} AS pred_lang, {', '.join('score_' + c for c in codes)}
 FROM (SELECT doc_id, lang, {score_cols} FROM documents)
 ORDER BY doc_id
+"""
+    )
+
+
+def _lang_confusion_sql() -> str:
+    score_cols, pred, _codes = _lang_pred_exprs()
+    return wrap(
+        f"""
+, lpred AS (
+  SELECT lang, {pred} AS pred_lang
+  FROM (SELECT doc_id, lang, {score_cols} FROM documents)
+),
+lcm AS (SELECT lang, pred_lang, COUNT(*) AS n FROM lpred GROUP BY lang, pred_lang)
+SELECT lang, pred_lang, n,
+  CAST(ROUND(1000.0 * n / SUM(n) OVER (PARTITION BY lang)) AS BIGINT) AS share_permille
+FROM lcm
+ORDER BY lang, pred_lang
 """
     )
 
@@ -1209,6 +1231,9 @@ ORDER BY doc_id
     ),
     "doc_quality": QueryDef(textstats.quality_scores, _quality_sql()),
     "doc_lang_id": QueryDef(textstats.lang_id, _lang_sql()),
+    "doc_lang_confusion": QueryDef(
+        textstats.lang_confusion, _lang_confusion_sql(), bench=True
+    ),
     "doc_bpe_token_stats": QueryDef(
         textstats.bpe_token_stats,
         wrap(

@@ -95,3 +95,65 @@ def test_keyset_pages_partition_the_full_result(spark, sf_dir):
             seen.extend(r.ati_id for r in page)
             start = page[-1].ati_id - 1
         assert seen == sorted(full, reverse=True), f"page_size={page_size}"
+
+
+@given(
+    shared=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=6, max_size=10
+    ),
+    pre=st.lists(
+        st.text(alphabet="mnopqrst", min_size=1, max_size=6), min_size=0, max_size=8
+    ),
+    post=st.lists(
+        st.text(alphabet="uvwxyz", min_size=1, max_size=6), min_size=0, max_size=8
+    ),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_winnowing_guarantee_shared_run_leaves_common_fingerprint(
+    spark, tmp_path_factory, shared, pre, post
+):
+    """Schleimer et al.'s guarantee: two documents sharing a token run of
+    length >= K + W - 1 must share at least one winnow fingerprint. Doc A
+    is the shared run; doc B embeds it between unrelated prefix/suffix
+    tokens (disjoint alphabets, so no accidental k-gram collisions)."""
+    from concordium_transaction_logger_spark.operators import textstats
+
+    out = str(tmp_path_factory.mktemp("winnow") / "documents.parquet")
+    doc_a = " ".join(shared)
+    doc_b = " ".join(pre + shared + post)
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text=doc_a, lang="en", source="s", n_chars=len(doc_a)),
+            Row(doc_id=1, text=doc_b, lang="en", source="s", n_chars=len(doc_b)),
+        ]
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    fps = textstats.winnow_fingerprints(spark, out.rsplit("/", 1)[0]).collect()
+    a = {r.fp for r in fps if r.doc_id == 0}
+    b = {r.fp for r in fps if r.doc_id == 1}
+    assert a & b, "shared run >= K+W-1 tokens left no common fingerprint"
+
+
+def test_kmeans_assignment_invariant_to_partitioning(spark, sf_dir):
+    """The final cluster assignment is a pure function of the data —
+    identical whether the corpus arrives in 1 partition or 32 (no
+    partition-order dependence in the iterative path)."""
+    from pyspark.sql import functions as F
+
+    from concordium_transaction_logger_spark.operators import similarity
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    emb = similarity._quantized(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "e"
+    )
+    cents = similarity._kmeans_centroids(spark, sf_dir)
+    one = sorted(
+        (r.vec_id, r.cluster)
+        for r in similarity._kmeans_assign(emb.coalesce(1), cents).collect()
+    )
+    many = sorted(
+        (r.vec_id, r.cluster)
+        for r in similarity._kmeans_assign(
+            emb.repartition(32), cents
+        ).collect()
+    )
+    assert one == many
