@@ -1595,3 +1595,31 @@ def orders_trailing_month_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+#: Dialect-neutral ANSI text shared verbatim by the Spark run and the
+#: DuckDB oracle — the `spark.sql` front door, zero translation.
+ANSI_SHARED_SQL = """
+WITH pr AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, revenue_cents
+FROM pr
+WHERE revenue_cents * 10000 > 5 * (SELECT SUM(revenue_cents) FROM pr)
+ORDER BY revenue_cents DESC, l_partkey
+"""
+
+
+def ansi_sql_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: registers the corpus as temp views and runs
+    ``ANSI_SHARED_SQL`` through ``spark.sql`` — the IDENTICAL text the
+    DuckDB oracle executes, zero dialect translation. Catalyst plans it
+    exactly like the DataFrame build of the same query
+    (`concentrated_part_revenue`), so a reference user can bring plain
+    ANSI SQL instead of learning the DataFrame API."""
+    from ..sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(ANSI_SHARED_SQL)

@@ -989,6 +989,9 @@ ORDER BY s_suppkey
 """,
         bench=True,
     ),
+    "ansi_sql_gateway": QueryDef(
+        relational.ansi_sql_gateway, relational.ANSI_SHARED_SQL
+    ),
     "nation_participation_balance": QueryDef(
         relational.nation_participation_balance,
         """
