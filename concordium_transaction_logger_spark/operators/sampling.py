@@ -202,3 +202,80 @@ def mixture_plan(spark: SparkSession, sf_dir: str, cap_permille: int = 4000) -> 
         )
         .orderBy("lang")
     )
+
+
+def curation_verdict(
+    spark: SparkSession, sf_dir: str, val_permille: int = 100, salt: str = "v1"
+) -> DataFrame:
+    """The WHOLE curation funnel as one declarative plan: quality gate →
+    exact dedup (keeper = min doc_id among gate survivors) → classifier →
+    train/val split, emitting one ordered verdict per document
+    (too_short | low_alpha | digit_heavy | duplicate | low_quality |
+    kept) and the split for kept docs.
+
+    Composition cost: every stage except the dedup keeper is row-local,
+    so the funnel is ONE shuffle (the fingerprint groupBy) regardless of
+    how many rules stack — Catalyst fuses the gate, classifier, and split
+    expressions into the same scan. This is the argument for declarative
+    curation: N pipeline passes collapse into one plan."""
+    from .textstats import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n = F.length("text")
+    alpha_pm = (
+        F.when(
+            n > 0,
+            F.round(1000.0 * F.length(F.regexp_replace(lower, "[^a-z]", "")) / n, 0),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    digit_pm = (
+        F.when(
+            n > 0,
+            F.round(1000.0 * F.length(F.regexp_replace(lower, "[^0-9]", "")) / n, 0),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    from .textstats import GATE_MAX_DIGIT_PERMILLE, GATE_MIN_ALPHA_PERMILLE, GATE_MIN_CHARS
+
+    gate_reason = (
+        F.when(n < GATE_MIN_CHARS, F.lit("too_short"))
+        .when(alpha_pm < GATE_MIN_ALPHA_PERMILLE, F.lit("low_alpha"))
+        .when(digit_pm > GATE_MAX_DIGIT_PERMILLE, F.lit("digit_heavy"))
+        .otherwise(F.lit("ok"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        gate_reason.alias("gate_reason"),
+        classifier_score(F.col("text")).alias("q"),
+        _bucket(F.col("doc_id"), salt).alias("bucket"),
+    )
+    keepers = (
+        base.filter(F.col("gate_reason") == "ok")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    verdict = (
+        F.when(F.col("gate_reason") != "ok", F.col("gate_reason"))
+        .when(F.col("doc_id") != F.col("keeper_id"), F.lit("duplicate"))
+        .when(F.col("q") < 0, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        base.join(keepers, ["fp"], "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.when(
+                verdict == "kept",
+                F.when(F.col("bucket") < val_permille, F.lit("val")).otherwise(
+                    F.lit("train")
+                ),
+            ).alias("split"),
+        )
+        .orderBy("doc_id")
+    )

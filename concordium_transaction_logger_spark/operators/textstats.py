@@ -363,6 +363,19 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLS_SALT = "w1"
 
 
+def classifier_score(text_col: Column) -> Column:
+    """The linear quality score as a reusable column expression (see
+    :func:`quality_classifier` for semantics)."""
+
+    def w(tok: Column) -> Column:
+        h = F.md5(F.concat(tok, F.lit("#" + CLS_SALT)))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 21) - 10
+
+    return F.aggregate(
+        tokens(text_col), F.lit(0).cast("long"), lambda acc, x: acc + w(x)
+    )
+
+
 def quality_classifier(
     spark: SparkSession, sf_dir: str, threshold: int = 0
 ) -> DataFrame:
@@ -378,12 +391,7 @@ def quality_classifier(
     the heuristic gate (`doc_quality_gate`) it complements."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-
-    def w(tok: Column) -> Column:
-        h = F.md5(F.concat(tok, F.lit("#" + CLS_SALT)))
-        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 21) - 10
-
-    score = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + w(x))
+    score = classifier_score(F.col("text"))
     return (
         docs.select(
             "doc_id",

@@ -1636,6 +1636,45 @@ ORDER BY doc_id
 """,
         bench=True,
     ),
+    "corpus_curation_verdict": QueryDef(
+        sampling.curation_verdict,
+        """
+WITH base AS (
+  SELECT doc_id, md5(text) AS fp,
+    CASE WHEN length(text) < 100 THEN 'too_short'
+         WHEN (CASE WHEN length(text) > 0
+                    THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) AS BIGINT)
+                    ELSE 0 END) < 500 THEN 'low_alpha'
+         WHEN (CASE WHEN length(text) > 0
+                    THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^0-9]', '', 'g')) / length(text)) AS BIGINT)
+                    ELSE 0 END) > 300 THEN 'digit_heavy'
+         ELSE 'ok' END AS gate_reason,
+    CAST(COALESCE(list_sum(list_transform(
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        tok -> CAST(('0x' || substr(md5(tok || '#w1'), 1, 8)) AS BIGINT) % 21 - 10)), 0) AS BIGINT) AS q,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#v1'), 1, 8)) AS BIGINT) % 1000 AS bucket
+  FROM documents
+),
+keepers AS (
+  SELECT fp, MIN(doc_id) AS keeper_id FROM base WHERE gate_reason = 'ok' GROUP BY fp
+),
+v AS (
+  SELECT b.doc_id,
+    CASE WHEN b.gate_reason <> 'ok' THEN b.gate_reason
+         WHEN b.doc_id <> k.keeper_id THEN 'duplicate'
+         WHEN b.q < 0 THEN 'low_quality'
+         ELSE 'kept' END AS verdict,
+    b.bucket
+  FROM base b LEFT JOIN keepers k USING (fp)
+)
+SELECT doc_id, verdict,
+  CASE WHEN verdict = 'kept'
+       THEN (CASE WHEN bucket < 100 THEN 'val' ELSE 'train' END) END AS split
+FROM v
+ORDER BY doc_id
+""",
+        bench=True,
+    ),
     "doc_train_split": QueryDef(
         sampling.split_assignment,
         """
