@@ -213,14 +213,17 @@ def cis2_tokens(feed: DataFrame) -> DataFrame:
     """Running total supply per token — the A1/A2 upsert expressed as a
     plain aggregation (the Spark-idiomatic replacement for
     ``ON CONFLICT DO UPDATE total_supply = total_supply + delta``,
-    main.rs:222-251). DECIMAL(38,0) mirrors NUMERIC(80,0) within Spark's
-    precision cap (SURVEY §7 hard part 1)."""
+    main.rs:222-251). The internal sum runs at DECIMAL(38,0) for overflow
+    headroom; the emitted total is BIGINT — amounts are integer cents far
+    below 2^63 in this corpus, and BIGINT hashes identically across
+    engines (DECIMAL representation does not). The NUMERIC(80,0)-fidelity
+    variant is ``cis2_tokens_wide`` (SURVEY §7 hard part 1)."""
     return (
         cis2_events(feed)
         .groupBy("idx", "subidx", "token_id")
         .agg(
             F.sum(F.col("amount").cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
+            .cast("long")
             .alias("total_supply")
         )
     )
@@ -243,7 +246,7 @@ def cis2_tokens_guarded(feed: DataFrame) -> DataFrame:
         .groupBy("idx", "subidx", "token_id")
         .agg(
             F.sum(F.col("amount").cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
+            .cast("long")
             .alias("total_supply")
         )
     )

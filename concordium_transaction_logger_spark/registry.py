@@ -246,7 +246,7 @@ REGISTRY: dict[str, QueryDef] = {
         wrap(
             """
 SELECT idx, subidx, token_id,
-       CAST(SUM(CAST(amount AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total_supply
+       CAST(SUM(CAST(amount AS DECIMAL(38,0))) AS BIGINT) AS total_supply
 FROM cis2_events GROUP BY idx, subidx, token_id
 ORDER BY idx, subidx, token_id
 """
@@ -327,7 +327,7 @@ ORDER BY id
         wrap(
             """
 SELECT idx, subidx, token_id,
-       CAST(SUM(CAST(amount AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total_supply
+       CAST(SUM(CAST(amount AS DECIMAL(38,0))) AS BIGINT) AS total_supply
 FROM (SELECT c.*, c.summary // 8 AS height FROM cis2_events c) m
 JOIN (SELECT event_id // 8 AS height, bool_and(k % 97 <> 0) AS ok
       FROM evt WHERE event_type IN ('purchase', 'error')

@@ -702,7 +702,7 @@ def supply_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("idx", "subidx", "token_id")
         .agg(
             F.sum(F.col("amount").cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
+            .cast("long")
             .alias("total_supply")
         )
     )
