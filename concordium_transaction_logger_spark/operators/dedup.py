@@ -31,6 +31,16 @@ from .textstats import fingerprints, tokens
 MINHASH_K = 8
 BAND_ROWS = 4  # 2 bands of 4 minhashes each
 SHINGLE = 3
+#: Default document-frequency cap for shingle/fingerprint self-joins: a
+#: shingle seen in more documents than this is a stop-shingle (boilerplate)
+#: and is dropped before pair generation — the default MUST be the capped
+#: form because the uncapped self-join's pair count grows as Σ df² per
+#: shingle and a single hot shingle at 100 TB is a job-killing skew key.
+#: The uncapped exact variant stays available via ``max_df=None``.
+#: 5 ≈ the q99 document frequency of the test corpora — at production
+#: scale tune to a permille of |docs|; what matters is that the default
+#: path is the capped one and the cap is actually exercised.
+DEFAULT_MAX_DF = 5
 
 
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,25 +114,43 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_or_build("shingle_index", spark, sf_dir, build)
 
 
+def stop_shingles(
+    spark: SparkSession, sf_dir: str, max_df: int = DEFAULT_MAX_DF
+) -> DataFrame:
+    """The shingles the df-cap drops, with their document frequencies —
+    the no-silent-caps artifact (SCALE.md): whatever the capped jaccard
+    excludes is enumerable and auditable, never silently discarded."""
+    return (
+        shingle_index(spark, sf_dir)
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .orderBy("sh")
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold_permille: int = 500,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Near-dup pairs by word-trigram Jaccard >= threshold.
 
     inter/union from the shingle self-join; doc sizes joined back from the
     distinct-shingle counts. Jaccard emitted as per-mille BIGINT.
 
-    ``max_df`` is the scale dial for hot-shingle skew (SCALE.md): shingles
-    appearing in more than ``max_df`` documents are *stop-shingles* — they
-    carry no discrimination but dominate the self-join's pair count
-    (|pairs| grows as Σ df² per shingle). The stop list is tiny by
-    construction (only the most common shingles), so it rides as a
-    broadcast left-anti join — the fact-side shingle set never shuffles
-    for the cap. Jaccard is then computed over the capped shingle space
-    (sizes recomputed after the cap, consistently on both engines)."""
+    ``max_df`` is the scale dial for hot-shingle skew (SCALE.md), and the
+    capped form IS the default: shingles appearing in more than ``max_df``
+    documents are *stop-shingles* — they carry no discrimination but
+    dominate the self-join's pair count (|pairs| grows as Σ df² per
+    shingle). The stop list is tiny by construction (only the most common
+    shingles), so it rides as a broadcast left-anti join — the fact-side
+    shingle set never shuffles for the cap. Jaccard is then computed over
+    the capped shingle space (sizes recomputed after the cap, consistently
+    on both engines). The dropped shingles are enumerable via
+    :func:`stop_shingles` (no silent caps); ``max_df=None`` is the exact
+    uncapped variant for bounded corpora / recall audits."""
     sh = shingle_index(spark, sf_dir).select("doc_id", "shh")
     if max_df is not None:
         stop = (

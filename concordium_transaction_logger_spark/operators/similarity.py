@@ -126,58 +126,87 @@ def near_dup_pairs(
 
 
 def near_dup_pairs_blocked(
-    spark: SparkSession, sf_dir: str, threshold_micro: int = 400_000
+    spark: SparkSession, sf_dir: str, threshold_micro: int = 400_000, n_blocks: int = 8
 ) -> DataFrame:
     """Same result as :func:`near_dup_pairs`, different physical shape:
-    blocked numpy matrix products inside ``mapInPandas``.
+    a distributed triangle block-nested-loop with numpy matmul kernels.
 
-    Each task scores its Arrow batch of rows against the broadcast corpus
-    with one ``A @ M.T`` int64 matmul — BLAS-vectorized, ~2 orders of
-    magnitude more multiply-adds/sec than evaluating a 64-element
-    ``zip_with``/``aggregate`` expression tree per pair. This is the
-    100 TB brute-force kernel: the corpus block that rides along is the
-    LSH/IVF bucket's contents there, not the full table, and both sides
-    block; the integer dot keeps results bit-identical to the expression
-    variant and the DuckDB oracle (rounding reproduces Spark's HALF_UP).
-    """
+    Vectors are hashed into ``n_blocks`` disjoint blocks; the (i <= j)
+    block-pair triangle is cogrouped so each task scores one ``A @ B.T``
+    int64 matmul — BLAS-vectorized, ~2 orders of magnitude more
+    multiply-adds/sec than a 64-element ``zip_with`` expression tree per
+    pair. No table data ever passes through the driver: replication is
+    ``n_blocks + 1`` copies through one shuffle (the classic triangle
+    self-join), and each task holds only 2 blocks (~2·N/n_blocks rows),
+    so executor memory bounds the block size, not the corpus. Pick
+    ``n_blocks ~ sqrt(cluster cores)`` at scale. The integer dot keeps
+    results bit-identical to the expression variant and the DuckDB oracle
+    (rounding reproduces Spark's HALF_UP). This stays the *exact* recall
+    oracle — the sub-quadratic scale paths are :func:`semdedup_pairs`
+    (cluster-blocked) and the LSH bucket join."""
     import numpy as np
     import pandas as pd
 
-    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
-    rows = emb.select("vec_id", "e").collect()
-    ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m_all = np.array([r["e"] for r in rows], dtype=np.int64)
-    norms_all = np.sqrt((m_all * m_all).sum(axis=1).astype(np.float64))
-    bc = spark.sparkContext.broadcast((ids_all, m_all, norms_all))
+    emb = _quantized(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "e", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk")
+    )
+    tri = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "bi int, bj int",
+    )
+    tri_r = tri.select(F.col("bi").alias("rbi"), F.col("bj").alias("rbj"))
+    left = emb.join(F.broadcast(tri), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "vec_id", "e"
+    )
+    right = emb.join(F.broadcast(tri_r), F.col("blk") == F.col("rbj")).select(
+        "rbi", "rbj", F.col("vec_id").alias("rvec_id"), F.col("e").alias("re")
+    )
 
-    def score(batches):
-        cids, corpus, cnorms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a = np.array(list(pdf["e"]), dtype=np.int64)
-            aids = pdf["vec_id"].to_numpy(np.int64)
-            anorms = np.sqrt((a * a).sum(axis=1).astype(np.float64))
-            sim = (1_000_000 * (a @ corpus.T)).astype(np.float64) / np.outer(
-                anorms, cnorms
-            )
-            simq = np.where(
-                sim >= 0, np.floor(sim + 0.5), np.ceil(sim - 0.5)
-            ).astype(np.int64)
-            keep = (simq >= threshold_micro) & (aids[:, None] < cids[None, :])
-            ai, ci = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_a": aids[ai],
-                    "vec_b": cids[ci],
-                    "sim_micro": simq[ai, ci],
-                }
-            )
+    def score(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "sim_micro": pd.Series(dtype="int64"),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        same_block = int(key[0]) == int(key[1])
+        a = np.array(list(lpdf["e"]), dtype=np.int64)
+        b = np.array(list(rpdf["re"]), dtype=np.int64)
+        aids = lpdf["vec_id"].to_numpy(np.int64)
+        bids = rpdf["rvec_id"].to_numpy(np.int64)
+        an = np.sqrt((a * a).sum(axis=1).astype(np.float64))
+        bn = np.sqrt((b * b).sum(axis=1).astype(np.float64))
+        sim = (1_000_000 * (a @ b.T)).astype(np.float64) / np.outer(an, bn)
+        simq = np.where(sim >= 0, np.floor(sim + 0.5), np.ceil(sim - 0.5)).astype(
+            np.int64
+        )
+        keep = simq >= threshold_micro
+        if same_block:
+            # both sides hold the same rows: keep each unordered pair once
+            keep &= aids[:, None] < bids[None, :]
+        else:
+            keep &= aids[:, None] != bids[None, :]
+        ai, bi_ = np.nonzero(keep)
+        if not len(ai):
+            return empty
+        va, vb = aids[ai], bids[bi_]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "sim_micro": simq[ai, bi_],
+            }
+        )
 
-    probe = emb.repartition(spark.sparkContext.defaultParallelism).select("vec_id", "e")
-    return probe.mapInPandas(
-        score, schema="vec_a long, vec_b long, sim_micro long"
-    ).orderBy("vec_a", "vec_b")
+    return (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("rbi", "rbj"))
+        .applyInPandas(score, schema="vec_a long, vec_b long, sim_micro long")
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def _centroid_sums(emb: DataFrame) -> DataFrame:
@@ -419,22 +448,57 @@ def lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Multi-probe radius: a query probes every bucket within this Hamming
+#: distance of its own signature. Radius 2 over 8 planes = 37 of 256
+#: buckets (~14% of a uniform corpus) — the recall/cost dial; radius 0
+#: is classic single-bucket LSH (cheapest, lowest recall).
+LSH_PROBE_RADIUS = 2
+
+
+def _probe_masks(radius: int) -> list[int]:
+    from itertools import combinations
+
+    return [
+        sum(1 << b for b in bits)
+        for r in range(radius + 1)
+        for bits in combinations(range(N_PLANES), r)
+    ]
+
+
 def ann_lsh_topk(
     spark: SparkSession,
     sf_dir: str,
     n_queries: int = 5,
     k: int = 10,
+    radius: int = LSH_PROBE_RADIUS,
 ) -> DataFrame:
-    """ANN via hyperplane-LSH buckets: score only candidates sharing the
-    query's bucket (recall < 1, cost ~ |bucket| instead of |corpus|).
+    """ANN via multi-probe hyperplane-LSH: score only candidates whose
+    bucket is within Hamming distance ``radius`` of the query's signature
+    (recall < 1, cost ~ probed-bucket mass instead of |corpus|).
 
-    Same deterministic scoring as :func:`cosine_topk`; reads the session's
-    materialized signature index (see :func:`lsh_index`)."""
+    The probe set is generated by XOR-ing the query signature with the
+    constant ≤radius-bit masks and *exploded on the tiny query side*, so
+    the candidate join stays an equality join on the bucket — the shape
+    that partition-prunes when the index is written bucket-partitioned at
+    100 TB (single-probe LSH keeps the same plan with radius=0; its
+    all-8-bits-agree requirement makes recall collapse, measured in
+    tests/test_similarity_plans.py). Each candidate owns exactly one
+    bucket and probe masks are distinct, so no pair dedup is needed.
+    Same deterministic scoring as :func:`cosine_topk`; reads the
+    session's materialized signature index (see :func:`lsh_index`)."""
     emb = lsh_index(spark, sf_dir)
+    masks = _probe_masks(radius)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
-        F.col("lsh_bucket").alias("qb"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("lsh_bucket").bitwiseXOR(F.lit(m)).cast("long")
+                    for m in masks
+                ]
+            )
+        ).alias("qb"),
         F.col("vnorm").alias("qn"),
     )
     cands = emb.filter(F.col("vec_id") >= n_queries).select(

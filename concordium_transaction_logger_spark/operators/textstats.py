@@ -436,8 +436,18 @@ def bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Default df-cap for the winnow fingerprint self-join — same skew story
+#: as ``dedup.DEFAULT_MAX_DF``: a boilerplate fingerprint shared by d
+#: documents contributes d² pairs, so the capped form is the default and
+#: the uncapped exact variant is ``max_df=None``.
+WINNOW_MAX_DF = 5
+
+
 def winnow_dup_pairs(
-    spark: SparkSession, sf_dir: str, min_shared: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    min_shared: int = 2,
+    max_df: int | None = WINNOW_MAX_DF,
 ) -> DataFrame:
     """Cross-document repeated-substring detection: document pairs sharing
     at least ``min_shared`` winnowing fingerprints — the scalable stand-in
@@ -448,9 +458,20 @@ def winnow_dup_pairs(
     full shingle join.
 
     Same join scaling story as n-gram jaccard: hot fingerprints
-    (boilerplate) are the skew risk — the document-frequency cap dial
-    applies identically at 100 TB."""
+    (boilerplate) are the skew risk, so the document-frequency cap is ON
+    by default — fingerprints in more than ``max_df`` docs are dropped
+    via a broadcast anti-join before pair generation (they signal
+    boilerplate, not shared authored content). ``max_df=None`` restores
+    the exact uncapped join for bounded corpora."""
     fp = winnow_fingerprints(spark, sf_dir)
+    if max_df is not None:
+        stop = (
+            fp.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        fp = fp.join(F.broadcast(stop), "fp", "left_anti")
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

@@ -155,8 +155,11 @@ _COSINE_SIM = (
 def _lsh_topk_sql() -> str:
     """The LSH-bucketed ANN is fully SQL-expressible because the random
     hyperplanes are deterministic md5-derived literals (similarity.py):
-    bit j of the signature = (plane_j · e) >= 0."""
-    from .operators.similarity import N_PLANES, _plane_component
+    bit j of the signature = (plane_j · e) >= 0. Multi-probe membership
+    (Hamming distance <= radius between signatures) is xor + bit_count —
+    the oracle states the semantics; the Spark plan realizes it as a
+    probe-exploded equality join."""
+    from .operators.similarity import LSH_PROBE_RADIUS, N_PLANES, _plane_component
 
     def plane(j: int) -> str:
         return "[" + ", ".join(str(_plane_component(j, d)) for d in range(64)) + "]"
@@ -173,7 +176,9 @@ SELECT query_id, neighbor_id, sim_micro,
                           ORDER BY sim_micro DESC, neighbor_id ASC) AS rank
 FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COSINE_SIM} AS sim_micro
-  FROM sig q JOIN sig c ON q.b = c.b AND q.vec_id < 5 AND c.vec_id >= 5) s
+  FROM sig q JOIN sig c
+    ON bit_count(CAST(xor(q.b, c.b) AS BIGINT)) <= {LSH_PROBE_RADIUS}
+   AND q.vec_id < 5 AND c.vec_id >= 5) s
 QUALIFY rank <= 10
 ORDER BY query_id, rank
 """
@@ -1275,19 +1280,21 @@ ORDER BY doc_id, fp
     "doc_winnow_dup_pairs": QueryDef(
         textstats.winnow_dup_pairs,
         wrap(
-            """
+            f"""
 , wgrams AS (
   SELECT doc_id,
          list_transform(generate_series(1, len(t) - 2),
                         i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS h
   FROM toks WHERE len(t) >= 6
 ),
-wfp AS (
+wfp0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
              generate_series(1, len(h) - 3), i -> list_min(h[i:i+3])))) AS fp
   FROM wgrams
-)
+),
+wstop AS (SELECT fp FROM wfp0 GROUP BY fp HAVING COUNT(*) > {textstats.WINNOW_MAX_DF}),
+wfp AS (SELECT * FROM wfp0 WHERE fp NOT IN (SELECT fp FROM wstop))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
@@ -1384,32 +1391,15 @@ ORDER BY doc_id
         ),
         bench=True,
     ),
+    # Default = the df-capped form: stop-shingles (df > DEFAULT_MAX_DF)
+    # are dropped via a broadcast anti-join before pair generation — the
+    # skew dial that bounds the self-join pair count at 100 TB (SCALE.md
+    # "hot shingles"). The dropped set is auditable via doc_stop_shingles.
     "doc_ngram_jaccard_pairs": QueryDef(
         lambda spark, sf: dedup.ngram_jaccard_pairs(spark, sf, 500),
         wrap(
-            """
-SELECT da AS doc_a, db AS doc_b, i AS n_inter,
-       CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) AS jaccard_permille
-FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2) t
-JOIN sh_sizes x ON x.doc_id = da
-JOIN sh_sizes y ON y.doc_id = db
-WHERE CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) >= 500
-ORDER BY doc_a, doc_b
-"""
-        ),
-        bench=True,
-    ),
-    # Same jaccard with the hot-shingle document-frequency cap — the
-    # skew dial that bounds the self-join pair count at 100 TB (SCALE.md
-    # "hot shingles"): stop-shingles (df > cap) are dropped via a
-    # broadcast anti-join before pair generation.
-    "doc_ngram_jaccard_dfcap": QueryDef(
-        lambda spark, sf: dedup.ngram_jaccard_pairs(spark, sf, 500, max_df=20),
-        wrap(
-            """
-, stop AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) > 20),
+            f"""
+, stop AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) > {dedup.DEFAULT_MAX_DF}),
 capped AS (SELECT * FROM shingles WHERE sh NOT IN (SELECT sh FROM stop)),
 cap_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id)
 SELECT da AS doc_a, db AS doc_b, i AS n_inter,
@@ -1419,6 +1409,34 @@ FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       GROUP BY 1, 2) t
 JOIN cap_sizes x ON x.doc_id = da
 JOIN cap_sizes y ON y.doc_id = db
+WHERE CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) >= 500
+ORDER BY doc_a, doc_b
+"""
+        ),
+        bench=True,
+    ),
+    # No-silent-caps audit artifact: exactly what the default cap drops.
+    "doc_stop_shingles": QueryDef(
+        dedup.stop_shingles,
+        wrap(
+            f"""
+SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh
+HAVING COUNT(*) > {dedup.DEFAULT_MAX_DF} ORDER BY sh
+"""
+        ),
+    ),
+    # The exact uncapped variant — the recall oracle for bounded corpora.
+    "doc_ngram_jaccard_exact": QueryDef(
+        lambda spark, sf: dedup.ngram_jaccard_pairs(spark, sf, 500, max_df=None),
+        wrap(
+            """
+SELECT da AS doc_a, db AS doc_b, i AS n_inter,
+       CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) AS jaccard_permille
+FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2) t
+JOIN sh_sizes x ON x.doc_id = da
+JOIN sh_sizes y ON y.doc_id = db
 WHERE CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) >= 500
 ORDER BY doc_a, doc_b
 """

@@ -14,11 +14,22 @@ def test_near_dup_pairs_joins_are_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in layout.explain_str(df, "simple")
 
 
-def test_blocked_near_dup_has_no_join_at_all(spark, sf_dir):
+def test_blocked_near_dup_is_triangle_cogroup(spark, sf_dir):
+    """The blocked brute force is a distributed triangle block-nested
+    loop: the only joins are broadcasts of the tiny (bi, bj) triangle
+    table, the pair scoring runs in a cogrouped matmul kernel, and no
+    table data passes through the driver (no collect in the operator)."""
     df = similarity.near_dup_pairs_blocked(spark, sf_dir)
     plan = layout.explain_str(df, "simple")
-    assert "Join" not in plan, "matmul kernel replaces the pair join"
-    assert "MapInPandas" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan, "block tagging must broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan, "pair join must be the kernel"
+
+
+def test_blocked_near_dup_matches_unblocked_exactly(spark, sf_dir):
+    a = [tuple(r) for r in similarity.near_dup_pairs(spark, sf_dir).collect()]
+    b = [tuple(r) for r in similarity.near_dup_pairs_blocked(spark, sf_dir).collect()]
+    assert a and a == b
 
 
 def test_ivf_probe_broadcasts_centroids_and_probes(spark, sf_dir):
@@ -36,6 +47,31 @@ def test_jaccard_size_join_is_broadcast(spark, sf_dir):
     doc-size enrichment joins must broadcast."""
     plan = layout.explain_str(dedup.ngram_jaccard_pairs(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_and_ivf_topk_recall_against_exact(spark, sf_dir):
+    """Measured recall floors for the two sub-linear ANN paths vs the
+    exact brute-force ranking. These are ANN operators — recall < 1 by
+    design — but a floor pins the quality/cost point so a regression
+    (e.g., dropping multi-probe back to single-bucket LSH, which measures
+    ~0.0-0.02 recall@10 here) fails loudly."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(spark, sf_dir, 5, 10).collect()
+    }
+    assert exact
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(spark, sf_dir, 5, 10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(spark, sf_dir, 5, 10).collect()
+    }
+    lsh_recall = len(exact & lsh) / len(exact)
+    ivf_recall = len(exact & ivf) / len(exact)
+    assert lsh_recall >= 0.3, f"multi-probe LSH recall@10 too low: {lsh_recall:.2f}"
+    assert ivf_recall >= 0.4, f"IVF nprobe=4 recall@10 too low: {ivf_recall:.2f}"
 
 
 def test_int8_topk_recall_against_exact(spark, sf_dir):
