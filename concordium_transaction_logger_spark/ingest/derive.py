@@ -217,7 +217,9 @@ def cis2_tokens(feed: DataFrame) -> DataFrame:
     headroom; the emitted total is BIGINT — amounts are integer cents far
     below 2^63 in this corpus, and BIGINT hashes identically across
     engines (DECIMAL representation does not). The NUMERIC(80,0)-fidelity
-    variant is ``cis2_tokens_wide`` (SURVEY §7 hard part 1)."""
+    variant is :func:`cis2_tokens_wide` below (SURVEY §7 hard part 1);
+    the streaming twin with the same fidelity is
+    ``streaming.pipeline.StatefulSupply``."""
     return (
         cis2_events(feed)
         .groupBy("idx", "subidx", "token_id")
@@ -227,6 +229,90 @@ def cis2_tokens(feed: DataFrame) -> DataFrame:
             .alias("total_supply")
         )
     )
+
+
+#: Wide-sum geometry: 5 limbs x 18 digits = 90-digit capacity, beyond the
+#: reference's NUMERIC(80,0) (m0001-initial.sql:39). 18-digit limbs fit a
+#: DECIMAL(38,0) accumulator with 10^20 rows of headroom per group.
+WIDE_LIMBS = 5
+WIDE_LIMB_DIGITS = 18
+
+
+def wide_sum(df: DataFrame, group_cols: list[str], amount_col: str) -> DataFrame:
+    """Arbitrary-precision signed integer SUM over a decimal-string column
+    — the batch NUMERIC(80,0) path (m0001-initial.sql:39, main.rs:222-251:
+    the reference stores CIS2 total_supply as NUMERIC(80,0) because token
+    amounts are u256-scale).
+
+    Spark has no decimal wider than 38 digits, so the sum runs as limb
+    arithmetic: each amount splits scan-side into ``WIDE_LIMBS`` signed
+    18-digit limbs (pure string/arithmetic expressions, whole-stage
+    codegen); each limb column sums independently as DECIMAL(38,0) with
+    full partial aggregation — ONE shuffle of |groups| rows carrying
+    ``WIDE_LIMBS`` decimals, identical shape to a plain sum at 100 TB.
+    The only Python is the final carry/render over the already-aggregated
+    |groups|-row result (an Arrow-batched ``mapInPandas`` doing exact int
+    arithmetic) — O(|tokens|), never O(|events|).
+
+    Emits ``total_supply`` as its canonical decimal STRING (no leading
+    zeros, ``-`` sign, ``0`` for zero) — strings hash identically across
+    engines at any width."""
+    import pandas as pd
+
+    width = WIDE_LIMBS * WIDE_LIMB_DIGITS
+    s = F.col(amount_col).cast("string")
+    sign = F.when(F.substring(s, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
+    digits = F.lpad(F.when(sign < 0, F.substring(s, 2, width)).otherwise(s), width, "0")
+    limbs = [
+        (
+            F.substring(digits, 1 + i * WIDE_LIMB_DIGITS, WIDE_LIMB_DIGITS).cast(
+                "decimal(38,0)"
+            )
+            * sign
+        ).alias(f"limb{i}")
+        for i in range(WIDE_LIMBS)
+    ]
+    summed = (
+        df.select(*group_cols, *limbs)
+        .groupBy(*group_cols)
+        .agg(*[F.sum(f"limb{i}").alias(f"limb{i}") for i in range(WIDE_LIMBS)])
+    )
+    out_fields = ", ".join(
+        f"{c} {t}"
+        for c, t in zip(
+            group_cols + ["total_supply"],
+            [dict(summed.dtypes)[c] for c in group_cols] + ["string"],
+        )
+    )
+
+    def finalize(batches):
+        base = 10**WIDE_LIMB_DIGITS
+        for pdf in batches:
+            totals = [
+                str(
+                    sum(
+                        int(pdf[f"limb{i}"].iloc[r]) * base ** (WIDE_LIMBS - 1 - i)
+                        for i in range(WIDE_LIMBS)
+                    )
+                )
+                for r in range(len(pdf))
+            ]
+            yield pd.DataFrame(
+                {**{c: pdf[c] for c in group_cols}, "total_supply": totals}
+            )
+
+    return summed.mapInPandas(finalize, out_fields)
+
+
+def cis2_tokens_wide(feed: DataFrame) -> DataFrame:
+    """The NUMERIC(80,0)-fidelity running supply (m0001-initial.sql:39):
+    same grouping as :func:`cis2_tokens`, but the total survives any token
+    whose cumulative supply exceeds DECIMAL(38,0)/int64 — see
+    :func:`wide_sum` for the limb plan. On the test corpus (cent-scale
+    amounts) it agrees with the narrow path value-for-value; the >38-digit
+    regime is exercised against an exact Python-int oracle in
+    ``tests/test_query_semantics.py``."""
+    return wide_sum(cis2_events(feed), ["idx", "subidx", "token_id"], "amount")
 
 
 def cis2_tokens_guarded(feed: DataFrame) -> DataFrame:

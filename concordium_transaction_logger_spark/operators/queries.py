@@ -140,6 +140,14 @@ def cis2_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive.cis2_tokens(feed).orderBy("idx", "subidx", "token_id")
 
 
+def cis2_supply_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC(80,0)-fidelity supply totals (m0001-initial.sql:39) —
+    limb-summed arbitrary-precision batch path; total_supply is the
+    canonical decimal string. See derive.wide_sum."""
+    feed = derive.block_feed(spark, sf_dir)
+    return derive.cis2_tokens_wide(feed).orderBy("idx", "subidx", "token_id")
+
+
 def key_bindings_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current public-key bindings per account (M1 latest-wins snapshot,
     main.rs:506-540)."""

@@ -258,6 +258,24 @@ ORDER BY idx, subidx, token_id
         ),
         bench=True,
     ),
+    # NUMERIC(80,0) batch fidelity (m0001-initial.sql:39): same totals as
+    # cis2_supply on this corpus, emitted as canonical decimal strings by
+    # the limb-summed arbitrary-precision path; the >38-digit regime is
+    # covered by tests/test_query_semantics.py against a Python-int oracle
+    # (DuckDB itself tops out at DECIMAL(38,0), so the driver oracle can
+    # only witness the in-range agreement).
+    "cis2_supply_wide": QueryDef(
+        queries.cis2_supply_wide,
+        wrap(
+            """
+SELECT idx, subidx, token_id,
+       CAST(CAST(SUM(CAST(amount AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         AS total_supply
+FROM cis2_events GROUP BY idx, subidx, token_id
+ORDER BY idx, subidx, token_id
+"""
+        ),
+    ),
     "key_bindings_latest": QueryDef(
         lambda spark, sf: queries.key_bindings_latest(spark, sf),
         wrap("SELECT * FROM bindings ORDER BY address"),

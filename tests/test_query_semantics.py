@@ -65,3 +65,45 @@ def test_resume_offset_is_top_k(spark, sf_dir):
     assert layout.uses_top_k(df)
     (row,) = df.collect()
     assert row.height >= 0
+
+
+def test_wide_sum_beyond_decimal38_matches_python_int_oracle(spark):
+    """NUMERIC(80,0) batch fidelity (m0001-initial.sql:39): the limb-summed
+    wide path must agree with exact Python-int arithmetic on amounts up to
+    79 digits, through sign changes and cancellation — the regime where
+    both int64 and DECIMAL(38,0) overflow and DuckDB has no oracle."""
+    import random
+
+    from concordium_transaction_logger_spark.ingest.derive import wide_sum
+
+    random.seed(11)
+    rows, expected = [], {}
+    for grp in range(4):
+        for _ in range(100):
+            mag = random.randint(1, 10 ** random.randint(1, 79))
+            v = mag if random.random() < 0.6 else -mag
+            rows.append((grp, str(v)))
+            expected[grp] = expected.get(grp, 0) + v
+    # exact cancellation in one group: totals must render "0", not "-0"
+    rows += [(9, "1" + "0" * 60), (9, "-1" + "0" * 60)]
+    expected[9] = 0
+    df = spark.createDataFrame(rows, "grp int, amt string")
+    got = {r["grp"]: r["total_supply"] for r in wide_sum(df, ["grp"], "amt").collect()}
+    assert got == {g: str(v) for g, v in expected.items()}
+    assert any(len(v.lstrip("-")) > 38 for v in got.values())
+
+
+def test_cis2_supply_wide_agrees_with_narrow_in_range(spark, sf_dir):
+    """On cent-scale corpora the wide path is value-identical to the
+    narrow BIGINT path — the fidelity upgrade changes representation,
+    never in-range results."""
+    narrow = {
+        (r["idx"], r["subidx"], r["token_id"]): r["total_supply"]
+        for r in q.cis2_supply(spark, sf_dir).collect()
+    }
+    wide = {
+        (r["idx"], r["subidx"], r["token_id"]): r["total_supply"]
+        for r in q.cis2_supply_wide(spark, sf_dir).collect()
+    }
+    assert narrow and wide.keys() == narrow.keys()
+    assert all(wide[k] == str(narrow[k]) for k in narrow)
