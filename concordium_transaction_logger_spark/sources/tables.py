@@ -15,7 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..session import apply_runtime_confs
 
@@ -34,25 +34,43 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table, normalizing the event-feed timestamp.
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to the engine's internal contract —
+    **LongType epoch nanoseconds** (F1 epoch-ms extraction is
+    ``ts DIV 1e6``) — regardless of corpus vintage.
 
-    The engine's internal contract for ``events.ts`` is **LongType epoch
-    nanoseconds** (F1 epoch-ms extraction is ``ts DIV 1e6``). The corpus
-    has shipped it two ways across driver generations: INT64 nanos (read
-    via ``spark.sql.legacy.parquet.nanosAsLong``) and ``timestamp[us]``
-    (reads as TIMESTAMP_NTZ under Spark 4's ``inferTimestampNTZ``). Both
-    are normalized here — at the source, once — so every operator and the
-    streaming replay see one schema regardless of corpus vintage.
-    """
+    The corpus has shipped ``ts`` three ways across driver generations:
+    INT64 nanos (read via ``spark.sql.legacy.parquet.nanosAsLong``),
+    ``timestamp[us]`` reading as TIMESTAMP_NTZ (Spark 4's
+    ``inferTimestampNTZ``), and plain TIMESTAMP. Pure expressions only,
+    so this applies identically to batch reads and streaming readers
+    (both ingest paths MUST see one schema). The NTZ wall clock is
+    anchored to UTC explicitly via ``make_timestamp(..., 'UTC')`` —
+    session-tz independent (``to_utc_timestamp``/``unix_micros`` on NTZ
+    coerce through the session zone first and silently shift the epoch
+    on a foreign session whose time-zone conf could not be applied)."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "unix_micros(make_timestamp(year(ts), month(ts), day(ts), "
+                "hour(ts), minute(ts), extract(SECOND FROM ts), 'UTC')) * 1000"
+            ),
+        )
+    # TIMESTAMP (an absolute instant): unix_micros is tz-independent.
+    return df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table, normalizing the event-feed timestamp at the
+    source, once — see :func:`normalize_events`."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and not isinstance(df.schema["ts"].dataType, LongType):
-        # TIMESTAMP/TIMESTAMP_NTZ -> epoch-nanos Long (session tz is UTC,
-        # so the NTZ wall clock IS the epoch clock).
-        df = df.withColumn(
-            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
-        )
+    if name == "events":
+        df = normalize_events(df)
     return df
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..ingest import derive
 from ..session import apply_runtime_confs
+from ..sources.tables import normalize_events
 
 #: Append-only sink tables written per micro-batch.
 SINKS = ("summaries", "ati", "cti", "cis2_events", "bindings_all")
@@ -47,6 +48,21 @@ SINKS = ("summaries", "ati", "cti", "cis2_events", "bindings_all")
 #: the deliberate asymmetry with the read path (P7), which silently drops
 #: malformed rows: strict on write, lenient on read (SURVEY §4).
 KNOWN_EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
+
+
+def _events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None
+) -> DataFrame:
+    """The one streaming reader for the event feed: schema pinned from a
+    batch read, ``ts`` normalized to epoch-nanos Long by the same
+    expressions as the batch path (``sources.tables.normalize_events``) —
+    a timestamp-vintage corpus fed straight to any streaming pipeline
+    sees the identical schema the batch operators see."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger or 1000
+    )
+    return normalize_events(reader.parquet(source_dir))
 
 
 def _derive_all(feed: DataFrame) -> dict[str, DataFrame]:
@@ -90,8 +106,13 @@ class StreamingIngest:
         (insert_block, main.rs:545-574): all five sinks written for the
         batch, keyed by ``ingest_batch`` for idempotent replay."""
         if self.strict:
+            # NULL-safe: ``~isin`` is NULL for NULL, which would let a
+            # NULL-typed event slide through the abort gate.
             unknown = (
-                batch_df.filter(~F.col("event_type").isin(*KNOWN_EVENT_TYPES))
+                batch_df.filter(
+                    F.col("event_type").isNull()
+                    | ~F.col("event_type").isin(*KNOWN_EVENT_TYPES)
+                )
                 .select("event_type")
                 .limit(1)
                 .collect()
@@ -114,11 +135,7 @@ class StreamingIngest:
     def run_available_now(self) -> None:
         """Consume everything currently in the source, then stop
         (Trigger.AvailableNow — the catch-up mode, README:19-23)."""
-        reader = (
-            self.spark.readStream.schema(self._schema())
-            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
-            .parquet(self.source_dir)
-        )
+        reader = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
         q = (
             reader.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -200,12 +217,7 @@ class StreamingEnrichment:
         )
 
     def run_available_now(self) -> None:
-        schema = self.spark.read.parquet(self.source_dir).schema
-        reader = (
-            self.spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
-            .parquet(self.source_dir)
-        )
+        reader = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
         q = (
             reader.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -224,10 +236,20 @@ class StreamStreamAttribution:
     the join state (clicks older than the window are evicted).
 
     Semantics: inner join, append mode — a match is emitted once, exactly
-    when both events have arrived; finality of the feed (ST1) makes the
-    degenerate 0-second watermark safe. At 100 TB the state store holds
-    one window of clicks per user — O(active users × window rate), never
-    the stream history."""
+    when both events have arrived. Watermark delay on BOTH sides is the
+    attribution window plus a disorder slack: with ``maxFilesPerTrigger``
+    splitting the feed, file order is not event-time order, so a click
+    landing a micro-batch after its purchase must still be in join state
+    when the purchase arrives — a 0-second watermark silently drops such
+    matches (multi-batch equivalence to the batch join is asserted in
+    ``tests/test_streaming.py``). At 100 TB the state store holds one
+    window-plus-slack of clicks per user — O(active users × window
+    rate), never the stream history. ``slack_ms`` is the source's maximum
+    cross-batch event-time disorder — a latency/completeness dial, like
+    any Kafka-era allowed-lateness setting."""
+
+    #: default cross-micro-batch disorder tolerated beyond the window.
+    SLACK_MS = 60_000
 
     def __init__(
         self,
@@ -237,6 +259,7 @@ class StreamStreamAttribution:
         checkpoint_dir: str,
         window_ms: int = 300_000,
         max_files_per_trigger: int | None = None,
+        slack_ms: int = SLACK_MS,
     ):
         self.spark = apply_runtime_confs(spark)
         self.source_dir = source_dir
@@ -244,8 +267,10 @@ class StreamStreamAttribution:
         self.checkpoint_dir = checkpoint_dir
         self.window_ms = window_ms
         self.max_files_per_trigger = max_files_per_trigger
+        self.slack_ms = slack_ms
 
     def _typed(self, events: DataFrame, kind: str, prefix: str) -> DataFrame:
+        delay_s = (self.window_ms + self.slack_ms) // 1000
         return (
             events.filter(F.col("event_type") == kind)
             .select(
@@ -253,16 +278,11 @@ class StreamStreamAttribution:
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.timestamp_millis(F.expr("ts DIV 1000000")).alias(f"{prefix}_ts"),
             )
-            .withWatermark(f"{prefix}_ts", "0 seconds")
+            .withWatermark(f"{prefix}_ts", f"{delay_s} seconds")
         )
 
     def run_available_now(self) -> None:
-        schema = self.spark.read.parquet(self.source_dir).schema
-        reader = (
-            self.spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
-            .parquet(self.source_dir)
-        )
+        reader = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
         purchases = self._typed(reader, "purchase", "p")
         clicks = self._typed(reader, "click", "c")
         joined = purchases.join(
@@ -317,8 +337,7 @@ class WindowedRollup:
         )
 
     def run_available_now(self) -> None:
-        schema = self.spark.read.parquet(self.source_dir).schema
-        events = self.spark.readStream.schema(schema).parquet(self.source_dir)
+        events = _events_stream(self.spark, self.source_dir, None)
         agg = (
             events.withColumn(
                 "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
@@ -379,12 +398,7 @@ class SessionWindowRollup:
         )
 
     def run_available_now(self) -> None:
-        schema = self.spark.read.parquet(self.source_dir).schema
-        events = (
-            self.spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
-            .parquet(self.source_dir)
-        )
+        events = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
         agg = (
             events.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
             .withWatermark("event_time", "0 seconds")
@@ -439,12 +453,7 @@ class StreamingDedup:
         ).parquet(self.out_dir)
 
     def run_available_now(self) -> None:
-        schema = self.spark.read.parquet(self.source_dir).schema
-        events = (
-            self.spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
-            .parquet(self.source_dir)
-        )
+        events = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
         deduped = (
             events.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
             .withWatermark("event_time", self.within)
@@ -612,12 +621,7 @@ class StatefulSupply:
     def run_available_now(self) -> None:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        schema = self.spark.read.parquet(self.source_dir).schema
-        events = (
-            self.spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
-            .parquet(self.source_dir)
-        )
+        events = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
         movements = derive.cis2_events(
             derive.feed_from_events(events, n_users=self.n_users)
         )

@@ -288,3 +288,129 @@ def test_streaming_dedup_drops_cross_batch_redelivery(spark, sf_dir, dirs):
     assert set(ids) == expect
     # the replayed segment really did span micro-batches
     assert out.select("ingest_batch").distinct().count() > 1
+
+
+def test_strict_ingest_rejects_null_event_type(spark, sf_dir, dirs):
+    """NULL is just as unknown as a novel variant: ``~isin`` alone is
+    NULL for NULL and would let a NULL-typed event slide through the
+    abort gate (main.rs:332-341 knows no NULL variant either)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    poisoned = events.limit(50).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    poisoned.coalesce(1).write.mode("append").parquet(dirs["source"])
+    ingest = StreamingIngest(spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users)
+    with pytest.raises((StreamingQueryException, ValueError)):
+        ingest.run_available_now()
+
+
+def test_stream_stream_join_multi_batch_matches_batch(spark, sf_dir, dirs):
+    """The attribution join under REAL micro-batching: the feed arrives
+    as four time-contiguous files consumed one per trigger, with the
+    LAST click of each segment deliberately deferred to the next file —
+    file order is not event-time order. The watermark (window + slack on
+    both sides, slack = the staged disorder) must keep those clicks
+    joinable; a 0-second watermark silently drops them as late input.
+    Result must equal the batch inner join exactly."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamStreamAttribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    seg = n // 4 + 1
+    segments = []
+    for i in range(4):
+        segments.append(
+            events.filter(
+                (F.col("event_id") >= i * seg) & (F.col("event_id") < (i + 1) * seg)
+            )
+        )
+    os.makedirs(dirs["source"], exist_ok=True)
+    n_deferred, max_disorder_ms = 0, 0
+    for i, part in enumerate(segments):
+        end_ms = part.agg(F.max(F.expr("ts DIV 1000000"))).first()[0]
+        last_click_ms = (
+            part.filter(F.col("event_type") == "click")
+            .agg(F.max(F.expr("ts DIV 1000000")))
+            .first()[0]
+        )
+        late_clicks = part.filter(
+            (F.col("event_type") == "click")
+            & (F.expr("ts DIV 1000000") == last_click_ms)
+        )
+        if i + 1 < len(segments) and last_click_ms is not None:
+            n_deferred += late_clicks.count()
+            max_disorder_ms = max(max_disorder_ms, end_ms - last_click_ms)
+            segments[i + 1] = segments[i + 1].unionByName(late_clicks)
+            part_out = part.join(
+                late_clicks.select("event_id"), "event_id", "left_anti"
+            )
+        else:
+            part_out = part
+        part_out.coalesce(1).write.mode("append").parquet(
+            os.path.join(dirs["source"], f"seg{i}.parquet")
+        )
+    assert n_deferred > 0, "staging must actually defer clicks across batches"
+
+    StreamStreamAttribution(
+        spark,
+        dirs["source"] + "/*",
+        dirs["out"],
+        dirs["ckpt"],
+        window_ms=300_000,
+        max_files_per_trigger=1,
+        slack_ms=max_disorder_ms + 1_000,
+    ).run_available_now()
+    got = spark.read.parquet(dirs["out"])
+
+    ev = events.select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000000").alias("ts_ms")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ms").alias("c_ms"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ms") <= F.col("p_ms"))
+        & (F.col("c_ms") >= F.col("p_ms") - 300_000),
+    ).select(
+        "p_event_id", "c_event_id", "user_id", (F.col("p_ms") - F.col("c_ms")).alias("gap_ms")
+    )
+    cols = ["p_event_id", "c_event_id", "user_id", "gap_ms"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+    assert got.count() > 0
+
+
+def test_streaming_ingest_normalizes_timestamp_vintage(spark, sf_dir, dirs, tmp_path):
+    """A timestamp-vintage corpus (``ts`` as TIMESTAMP, not INT64 nanos)
+    fed straight to the STREAMING source must produce the same sink rows
+    as the nanos-vintage feed — the ts normalization lives in the shared
+    reader, not only in batch load_table."""
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    vintage = events.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    vintage.coalesce(1).write.mode("append").parquet(dirs["source"])
+
+    ingest = StreamingIngest(spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users)
+    ingest.run_available_now()
+
+    feed = derive.block_feed(spark, sf_dir)
+    batch_summaries = derive.summaries(feed)
+    stream_summaries = read_sink(spark, dirs["out"], "summaries")
+    cols = ["id", "block", "ts_ms", "height", "summary", "sender"]
+    assert _sorted_rows(stream_summaries, cols) == _sorted_rows(batch_summaries, cols)
