@@ -80,6 +80,33 @@ def write_fk_bucketed(
     )
 
 
+def query_account_over_layout(
+    spark: SparkSession,
+    ati_table: str,
+    account: int,
+    limit: int | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """The P2/J4 account point query served FROM the bucketed layout —
+    the at-rest analog of the reference's PK(account, id) index probe
+    (m0001-initial.sql:18, postgres.rs:97-99: "good plan" = index scan).
+    The equality predicate on the bucketing column lets Spark's bucket
+    pruning read ONE bucket file-group of N (``SelectedBucketsCount: 1
+    out of N`` in the scan node — asserted in tests/test_layout.py and
+    captured in PLANS.md); within the bucket the data is sorted by id,
+    so the keyset top-k is a TakeOrderedAndProject over one sorted
+    bucket, never a table scan.
+
+    ``autoBucketedScan`` is forced off: that heuristic drops the bucketed
+    scan when no join/aggregation consumes the distribution — but here
+    the point of the bucketed scan IS filter pruning, which it silently
+    forfeits ("Bucketed: false (disabled by query planner)")."""
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    df = spark.table(ati_table).filter(F.col("account") == account)
+    df = df.orderBy(F.col("id").desc() if descending else F.col("id").asc())
+    return df.limit(limit) if limit is not None else df
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), mode

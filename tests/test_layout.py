@@ -75,3 +75,28 @@ def test_salted_activity_equals_unsalted(spark, sf_dir):
         tuple(r) for r in q.account_activity_salted(spark, sf_dir, 16).collect()
     )
     assert plain == salted
+
+
+def test_account_point_query_prunes_to_one_bucket(spark, sf_dir):
+    """The PK(account, id) analog end-to-end (m0001-initial.sql:18): the
+    account equality predicate over the bucket-by-account layout must
+    prune the scan to ONE bucket of 8 — visible as SelectedBucketsCount
+    in the scan node — and the keyset top-k must plan as
+    TakeOrderedAndProject, not a full sort. Plan captured in PLANS.md."""
+    feed = derive.block_feed(spark, sf_dir)
+    layout.write_ati_bucketed(derive.ati(feed), "ati_prune_test", n_buckets=8)
+    try:
+        df = layout.query_account_over_layout(spark, "ati_prune_test", 7, limit=20)
+        plan = layout.explain_str(df)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert "TakeOrderedAndProject" in plan
+        # served rows match the non-layout operator's ati keyset
+        want = (
+            derive.ati(feed)
+            .filter(F.col("account") == 7)
+            .orderBy(F.col("id").desc())
+            .limit(20)
+        )
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ati_prune_test")
