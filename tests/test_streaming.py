@@ -414,3 +414,54 @@ def test_streaming_ingest_normalizes_timestamp_vintage(spark, sf_dir, dirs, tmp_
     stream_summaries = read_sink(spark, dirs["out"], "summaries")
     cols = ["id", "block", "ts_ms", "height", "summary", "sender"]
     assert _sorted_rows(stream_summaries, cols) == _sorted_rows(batch_summaries, cols)
+
+
+@pytest.mark.slow
+def test_sf01_all_five_sinks_match_batch_with_crash_replay(spark, dirs):
+    """sf0.1 end-to-end: the feed arrives as three time-contiguous files
+    consumed as separate micro-batches; ALL FIVE sink tables must equal
+    the batch derivation row-for-row, and a lost-checkpoint full replay
+    (the crash-recovery worst case) must leave every sink unchanged
+    (ST2: idempotent batch-keyed partition overwrite)."""
+    sf_dir = "/root/testdata/sf0.1"
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    n = events.agg(F.max("event_id")).first()[0] + 1
+    for i in range(3):
+        (
+            events.filter(
+                (F.col("event_id") >= i * n // 3)
+                & (F.col("event_id") < (i + 1) * n // 3)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dirs["source"])
+        )
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users,
+        max_files_per_trigger=1,
+    ).run_available_now()
+
+    feed = derive.block_feed(spark, sf_dir)
+    batch = {
+        "summaries": (derive.summaries(feed), ["id", "block", "ts_ms", "height", "summary", "sender"]),
+        "ati": (derive.ati(feed), ["id", "account", "summary"]),
+        "cti": (derive.cti(feed), ["id", "idx", "subidx", "summary"]),
+        "cis2_events": (derive.cis2_events(feed), ["idx", "subidx", "token_id", "amount", "summary"]),
+        "bindings_all": (derive.key_bindings_all(feed), ["address", "public_key", "credential_index", "key_index", "is_simple_account", "event_id"]),
+    }
+
+    def check_all():
+        for name, (want, cols) in batch.items():
+            got = read_sink(spark, dirs["out"], name)
+            assert _sorted_rows(got, cols) == _sorted_rows(want, cols), name
+
+    check_all()
+    # crash recovery worst case: checkpoint lost, everything replays —
+    # dynamic partition overwrite keeps each sink exactly-once.
+    shutil.rmtree(dirs["ckpt"])
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users,
+        max_files_per_trigger=1,
+    ).run_available_now()
+    check_all()
