@@ -267,6 +267,68 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as a *measuring instrument*, not just a bucketer: for every
+    LSH-band candidate pair, the Jaccard estimate = fraction of agreeing
+    minhashes (the unbiased MinHash estimator, Broder 1997) — per-mille
+    BIGINT over MINHASH_K signatures.
+
+    This is the cheap second stage a production dedup pipeline runs
+    between banding and any exact verification: it reads ONLY the two
+    k-slot signatures (fixed width), never re-shingling the documents —
+    at 100 TB the candidate pairs join the signature index twice
+    (broadcast the pair list when it is small, hash-join on doc id when
+    it is not) and the estimate is a row-local expression. Correlation
+    with the exact shingle Jaccard is asserted in
+    ``tests/test_components_split.py``."""
+    pairs = minhash_band_pairs(spark, sf_dir)
+    sig = minhash_index(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    agree = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0),
+        range(MINHASH_K),
+        F.lit(0),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("long").alias("n_agree"),
+            F.round(1000.0 * agree / MINHASH_K, 0)
+            .cast("long")
+            .alias("est_jaccard_permille"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact a curation pipeline actually ships: the cleaned
+    corpus — documents whose doc_id is its component's keeper (min id),
+    with provenance columns, annotated with how many near-duplicates the
+    keeper absorbed. The doc bodies never shuffle: the narrow verdict
+    frame (doc_id, keep) joins back into the documents scan and the
+    filter drops losers scan-side."""
+    comp = dup_components(spark, sf_dir)
+    keep = comp.filter(F.col("doc_id") == F.col("component_id")).select(
+        "doc_id", (F.col("component_size") - 1).alias("n_absorbed")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return docs.join(keep, "doc_id").orderBy("doc_id")
+
+
 def dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
     """Connected components over the MinHash-band candidate graph — the
     step a real dedup pipeline runs after pair generation: near-dup PAIRS

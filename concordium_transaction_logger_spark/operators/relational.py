@@ -767,24 +767,69 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE(10) over per-customer total spend — the global-ranking shape.
-
-    Scale note: a global NTILE forces the |customers| aggregate through a
-    single window partition. That is fine here (the input is already the
-    grouped frame, ~1e6 rows per 100 TB of orders); for a truly unbounded
-    key space the scale path is approx_percentile cutoffs + a broadcast
-    bucket join, which avoids the single-task sort at the cost of
-    boundary-exactness."""
+def global_ranked(df: DataFrame, sort_cols: list, rank_col: str = "rn") -> DataFrame:
+    """Distributed EXACT global row_number — the two-pass ranking that
+    replaces a single-partition ``Window.orderBy``: range-repartition on
+    the (total-ordered) sort key, rank locally inside each partition, add
+    each partition's prefix offset. The only driver traffic is the P
+    partition sizes (control plane); no partition ever holds more than its
+    range share, so the sort parallelizes across the cluster. The input
+    is persisted so the offset pass and the rank pass see one consistent
+    range partitioning."""
     from pyspark.sql.window import Window
 
+    p = df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(p, *sort_cols).persist()
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    sizes = sorted(
+        (r["_pid"], r["cnt"])
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    wlocal = Window.partitionBy("_pid").orderBy(*sort_cols)
+    return (
+        with_pid.withColumn(
+            rank_col,
+            (F.row_number().over(wlocal) + omap[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) over per-customer total spend — the global-ranking shape,
+    computed WITHOUT a single-partition window: :func:`global_ranked`
+    range-partitions the |customers| aggregate, ranks locally, and adds
+    prefix offsets; the decile is then pure arithmetic on the global rank
+    using SQL NTILE's bucket-size rule (first ``n mod 10`` buckets get
+    one extra row) — bit-identical to the window NTILE at any scale, with
+    the sort parallelized instead of single-tasked."""
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents")
     )
-    w = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey").asc())
+    ranked = global_ranked(
+        spend, [F.col("spend_cents").desc(), F.col("o_custkey").asc()]
+    )
+    n = F.col("_n")
+    q, r, rn = n / 10, n % 10, F.col("rn")
+    q = F.floor(q)
+    big = (q + 1) * r  # rows covered by the r larger (q+1)-sized buckets
+    decile = (
+        F.when(rn <= big, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - big) / q))
+        .cast("long")
+    )
+    total = spend.agg(F.count("*").alias("_n"))
     return (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.crossJoin(F.broadcast(total))
+        .select("o_custkey", "spend_cents", decile.alias("decile"))
         .orderBy("o_custkey")
     )
 
@@ -860,28 +905,40 @@ PCTL_PERMILLE = (250, 500, 750, 900, 990)
 def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete percentiles of document length — the distribution
     profile every corpus intake runs first. The q-th percentile is the
-    value at sorted position ``(n-1)*q DIV 1000 + 1`` (pure integer math,
-    so Spark and DuckDB select the identical row; no interpolation, no
-    doubles).
+    value at sorted position ``p = (n-1)*q DIV 1000 + 1`` (pure integer
+    math, so Spark and DuckDB select the identical row; no interpolation,
+    no doubles).
 
-    Scale shape: one global sort of the (doc_id, n_chars) projection —
-    at 100 TB swap in approx_percentile (t-digest sketch, map-side
-    mergeable) when rank-exactness is not required; this operator is the
-    exact-answer twin."""
+    Scale shape — the value-histogram trick, NO global row sort: the
+    corpus collapses to (value, count) via one partial-aggregated groupBy
+    (map-side combine: the shuffle carries |distinct lengths| rows, not
+    |docs|), then a cumulative window runs over the tiny histogram. The
+    selected value is the one whose cumulative range covers position p
+    (``cum - cnt < p <= cum``) — identical to sorting all rows and
+    indexing, at the cost of a histogram. The single-ordered window is
+    over |distinct| rows (bounded: lengths, scores, token counts are
+    low-cardinality), which is why this stays exact where the old
+    row_number-over-everything shape single-tasked the corpus. For
+    unbounded-cardinality metrics, `doc_length_percentiles_approx` is
+    the sketch twin."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("n_chars")
-    w = Window.orderBy(F.col("n_chars").asc())
-    ranked = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("n"))))
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.orderBy(F.col("n_chars").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("n")))
     )
     qs = F.explode(
         F.array(*[F.lit(q).cast("long") for q in PCTL_PERMILLE])
     ).alias("q_permille")
+    pos = F.expr("(n - 1) * q_permille DIV 1000 + 1")
     return (
-        ranked.select("n_chars", "rn", "n", qs)
-        .filter(F.col("rn") == F.expr("(n - 1) * q_permille DIV 1000 + 1"))
+        cum.select("n_chars", "cnt", "cum", "n", qs)
+        .filter((F.col("cum") >= pos) & (F.col("cum") - F.col("cnt") < pos))
         .select("q_permille", F.col("n_chars").alias("pctl_n_chars"))
         .orderBy("q_permille")
     )

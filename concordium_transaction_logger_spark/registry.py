@@ -1487,6 +1487,78 @@ ORDER BY doc_a, doc_b
     # Transitive closure of the near-dup candidate graph: iterative
     # hash-min label propagation in Spark, recursive CTE in the oracle —
     # the keep/drop clustering step after pair generation.
+    "doc_minhash_jaccard_estimate": QueryDef(
+        dedup.minhash_jaccard_estimate,
+        wrap(
+            """
+, bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
+  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree,
+       CAST(ROUND(1000.0 * ((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END) +
+             (CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END)) / 8) AS BIGINT)
+         AS est_jaccard_permille
+FROM bpairs p JOIN mh x ON x.doc_id = p.doc_a JOIN mh y ON y.doc_id = p.doc_b
+ORDER BY doc_a, doc_b
+"""
+        ),
+    ),
+    "doc_dedup_survivors": QueryDef(
+        dedup.dedup_survivors,
+        wrap(
+            """
+, bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
+  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM bpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM bpairs),
+walk AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, w.label FROM walk w JOIN edges e ON w.node = e.a
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)
+SELECT d.doc_id, d.source, d.lang, d.n_chars,
+       s.component_size - 1 AS n_absorbed
+FROM comp c
+JOIN (SELECT component_id, COUNT(*) AS component_size
+      FROM comp GROUP BY component_id) s USING (component_id)
+JOIN documents d ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.component_id
+ORDER BY d.doc_id
+""",
+            recursive=True,
+        ),
+    ),
     "doc_dup_verdict": QueryDef(
         dedup.dedup_verdict,
         wrap(

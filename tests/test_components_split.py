@@ -123,3 +123,44 @@ def test_contamination_only_flags_val_docs_with_train_overlap(spark, sf_dir):
     }
     for d, n in cont.items():
         assert 0 < n <= sh_counts[d]
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """The MinHash estimator must track the exact shingle Jaccard on the
+    band-candidate pairs: with k=8 hashes the estimator's std is
+    sqrt(J(1-J)/8) <= ~0.18, so mean |estimate - exact| across candidate
+    pairs stays well under 250 permille, and pairs the exact metric calls
+    near-identical (>= 900) must estimate high (>= 500)."""
+    from concordium_transaction_logger_spark.operators import dedup
+
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard_permille"]
+        for r in dedup.minhash_jaccard_estimate(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_permille"]
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir, 0, max_df=None).collect()
+    }
+    assert est, "no band-candidate pairs at this sf"
+    common = [k for k in est if k in exact]
+    assert common
+    mae = sum(abs(est[k] - exact[k]) for k in common) / len(common)
+    assert mae <= 250, f"estimator MAE too high: {mae:.0f} permille"
+    for k in common:
+        if exact[k] >= 900:
+            assert est[k] >= 500, f"{k}: exact {exact[k]} but estimate {est[k]}"
+
+
+def test_dedup_survivors_partition_documents(spark, sf_dir):
+    """Survivors are exactly the component keepers: every document is
+    accounted for by exactly one survivor (sum of 1 + n_absorbed = corpus
+    size), and no survivor is itself a dropped doc."""
+    from concordium_transaction_logger_spark.operators import dedup
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    surv = dedup.dedup_survivors(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(1 + r["n_absorbed"] for r in surv) == n_docs
+    verdict = {r["doc_id"]: r["keep"] for r in dedup.dedup_verdict(spark, sf_dir).collect()}
+    assert all(verdict[r["doc_id"]] for r in surv)
+    assert len(surv) == sum(verdict.values())
