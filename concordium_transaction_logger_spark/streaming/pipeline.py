@@ -723,3 +723,91 @@ def bindings_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn", "event_id", "ingest_batch")
     )
+
+
+#: The exact-dedup fingerprint expression — kept identical to the batch
+#: `textstats.fingerprints` canonicalization so streaming admission and
+#: batch dedup agree document-for-document.
+def _doc_fp() -> F.Column:
+    return F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", ""))
+
+
+class StreamingCorpusIngest:
+    """Continuously-arriving documents → an incrementally-deduplicated
+    corpus sink: the streaming half of the exact-dedup family
+    (`dedup.exact_dup_groups` is its batch twin). Each micro-batch
+    fingerprints its documents scan-side, keeps the min-doc_id row per
+    fingerprint WITHIN the batch, then anti-joins against the
+    fingerprints already admitted to the sink — so a duplicate arriving
+    any number of batches later is dropped, and the first arrival is the
+    keeper (= the global min doc_id when the feed delivers in id order,
+    matching the batch keeper rule).
+
+    Reference-style state placement (ST5): the seen-fingerprint set IS
+    the sink table's ``fp`` column, re-read per micro-batch — no
+    unbounded driver/state-store set. At 100 TB the sink is written
+    partitioned/z-ordered by fingerprint prefix so the anti-join probe
+    reads a 32-byte column with bloom/zone-map pruning, and the
+    first-arrival rule makes replay idempotent: a replayed batch
+    anti-joins against every OTHER batch's fingerprints (its own
+    partition is excluded, then overwritten — the same batch-keyed
+    exactly-once recipe as ``StreamingIngest``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        fresh = (
+            batch_df.withColumn("fp", _doc_fp())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(self.out_dir):
+            seen = (
+                self.spark.read.parquet(self.out_dir)
+                .filter(F.col("ingest_batch") != batch_id)
+                .select("fp")
+            )
+            fresh = fresh.join(seen, "fp", "left_anti")
+        (
+            fresh.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(self.out_dir)
+        )
+
+    def run_available_now(self) -> None:
+        schema = self.spark.read.parquet(self.source_dir).schema
+        reader = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+            .parquet(self.source_dir)
+        )
+        q = (
+            reader.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def corpus_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The deduplicated corpus admitted so far."""
+    return spark.read.parquet(out_dir)

@@ -157,3 +157,38 @@ def test_kmeans_assignment_invariant_to_partitioning(spark, sf_dir):
         ).collect()
     )
     assert one == many
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_global_ranked_equals_single_partition_window(spark, rows):
+    """The distributed two-pass global ranking (range repartition + local
+    rank + prefix offsets) must equal the single-partition window
+    row_number on arbitrary data, including heavy ties on the primary
+    sort key (the unique id column breaks them)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from concordium_transaction_logger_spark.operators.relational import global_ranked
+
+    df = spark.createDataFrame(rows, "val long, id long")
+    order = [F.col("val").desc(), F.col("id").asc()]
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    got = {(r["id"], r["rn"]) for r in global_ranked(df, order).collect()}
+    assert got == want

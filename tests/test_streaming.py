@@ -465,3 +465,59 @@ def test_sf01_all_five_sinks_match_batch_with_crash_replay(spark, dirs):
         max_files_per_trigger=1,
     ).run_available_now()
     check_all()
+
+
+def test_streaming_corpus_ingest_dedups_across_batches(spark, sf_dir, dirs):
+    """The streaming exact-dedup corpus ingest: batch 1 delivers the base
+    corpus; batch 2 delivers re-crawls of old documents (same text, new
+    doc_ids — must be dropped), genuinely new documents (admitted), and
+    an intra-batch duplicate pair (min-id member admitted). A second run
+    and a lost-checkpoint replay must change nothing."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    top = max(base_ids)
+    recrawls = (
+        docs.orderBy("doc_id")
+        .limit(10)
+        .select(
+            (F.col("doc_id") + top + 1).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    novel = docs.orderBy("doc_id").limit(3).select(
+        (F.col("doc_id") + top + 100).alias("doc_id"),
+        F.concat(F.lit("novel "), F.col("doc_id").cast("string"), F.lit(" "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    twin_text = "an intra batch duplicate twin text"
+    twins = spark.createDataFrame(
+        [(top + 200, twin_text, "en", "web", len(twin_text)),
+         (top + 201, twin_text, "en", "web", len(twin_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("append").parquet(dirs["source"])
+    batch2 = recrawls.unionByName(novel).unionByName(twins)
+    batch2.coalesce(1).write.mode("append").parquet(dirs["source"])
+
+    ingest = StreamingCorpusIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    )
+    ingest.run_available_now()
+
+    want = base_ids | {r["doc_id"] for r in novel.collect()} | {top + 200}
+    got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert got == want  # re-crawls dropped, novel admitted, twin min-id kept
+
+    # idempotence: nothing new + lost-checkpoint replay
+    ingest.run_available_now()
+    assert {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()} == want
+    shutil.rmtree(dirs["ckpt"])
+    StreamingCorpusIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    assert {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()} == want
