@@ -770,3 +770,217 @@ def semdedup_pairs(
         .applyInPandas(score, "vec_a long, vec_b long, cluster long, sim_micro long")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the 100 TB ANN compression path.
+# 64 dims -> PQ_M sub-vectors, each encoded as the id of its nearest
+# sub-codebook centroid: 4 bytes/vector vs 64 for int8 codes — the
+# difference between a corpus that fits executor memory and one that
+# doesn't. Scoring is ADC (asymmetric distance computation): the query
+# precomputes its dot product against every sub-centroid once (an M x K
+# table), then each candidate costs M table lookups instead of a
+# 64-element dot product.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # sub-vector count (64 dims -> 4 x 16)
+PQ_K = 16  # centroids per sub-codebook (4-bit codes)
+PQ_ITERS = 2  # fixed Lloyd's iterations per subspace (deterministic)
+
+
+def _pq_assign(emb: DataFrame, books) -> DataFrame:
+    """Encode each vector: per subspace, the argmin-squared-L2 centroid id
+    (ties -> smallest id, matching np.argmin). One numpy matmul per
+    (batch, subspace); codebooks ride in the closure (M*K*subdim ints)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.array(b, dtype=np.int64) for b in books]  # [K x subdim] x M
+    csq = [(m * m).sum(axis=1) for m in mats]
+    sub = 64 // PQ_M
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(list(pdf["e"]), dtype=np.int64)
+            codes = np.empty((len(a), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                am = a[:, m * sub : (m + 1) * sub]
+                d = (am * am).sum(axis=1)[:, None] - 2 * (am @ mats[m].T) + csq[m][None, :]
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "codes": list(codes)}
+            )
+
+    return emb.mapInPandas(encode, "vec_id long, codes array<long>")
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Train the M sub-codebooks with fixed Lloyd's iterations. Only
+    centroid-scale data crosses the driver: init is the first PQ_K
+    vectors' sub-vectors, each refinement collects M*K*subdim rounded
+    means (1k ints) — the corpus never leaves the executors."""
+    emb = _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e")
+    sub = 64 // PQ_M
+    init = emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    books = [
+        [list(r.e[m * sub : (m + 1) * sub]) for r in init] for m in range(PQ_M)
+    ]
+    for _ in range(PQ_ITERS - 1):
+        coded = _pq_assign(emb, books).join(emb, "vec_id")
+        comp = (
+            coded.select(
+                "e",
+                F.posexplode("codes").alias("m", "cluster"),
+            )
+            .select(
+                "m",
+                "cluster",
+                F.posexplode(F.col("e")).alias("pos", "v"),
+            )
+            .filter(F.col("pos").between(F.col("m") * sub, (F.col("m") + 1) * sub - 1))
+            .groupBy("m", "cluster", (F.col("pos") - F.col("m") * sub).alias("spos"))
+            .agg(F.round(F.avg("v"), 0).cast("long").alias("c"))
+            .collect()
+        )
+        new_books = [
+            [list(books[m][k]) for k in range(PQ_K)] for m in range(PQ_M)
+        ]
+        for r in comp:
+            new_books[int(r["m"])][int(r["cluster"])][int(r["spos"])] = int(r["c"])
+        books = new_books
+    return books
+
+
+def pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized PQ code table (vec_id, codes: array<long>[M]) —
+    4 bytes of payload per vector at 100 TB (written alongside, or
+    instead of, the raw embeddings; brute scans read ONLY this)."""
+    from ..cache import get_or_build
+
+    def build() -> DataFrame:
+        emb = _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e")
+        return _pq_assign(emb, _pq_codebooks(spark, sf_dir)).persist()
+
+    return get_or_build("pq_index", spark, sf_dir, build)
+
+
+def ann_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    rerank: int = 100,
+) -> DataFrame:
+    """ANN over PQ codes with ADC scoring + exact re-rank: the PQ scan
+    (est_cos from the query's precomputed per-sub-centroid dot/norm
+    tables — M lookups per candidate, reading only the 4-byte code
+    column) shortlists ``rerank`` candidates per query; the shortlist
+    then re-scores against the TRUE vectors (a |queries|*rerank-row
+    broadcast semi-join into the embedding scan) and the final top-k is
+    exact over that shortlist. This is the production PQ shape: the
+    full-corpus pass touches 4 bytes/vector, the expensive exact math
+    touches only the shortlist. ``rerank=0`` disables the second stage
+    (raw ADC ranking: recall ~0.33 here; rerank=100 measures 0.88-0.92 —
+    both floored in tests/test_similarity_plans.py).
+
+    No SQL oracle: the two-level k-means training has no tractable
+    cross-engine SQL twin — correctness is pinned by the recall floors
+    plus determinism (fixed init, integer codebooks, argmin tie rule)."""
+    import numpy as np
+    import pandas as pd
+
+    books = _pq_codebooks(spark, sf_dir)
+    mats = [np.array(b, dtype=np.int64) for b in books]
+    cent_sq = np.stack([(m * m).sum(axis=1) for m in mats])  # M x K
+    sub = 64 // PQ_M
+
+    qrows = (
+        _quantized(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .collect()
+    )
+    qtabs = {}
+    for r in qrows:
+        q = np.array(r.e, dtype=np.int64)
+        dots = np.stack(
+            [q[m * sub : (m + 1) * sub] @ mats[m].T for m in range(PQ_M)]
+        )  # M x K
+        qtabs[int(r.vec_id)] = (dots, float(np.sqrt((q * q).sum())))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # n x M
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            mrange = np.arange(PQ_M)
+            cnorm = np.sqrt(cent_sq[mrange, codes].sum(axis=1).astype(np.float64))
+            out_q, out_n, out_s = [], [], []
+            for qid, (dots, qn) in qtabs.items():
+                est = dots[mrange, codes].sum(axis=1).astype(np.float64)
+                sim = 1_000_000 * est / (qn * np.maximum(cnorm, 1e-12))
+                simq = np.where(
+                    sim >= 0, np.floor(sim + 0.5), np.ceil(sim - 0.5)
+                ).astype(np.int64)
+                out_q.append(np.full(len(ids), qid, dtype=np.int64))
+                out_n.append(ids)
+                out_s.append(simq)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim_micro_pq": np.concatenate(out_s),
+                }
+            )
+
+    cands = pq_index(spark, sf_dir).filter(F.col("vec_id") >= n_queries)
+    scored = cands.mapInPandas(
+        score, "query_id long, neighbor_id long, sim_micro_pq long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro_pq").desc(), F.col("neighbor_id").asc()
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
+    shortlist = (
+        scored.withColumn("prank", F.row_number().over(w))
+        .filter(F.col("prank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        _norm(F.col("e")).alias("qn"),
+    )
+    cand_vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        _norm(F.col("e")).alias("cn"),
+    )
+    exact = (
+        cand_vecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sim_micro(
+                _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+            ).alias("sim_micro"),
+        )
+    )
+    wx = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wx).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1891,6 +1891,12 @@ ORDER BY query_id, rank
         _lsh_topk_sql(),
         bench=True,
     ),
+    # Product-quantization ANN (Jégou 2011): 4-byte codes + ADC scan +
+    # exact re-rank of the shortlist. No SQL oracle (two-level k-means
+    # training has no tractable cross-engine twin) — rows-only driver
+    # check; recall floors + determinism pinned in
+    # tests/test_similarity_plans.py.
+    "ann_pq_topk": QueryDef(similarity.ann_pq_topk, None),
     "embedding_near_dup_pairs": QueryDef(
         lambda spark, sf: similarity.near_dup_pairs(spark, sf, 400_000),
         _NEAR_DUP_SQL,

@@ -158,3 +158,32 @@ def test_semdedup_pairs_subset_of_brute_force(spark, sf_dir):
     # correctness contract.
     recall = len(blocked) / len(brute)
     assert recall >= 0.25, f"cluster-blocking recall too low: {recall:.2f}"
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """The PQ+re-rank path must stay a faithful ANN (recall@10 >= 0.6
+    reranked — measures 0.88-0.92; >= 0.15 raw ADC — measures ~0.33) and
+    be fully deterministic (fixed init, integer codebooks, argmin ties
+    to the smallest id): two runs produce identical rows."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(spark, sf_dir, 5, 10).collect()
+    }
+    reranked = similarity.ann_pq_topk(spark, sf_dir, 5, 10).collect()
+    rr = {(r["query_id"], r["neighbor_id"]) for r in reranked}
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_pq_topk(spark, sf_dir, 5, 10, rerank=0).collect()
+    }
+    assert len(exact & rr) / len(exact) >= 0.6
+    assert len(exact & raw) / len(exact) >= 0.15
+    again = similarity.ann_pq_topk(spark, sf_dir, 5, 10).collect()
+    assert sorted(map(tuple, reranked)) == sorted(map(tuple, again))
+    # shortlist exactness: every re-ranked score equals the exact score
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["sim_micro"]
+        for r in similarity.cosine_topk(spark, sf_dir, 5, 10**9).collect()
+    }
+    for r in reranked:
+        key = (r["query_id"], r["neighbor_id"])
+        assert exact_scores[key] == r["sim_micro"], key
