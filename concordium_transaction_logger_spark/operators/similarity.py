@@ -817,10 +817,20 @@ def _pq_assign(emb: DataFrame, books) -> DataFrame:
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str):
-    """Train the M sub-codebooks with fixed Lloyd's iterations. Only
-    centroid-scale data crosses the driver: init is the first PQ_K
-    vectors' sub-vectors, each refinement collects M*K*subdim rounded
-    means (1k ints) — the corpus never leaves the executors."""
+    """Train the M sub-codebooks with fixed Lloyd's iterations, memoized
+    per (session, corpus) — the code index build and every probe share
+    one training run. Only centroid-scale data crosses the driver: init
+    is the first PQ_K vectors' sub-vectors, each refinement collects
+    M*K*subdim rounded means (1k ints) — the corpus never leaves the
+    executors."""
+    from ..cache import get_or_build
+
+    return get_or_build(
+        "pq_codebooks", spark, sf_dir, lambda: _pq_train(spark, sf_dir)
+    )
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
     emb = _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e")
     sub = 64 // PQ_M
     init = emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
