@@ -1548,6 +1548,48 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(F.inline(entries)).orderBy("col_name")
 
 
+def events_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of :func:`events_column_profile` — the 100 TB shape:
+    ``approx_count_distinct`` (HLL++, map-side mergeable) replaces the
+    exact count-distincts, which removes the 5-way Expand entirely (the
+    single dominant cost of the exact profile: each input row is expanded
+    once per distinct-aggregated column). Like the other sketch twins the
+    estimates are engine-specific, so the driver records a rows-only
+    check; `tests/test_approx.py` bounds the estimate error against the
+    exact profile."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000000").alias("ts_ms"),
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+    )
+    cols = ["event_id", "user_id", "ts_ms", "event_type", "value_cents"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    row = ev.agg(F.count("*").alias("__n"), *aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct_approx"),
+                F.col(f"{c}__mn").alias("min_val"),
+                F.col(f"{c}__mx").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.inline(entries)).orderBy("col_name")
+
+
 def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring/alerting shape: each (event_type, hour) count compared
     to its trailing 24-hour average — the ratio (per-mille) an anomaly

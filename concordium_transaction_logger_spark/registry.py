@@ -1723,6 +1723,12 @@ ORDER BY col_name
 """,
         bench=True,
     ),
+    # HLL++ twin of the profile — removes the 5-way count-distinct Expand,
+    # the exact profile's dominant cost (sketches are engine-specific:
+    # rows-only check, error bounded in tests/test_approx.py).
+    "events_column_profile_approx": QueryDef(
+        relational.events_column_profile_approx, None
+    ),
     "doc_quality_classifier": QueryDef(
         textstats.quality_classifier,
         """

@@ -39,3 +39,25 @@ def test_approx_distinct_within_rsd_bound(spark, sf_dir):
     for prio, n in exact.items():
         rel_err = abs(approx[prio] - n) / max(n, 1)
         assert rel_err < 0.05, f"{prio}: approx={approx[prio]} exact={n}"
+
+
+def test_column_profile_approx_tracks_exact(spark, sf_dir):
+    """The HLL++ profile twin: distinct estimates within 10% of exact for
+    every column, all non-sketch fields identical."""
+    from concordium_transaction_logger_spark.operators import relational
+
+    exact = {
+        r["col_name"]: r for r in relational.events_column_profile(spark, sf_dir).collect()
+    }
+    approx = {
+        r["col_name"]: r
+        for r in relational.events_column_profile_approx(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (e["n_rows"], e["n_nulls"], e["min_val"], e["max_val"]) == (
+            a["n_rows"], a["n_nulls"], a["min_val"], a["max_val"]
+        )
+        nd, est = e["n_distinct"], a["n_distinct_approx"]
+        assert abs(est - nd) <= max(2, 0.10 * nd), (c, nd, est)
