@@ -712,6 +712,19 @@ def supply_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def wide_supply_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """NUMERIC(80,0)-fidelity rollup of the movement log — the sink-table
+    twin of ``derive.cis2_tokens_wide`` (same limb plan; string totals),
+    for corpora whose running supply exceeds DECIMAL(38,0)/int64."""
+    from ..ingest.derive import wide_sum
+
+    return wide_sum(
+        read_sink(spark, out_dir, "cis2_events"),
+        ["idx", "subidx", "token_id"],
+        "amount",
+    )
+
+
 def bindings_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     """Latest-wins binding snapshot from the append-only log (M1)."""
     from pyspark.sql.window import Window

@@ -521,3 +521,25 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, sf_dir, dirs):
         spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
     ).run_available_now()
     assert {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()} == want
+
+
+def test_wide_supply_from_sink_matches_batch_wide(spark, sf_dir, dirs):
+    """The sink-table wide rollup equals the batch wide path string-for-
+    string (and therefore the narrow path value-for-value in range)."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        wide_supply_from_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    _stage_events(spark, sf_dir, dirs["source"], 10**9)
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users
+    ).run_available_now()
+
+    cols = ["idx", "subidx", "token_id", "total_supply"]
+    got = _sorted_rows(wide_supply_from_sink(spark, dirs["out"]), cols)
+    want = _sorted_rows(
+        derive.cis2_tokens_wide(derive.block_feed(spark, sf_dir)), cols
+    )
+    assert got == want and got
