@@ -994,3 +994,77 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def write_lsh_partitioned(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the LSH signature index AT REST, partitioned by bucket
+    — the 100 TB layout SCALE.md promises: a probe then reads only its
+    probe-set's partitions (partition pruning on ``lsh_bucket``), never
+    the corpus. The write is one shuffle-free pass over the session
+    index."""
+    lsh_index(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "lsh_bucket"
+    ).parquet(path)
+
+
+def ann_lsh_topk_over_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_queries: int = 5,
+    k: int = 10,
+    radius: int = LSH_PROBE_RADIUS,
+) -> DataFrame:
+    """:func:`ann_lsh_topk` served FROM the bucket-partitioned layout:
+    query signatures come from the session index (tiny), their multi-probe
+    bucket set is collected (n_queries x |masks| ints — control plane,
+    the same probe-list pattern as IVF), and the candidate scan filters
+    ``lsh_bucket IN (probes)`` — a literal predicate the reader turns
+    into PartitionFilters, so only the probed partitions' files are read
+    (asserted in tests/test_similarity_plans.py). Scoring is identical to
+    the session-index path."""
+    masks = _probe_masks(radius)
+    qsig = (
+        lsh_index(spark, sf_dir)
+        .filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "e", "lsh_bucket", "vnorm")
+    )
+    probe_rows = qsig.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("vnorm").alias("qn"),
+        F.explode(
+            F.array(
+                *[F.col("lsh_bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
+            )
+        ).alias("qb"),
+    )
+    probe_buckets = sorted(
+        {r["qb"] for r in probe_rows.select("qb").distinct().collect()}
+    )
+    cands = (
+        spark.read.parquet(path)
+        .filter(F.col("lsh_bucket").isin(probe_buckets))
+        .filter(F.col("vec_id") >= n_queries)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce"),
+            F.col("lsh_bucket").alias("cb"),
+            F.col("vnorm").alias("cn"),
+        )
+    )
+    scored = cands.join(F.broadcast(probe_rows), F.col("qb") == F.col("cb")).select(
+        "query_id",
+        "neighbor_id",
+        _sim_micro(
+            _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+        ).alias("sim_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

