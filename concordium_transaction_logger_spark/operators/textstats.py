@@ -187,18 +187,13 @@ GATE_MIN_ALPHA_PERMILLE = 500
 GATE_MAX_DIGIT_PERMILLE = 300
 
 
-def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Accept/reject each document against the quality thresholds, with
-    the *first* failing rule as the reason (rule order is part of the
-    contract) — the gating step that runs before tokenize/shingle/embed
-    so rejected documents never enter the expensive pipeline.
-
-    Pure row-local expressions over one scan; the verdict is a narrow
-    (doc_id, verdict, reason) frame, so downstream anti-joins against
-    rejects broadcast."""
-    docs = _spread(load_table(spark, sf_dir, "documents"))
-    lower = F.lower(F.col("text"))
-    n = F.length("text")
+def gate_reason(text) -> "F.Column":
+    """The quality-gate verdict as a pure column expression over the text
+    column — the *first* failing rule is the reason (rule order is part
+    of the contract). Shared by the batch :func:`quality_gate` query and
+    the streaming curation ingest, so both paths gate identically."""
+    lower = F.lower(text)
+    n = F.length(text)
     alpha_pm = F.when(
         n > 0,
         F.round(1000.0 * F.length(F.regexp_replace(lower, "[^a-z]", "")) / n, 0),
@@ -207,12 +202,24 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n > 0,
         F.round(1000.0 * F.length(F.regexp_replace(lower, "[^0-9]", "")) / n, 0),
     ).otherwise(F.lit(0)).cast("long")
-    reason = (
+    return (
         F.when(n < GATE_MIN_CHARS, F.lit("too_short"))
         .when(alpha_pm < GATE_MIN_ALPHA_PERMILLE, F.lit("low_alpha"))
         .when(digit_pm > GATE_MAX_DIGIT_PERMILLE, F.lit("digit_heavy"))
         .otherwise(F.lit("ok"))
     )
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accept/reject each document against the quality thresholds —
+    the gating step that runs before tokenize/shingle/embed so rejected
+    documents never enter the expensive pipeline.
+
+    Pure row-local expressions over one scan (see :func:`gate_reason`);
+    the verdict is a narrow (doc_id, verdict, reason) frame, so
+    downstream anti-joins against rejects broadcast."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    reason = gate_reason(F.col("text"))
     return docs.select(
         "doc_id",
         reason.alias("reason"),

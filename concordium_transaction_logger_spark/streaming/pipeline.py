@@ -764,7 +764,14 @@ class StreamingCorpusIngest:
     first-arrival rule makes replay idempotent: a replayed batch
     anti-joins against every OTHER batch's fingerprints (its own
     partition is excluded, then overwritten — the same batch-keyed
-    exactly-once recipe as ``StreamingIngest``)."""
+    exactly-once recipe as ``StreamingIngest``).
+
+    ``quality_gate=True`` turns this into the full streaming curation
+    ingest: each batch is gated by the SAME rules as the batch
+    ``doc_quality_gate`` (``textstats.gate_reason`` — row-local, runs
+    scan-side) BEFORE fingerprinting, so rejected documents never enter
+    the dedup state; rejects land in ``<out_dir>_rejects`` with their
+    reason (no silent drops — the reject log is a curation artifact)."""
 
     def __init__(
         self,
@@ -773,17 +780,33 @@ class StreamingCorpusIngest:
         out_dir: str,
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
+        quality_gate: bool = False,
     ):
         self.spark = apply_runtime_confs(spark)
         self.source_dir = source_dir
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        self.quality_gate = quality_gate
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
+        from ..operators.textstats import gate_reason
+
+        if self.quality_gate:
+            gated = batch_df.withColumn("reason", gate_reason(F.col("text")))
+            rejects = gated.filter(F.col("reason") != "ok").select(
+                "doc_id", "reason"
+            )
+            (
+                rejects.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(self.out_dir + "_rejects")
+            )
+            batch_df = gated.filter(F.col("reason") == "ok").drop("reason")
         w = Window.partitionBy("fp").orderBy("doc_id")
         fresh = (
             batch_df.withColumn("fp", _doc_fp())

@@ -543,3 +543,46 @@ def test_wide_supply_from_sink_matches_batch_wide(spark, sf_dir, dirs):
         derive.cis2_tokens_wide(derive.block_feed(spark, sf_dir)), cols
     )
     assert got == want and got
+
+
+def test_streaming_curation_ingest_gates_before_dedup(spark, sf_dir, dirs):
+    """quality_gate=True: rejected documents (by the SAME rules as the
+    batch doc_quality_gate) never enter the corpus or the dedup state,
+    and land in the rejects sink with their first-failing-rule reason."""
+    from concordium_transaction_logger_spark.operators import textstats
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = docs.agg(F.max("doc_id")).first()[0]
+    poisoned = spark.createDataFrame(
+        [
+            (top + 1, "tiny", "en", "web", 4),  # too_short
+            (top + 2, "1234567890 " * 30, "en", "web", 330),  # digit_heavy or low_alpha
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.unionByName(poisoned).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    StreamingCorpusIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], quality_gate=True
+    ).run_available_now()
+
+    got_ids = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert top + 1 not in got_ids and top + 2 not in got_ids
+    rejects = {
+        r["doc_id"]: r["reason"]
+        for r in spark.read.parquet(dirs["out"] + "_rejects").collect()
+    }
+    assert rejects[top + 1] == "too_short"
+    assert top + 2 in rejects
+    # batch-gate agreement: every admitted doc passed the batch gate too
+    batch_ok = {
+        r["doc_id"]
+        for r in textstats.quality_gate(spark, sf_dir).collect()
+        if r["accept"]
+    }
+    assert got_ids <= batch_ok
