@@ -473,3 +473,32 @@ def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of its distinct shingles that occur
+    NOWHERE else in the corpus (df == 1) — the diversity/memorization
+    signal a curation pipeline uses to find boilerplate-heavy vs unique
+    content (low novelty + high dup-pair count = template text).
+
+    Scale shape: reuses the session shingle index; the df table is one
+    partial-aggregated groupBy on the 8-byte shingle hash, joined back by
+    the same key (both sides hash-partition on ``shh`` — co-partitioned,
+    one exchange each), then a per-doc fold. Document bodies never
+    shuffle."""
+    sh = shingle_index(spark, sf_dir).select("doc_id", "shh")
+    dfc = sh.groupBy("shh").agg(F.count("*").alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
+    return (
+        sh.join(dfc, "shh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            uniq.alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_permille",
+            F.round(1000.0 * F.col("n_unique") / F.col("n_shingles"), 0).cast("long"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1433,6 +1433,21 @@ ORDER BY doc_a, doc_b
         ),
         bench=True,
     ),
+    # Diversity/memorization signal: share of corpus-unique shingles.
+    "doc_ngram_novelty": QueryDef(
+        dedup.ngram_novelty,
+        wrap(
+            """
+, dfc AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(ROUND(1000.0 * SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+         AS novelty_permille
+FROM shingles JOIN dfc USING (sh)
+GROUP BY doc_id ORDER BY doc_id
+"""
+        ),
+    ),
     # No-silent-caps audit artifact: exactly what the default cap drops.
     "doc_stop_shingles": QueryDef(
         dedup.stop_shingles,
