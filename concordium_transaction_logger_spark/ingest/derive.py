@@ -262,7 +262,18 @@ def wide_sum(df: DataFrame, group_cols: list[str], amount_col: str) -> DataFrame
     width = WIDE_LIMBS * WIDE_LIMB_DIGITS
     s = F.col(amount_col).cast("string")
     sign = F.when(F.substring(s, 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
-    digits = F.lpad(F.when(sign < 0, F.substring(s, 2, width)).otherwise(s), width, "0")
+    mag = F.when(sign < 0, F.substring(s, 2, 1_000_000)).otherwise(s)
+    # loud capacity guard: lpad would silently TRUNCATE an amount wider
+    # than the limb capacity — refuse instead (raise per offending row).
+    mag = F.when(
+        F.length(mag) > width,
+        F.raise_error(
+            F.concat(
+                F.lit(f"wide_sum: amount exceeds {width}-digit capacity: "), s
+            )
+        ).cast("string"),
+    ).otherwise(mag)
+    digits = F.lpad(mag, width, "0")
     limbs = [
         (
             F.substring(digits, 1 + i * WIDE_LIMB_DIGITS, WIDE_LIMB_DIGITS).cast(

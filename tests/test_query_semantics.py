@@ -107,3 +107,15 @@ def test_cis2_supply_wide_agrees_with_narrow_in_range(spark, sf_dir):
     }
     assert narrow and wide.keys() == narrow.keys()
     assert all(wide[k] == str(narrow[k]) for k in narrow)
+
+
+def test_wide_sum_refuses_over_capacity_amounts(spark):
+    """An amount wider than the limb capacity must raise loudly, never
+    silently truncate."""
+    import pytest
+
+    from concordium_transaction_logger_spark.ingest.derive import wide_sum
+
+    df = spark.createDataFrame([(1, "1" + "0" * 95)], "grp int, amt string")
+    with pytest.raises(Exception, match="capacity"):
+        wide_sum(df, ["grp"], "amt").collect()
