@@ -312,19 +312,42 @@ class WindowedRollup:
     """Event-time tumbling-window aggregation over the stream — counts and
     value-cents per (hour window, event_type).
 
-    Watermark is the degenerate ``0 seconds`` (ST1: only *finalized* data
-    flows, so late/out-of-order rows are impossible by construction —
-    the machinery is wired for the day a non-finalized source relaxes
-    that). State flushes through ``update``-mode foreachBatch writes with
-    window-keyed dynamic partition overwrite, so results are exactly-once
-    and fully flushed even when the stream idles (a pure append-mode sink
-    would hold the last open window hostage until the watermark passes)."""
+    Watermark is ``slack_ms`` — the source's maximum cross-micro-batch
+    event-time disorder, the same dial :class:`StreamStreamAttribution`
+    carries. Even a *finalized* feed (ST1) is only finalized per block;
+    with ``maxFilesPerTrigger`` splitting the replay, file arrival order
+    is not event-time order, and a 0-second watermark silently drops any
+    row older than the max event time already seen — a disordered replay
+    would under-count windows. State flushes through ``update``-mode
+    foreachBatch writes with window-keyed dynamic partition overwrite, so
+    results are exactly-once and fully flushed even when the stream idles
+    (a pure append-mode sink would hold the last open window hostage
+    until the watermark passes), and a group corrected by a late row is
+    re-emitted and overwrites its own partition. The overwrite key is the
+    FULL group key ``(window_start_ms, event_type)`` — update mode emits
+    only the groups a batch changed, so overwriting at any coarser
+    granularity (window alone) would clobber this window's other
+    event-type rows written by earlier batches."""
 
-    def __init__(self, spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str):
+    #: default cross-micro-batch disorder tolerated (same dial as
+    #: StreamStreamAttribution.SLACK_MS).
+    SLACK_MS = 60_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        slack_ms: int = SLACK_MS,
+    ):
         self.spark = apply_runtime_confs(spark)
         self.source_dir = source_dir
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.slack_ms = slack_ms
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -332,17 +355,17 @@ class WindowedRollup:
             batch_df.withColumn("window_start_ms", F.unix_millis("window.start"))
             .drop("window")
             .write.mode("overwrite")
-            .partitionBy("window_start_ms")
+            .partitionBy("window_start_ms", "event_type")
             .parquet(self.out_dir)
         )
 
     def run_available_now(self) -> None:
-        events = _events_stream(self.spark, self.source_dir, None)
+        events = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
         agg = (
             events.withColumn(
                 "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
-            .withWatermark("event_time", "0 seconds")
+            .withWatermark("event_time", f"{self.slack_ms // 1000} seconds")
             .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
             .agg(
                 F.count("*").alias("n_events"),
@@ -372,18 +395,38 @@ class SessionWindowRollup:
     passes its end — i.e. a gap of silence has finalized it. Sessions
     still open at the tail of the feed stay in the state store and emit on
     a later run once further data closes them; :func:`session_snapshot`
-    therefore returns the *finalized* session set. The 0-second watermark
-    is the ST1 degenerate case (finalized feed ⇒ in-event-time-order
-    arrival across micro-batches)."""
+    therefore returns the *finalized* session set.
+
+    Watermark is ``slack_ms`` — the maximum cross-micro-batch event-time
+    disorder the source can exhibit (file replay order ≠ event-time
+    order under ``maxFilesPerTrigger``). This matters MORE here than in
+    :class:`WindowedRollup`: append mode emits a session exactly once
+    when the watermark finalizes it, so with a 0-second watermark an
+    out-of-order event arriving a batch late is silently dropped and the
+    already-emitted session is wrong forever — there is no update-mode
+    rewrite to save it. ``slack_ms`` delays finalization by the disorder
+    bound instead."""
 
     GAP = "30 minutes"
+    #: default cross-micro-batch disorder tolerated (same dial as
+    #: StreamStreamAttribution.SLACK_MS).
+    SLACK_MS = 60_000
 
-    def __init__(self, spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str, max_files_per_trigger: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        slack_ms: int = SLACK_MS,
+    ):
         self.spark = apply_runtime_confs(spark)
         self.source_dir = source_dir
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        self.slack_ms = slack_ms
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -401,7 +444,7 @@ class SessionWindowRollup:
         events = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
         agg = (
             events.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
-            .withWatermark("event_time", "0 seconds")
+            .withWatermark("event_time", f"{self.slack_ms // 1000} seconds")
             .groupBy(F.session_window("event_time", self.GAP), F.col("user_id"))
             .agg(F.count("*").alias("n_events"))
         )
@@ -533,7 +576,9 @@ class StreamingAnomaly:
         ).filter(F.col("ratio_permille") >= self.threshold_permille)
         (
             alerts.write.mode("overwrite")
-            .partitionBy("window_start_ms")
+            # full group key: a later batch re-alerting one event_type in a
+            # window must not clobber the window's other alert rows.
+            .partitionBy("window_start_ms", "event_type")
             .parquet(self.out_dir)
         )
 

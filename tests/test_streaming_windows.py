@@ -30,6 +30,46 @@ def test_windowed_rollup_matches_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_windowed_rollup_disordered_replay_matches_batch(spark, sf_dir, tmp_path):
+    """Out-of-order file replay (mid slice arrives AFTER the late slice)
+    must still produce the exact batch rollup when ``slack_ms`` covers the
+    disorder — with the old 0-second watermark the mid slice's rows are
+    older than the already-advanced watermark and get silently dropped,
+    under-counting windows."""
+    from stream_stage import stage_ordered_files
+
+    events = load_table(spark, sf_dir, "events")
+    t50, t75 = events.agg(
+        F.expr("percentile_approx(ts, 0.5)"), F.expr("percentile_approx(ts, 0.75)")
+    ).first()
+    early = events.filter(F.col("ts") <= t50)
+    mid = events.filter((F.col("ts") > t50) & (F.col("ts") <= t75))
+    late = events.filter(F.col("ts") > t75)
+    assert mid.count() > 0, "mid slice empty — disorder test is vacuous"
+    # event-time order: early, mid, late.  Arrival order: early, LATE, MID.
+    src = stage_ordered_files([early, late, mid], tmp_path)
+
+    max_ts_ms = events.agg(F.max(F.expr("ts DIV 1000000"))).first()[0]
+    slack_ms = (max_ts_ms - t50 // 1_000_000) + 60_000
+    WindowedRollup(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        slack_ms=slack_ms,
+    ).run_available_now()
+
+    got = spark.read.parquet(str(tmp_path / "out")).select(
+        "event_type",
+        F.expr("window_start_ms DIV 3600000").alias("hour_bucket"),
+        "n_events",
+        "value_cents",
+    )
+    want = event_type_hourly(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_tail_follow_sees_only_new_rows(spark, sf_dir, tmp_path):
     src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
     events = load_table(spark, sf_dir, "events")
