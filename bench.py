@@ -146,7 +146,12 @@ def main() -> None:
         "sf": sf,
     }
     out = json.dumps(line, separators=(",", ":"))
-    assert len(out) < 1800, f"bench JSON line too long ({len(out)} chars)"
+    # Never abort after ~a minute of completed work just because the
+    # headline subset grew: drop trailing headline entries until the line
+    # fits the driver's stdout window (full detail is already on disk).
+    while len(out) >= 1800 and line["queries"]:
+        line["queries"].popitem()
+        out = json.dumps(line, separators=(",", ":"))
     print(out)
     spark.stop()
 

@@ -92,14 +92,28 @@ def run_sql(spark: SparkSession, url: str, *statements: str) -> None:
     """Execute DDL/DML on the JDBC target from the driver — the session
     bootstrap half of the reference (migrations at connect,
     migrations.rs): CREATE TABLE / MERGE / DELETE run here, data volume
-    moves only through the executor-parallel DataFrame reader/writer."""
+    moves only through the executor-parallel DataFrame reader/writer.
+
+    All statements of one call run in ONE transaction (autocommit off,
+    commit at the end, rollback on failure) — the reference's per-block
+    transactional contract (K1, main.rs:545-574). This is load-bearing
+    for :func:`merge_supply_upsert`: MERGE and the staging DELETE must be
+    atomic, else a crash between them leaves applied-but-undeleted deltas
+    that a retry would double-count."""
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
+        conn.setAutoCommit(False)
         st = conn.createStatement()
-        for s in statements:
-            st.execute(s)
-        st.close()
+        try:
+            for s in statements:
+                st.execute(s)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            st.close()
     finally:
         conn.close()
 
@@ -112,7 +126,10 @@ def merge_supply_upsert(
     delta``) as ANSI MERGE from a staging table — the portable spelling
     (Derby/Postgres 15+/Delta all accept it). Call per micro-batch after
     appending that batch's per-key deltas to ``staging``; the MERGE is
-    O(|staging|) server-side work against the target's primary key."""
+    O(|staging|) server-side work against the target's primary key.
+    MERGE + staging DELETE commit as one transaction (see
+    :func:`run_sql`), so a crashed call applies neither and a retry
+    replays exactly once."""
     run_sql(
         spark,
         url,

@@ -95,11 +95,6 @@ class StreamingIngest:
         self.n_users = n_users
         self.max_files_per_trigger = max_files_per_trigger
         self.strict = strict
-        # Idempotent replay: a re-run batch replaces its own partition.
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    def _schema(self):
-        return self.spark.read.parquet(self.source_dir).schema
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch ≙ one reference block transaction
@@ -128,6 +123,9 @@ class StreamingIngest:
             (
                 df.withColumn("ingest_batch", F.lit(batch_id))
                 .write.mode("overwrite")
+                # per-write, not session-global: idempotent replay overwrites
+                # only this batch's own partition
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("ingest_batch")
                 .parquet(os.path.join(self.out_dir, name))
             )
@@ -176,7 +174,6 @@ class StreamingEnrichment:
         self.accounts = accounts
         self.n_users = n_users
         self.max_files_per_trigger = max_files_per_trigger
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     @staticmethod
     def aliased_ati(ati: DataFrame) -> DataFrame:
@@ -212,6 +209,7 @@ class StreamingEnrichment:
             )
             .withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
             .parquet(self.out_dir)
         )
@@ -348,13 +346,13 @@ class WindowedRollup:
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.slack_ms = slack_ms
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("window_start_ms", F.unix_millis("window.start"))
             .drop("window")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("window_start_ms", "event_type")
             .parquet(self.out_dir)
         )
@@ -545,7 +543,6 @@ class StreamingAnomaly:
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
         self.threshold_permille = threshold_permille
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         hist = self.spark.read.parquet(self.rollup_dir).select(
@@ -576,6 +573,7 @@ class StreamingAnomaly:
         ).filter(F.col("ratio_permille") >= self.threshold_permille)
         (
             alerts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             # full group key: a later batch re-alerting one event_type in a
             # window must not clobber the window's other alert rows.
             .partitionBy("window_start_ms", "event_type")
@@ -653,12 +651,12 @@ class StatefulSupply:
         self.checkpoint_dir = checkpoint_dir
         self.n_users = n_users
         self.max_files_per_trigger = max_files_per_trigger
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
             .parquet(self.out_dir)
         )
@@ -732,15 +730,32 @@ def compact_sink(
     ``ingest_batch`` partitioning, so run it on *closed* tables or
     behind the checkpoint's high-water mark (a compacted batch must never
     be replayed — the reference's analog is Postgres VACUUM, not a
-    semantic operation). Rewrite-then-swap keeps readers consistent."""
-    path = os.path.join(out_dir, name)
-    tmp = path + ".compact"
-    df = spark.read.parquet(path).coalesce(target_files)
-    df.write.mode("overwrite").parquet(tmp)
+    semantic operation).
+
+    Swap protocol: rewrite to ``.compact``, rename live → ``.bak``,
+    rename ``.compact`` → live, delete ``.bak``. A concurrent reader's
+    exposure window is two directory renames (microseconds), not the old
+    ``rmtree`` + rename (the table missing for the whole delete); POSIX
+    cannot swap two directories in one syscall — a metadata-pointer table
+    format (Delta/Iceberg) is the true-atomic deployment shape. A crash
+    mid-swap is recoverable: the next call restores the ``.bak`` if the
+    live directory is gone and clears leftovers before compacting."""
     import shutil
 
-    shutil.rmtree(path)
+    path = os.path.join(out_dir, name)
+    tmp = path + ".compact"
+    bak = path + ".bak"
+    # recover from a previous compaction that died mid-swap
+    if os.path.isdir(bak) and not os.path.isdir(path):
+        os.rename(bak, path)
+    for leftover in (tmp, bak):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+    df = spark.read.parquet(path).coalesce(target_files)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(path, bak)
     os.rename(tmp, path)
+    shutil.rmtree(bak)
 
 
 def supply_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -833,7 +848,6 @@ class StreamingCorpusIngest:
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.quality_gate = quality_gate
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
@@ -848,6 +862,9 @@ class StreamingCorpusIngest:
             (
                 rejects.withColumn("ingest_batch", F.lit(batch_id))
                 .write.mode("overwrite")
+                # per-write, not session-global: idempotent replay overwrites
+                # only this batch's own partition
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("ingest_batch")
                 .parquet(self.out_dir + "_rejects")
             )
@@ -869,6 +886,7 @@ class StreamingCorpusIngest:
         (
             fresh.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
             .parquet(self.out_dir)
         )

@@ -110,3 +110,22 @@ def test_merge_upsert_accumulates_across_batches(spark, sf_dir, derby_url):
         ).count()
         == 0
     )
+
+
+def test_run_sql_is_one_transaction(spark, derby_url):
+    """A failing statement rolls back every earlier statement of the same
+    run_sql call — the contract merge_supply_upsert relies on: a crash
+    between MERGE and the staging DELETE must apply neither, else the
+    per-micro-batch retry re-MERGEs the same staging rows and
+    double-counts total_supply (the reference's ON CONFLICT upsert runs
+    inside the block transaction, main.rs:545-574)."""
+    jdbc.run_sql(spark, derby_url, "CREATE TABLE tx_probe (x BIGINT)")
+    with pytest.raises(Exception):
+        jdbc.run_sql(
+            spark,
+            derby_url,
+            "INSERT INTO tx_probe VALUES (1)",
+            "THIS IS NOT SQL",
+        )
+    n = jdbc.read_jdbc(spark, derby_url, "tx_probe", driver=jdbc.DERBY_DRIVER).count()
+    assert n == 0, "failed call must leave no partial effects"

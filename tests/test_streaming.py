@@ -586,3 +586,49 @@ def test_streaming_curation_ingest_gates_before_dedup(spark, sf_dir, dirs):
         if r["accept"]
     }
     assert got_ids <= batch_ok
+
+
+def test_compact_sink_crash_mid_swap_is_recoverable(spark, sf_dir, dirs, monkeypatch):
+    """A compaction that dies between the two swap renames leaves the live
+    directory missing — the next compact_sink call must restore the
+    ``.bak`` and complete, with rows preserved exactly. Also: the reader
+    exposure window is the two renames only; the rewrite itself happens
+    off to the side, so the table stays readable while the compacted copy
+    is being written."""
+    import os as _os
+
+    from concordium_transaction_logger_spark.streaming import pipeline as pl
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    for lo, hi in ((0, 500), (500, 10**9)):
+        events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users, max_files_per_trigger=1
+    ).run_available_now()
+
+    path = os.path.join(dirs["out"], "summaries")
+    want = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die after live -> .bak, before .compact -> live
+            raise RuntimeError("simulated crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(pl.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    assert not _os.path.isdir(path), "crash window: live dir renamed away"
+    assert _os.path.isdir(path + ".bak")
+
+    monkeypatch.setattr(pl.os, "rename", real_rename)
+    pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    got = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
+    assert got == want
+    assert not _os.path.isdir(path + ".bak") and not _os.path.isdir(path + ".compact")
