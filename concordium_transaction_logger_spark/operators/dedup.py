@@ -223,6 +223,19 @@ def _band_cols() -> list[Column]:
     return bands
 
 
+def _explode_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band0..bandN) -> (doc_id, 'b:bandhash') bucket keys."""
+    n_bands = MINHASH_K // BAND_ROWS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(n_bands)
+            ])
+        ).alias("bucket"),
+    )
+
+
 def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(session, sf_dir) materialized LSH bucket keys — two narrow
     columns feeding both self-join sides of the banding pass AND the
@@ -232,17 +245,25 @@ def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         sig = minhash_index(spark, sf_dir).select("doc_id", *_band_cols())
-        n_bands = MINHASH_K // BAND_ROWS
-        return sig.select(
-            "doc_id",
-            F.explode(
-                F.array(*[
-                    F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(n_bands)
-                ])
-            ).alias("bucket"),
-        ).persist()
+        return _explode_buckets(sig).persist()
 
     return get_or_build("band_buckets", spark, sf_dir, build)
+
+
+def doc_band_buckets(docs: DataFrame) -> DataFrame:
+    """LSH band bucket keys for an arbitrary ``(doc_id, text)`` frame —
+    the frame-based twin of :func:`band_buckets` (which memoizes the
+    whole-corpus index per session). The streaming admission path
+    (``StreamingCorpusIngest(near_dup=True)``) buckets each micro-batch
+    with exactly these expressions, so streaming bucket keys compare
+    string-for-string with the batch index."""
+    sh = shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return _explode_buckets(sig.select("doc_id", *_band_cols()))
 
 
 def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

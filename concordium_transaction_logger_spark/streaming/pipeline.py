@@ -831,7 +831,29 @@ class StreamingCorpusIngest:
     ``doc_quality_gate`` (``textstats.gate_reason`` — row-local, runs
     scan-side) BEFORE fingerprinting, so rejected documents never enter
     the dedup state; rejects land in ``<out_dir>_rejects`` with their
-    reason (no silent drops — the reject log is a curation artifact)."""
+    reason (no silent drops — the reject log is a curation artifact).
+
+    ``near_dup=True`` extends admission beyond exact fingerprints with
+    the MinHash band index (``dedup.doc_band_buckets`` — the same
+    shingle→minhash→band expressions as the batch LSH pipeline): a
+    document is rejected when it shares a band bucket with any
+    earlier-seen document, even one that arrived batches ago. The seen
+    bucket state lives in a ``<out_dir>_buckets`` side sink (admitted AND
+    rejected docs — rejection state must include losers, else A~B, B~C
+    chains re-admit C after B was dropped), batch-partitioned for
+    idempotent replay like every other sink. At 100 TB the bucket sink
+    is partitioned by bucket-hash prefix so the per-batch probe join
+    prunes to colliding buckets; its size is n_bands rows per document —
+    linear, the same budget as the batch band index.
+
+    Admission semantics: the greedy prefix rule — admit d iff no
+    earlier-seen document shares a bucket with d. On an id-ordered full
+    replay this equals the batch ``dedup_survivors`` keeper set (component
+    min-id) whenever every non-keeper has a direct bucket-mate with a
+    smaller id; a component connected ONLY through a later-arriving
+    bridge doc admits the pre-bridge members (a one-pass streaming
+    decision cannot see the future) — the batch job is the reconciler
+    for that rare shape, the equivalence is asserted on the test corpora."""
 
     def __init__(
         self,
@@ -841,6 +863,7 @@ class StreamingCorpusIngest:
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
         quality_gate: bool = False,
+        near_dup: bool = False,
     ):
         self.spark = apply_runtime_confs(spark)
         self.source_dir = source_dir
@@ -848,25 +871,30 @@ class StreamingCorpusIngest:
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.quality_gate = quality_gate
+        self.near_dup = near_dup
+
+    def _write_partitioned(self, df: DataFrame, batch_id: int, path: str) -> None:
+        (
+            df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            # per-write, not session-global: idempotent replay overwrites
+            # only this batch's own partition
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(path)
+        )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
+        from ..operators.dedup import doc_band_buckets
         from ..operators.textstats import gate_reason
 
+        reject_frames = []
         if self.quality_gate:
             gated = batch_df.withColumn("reason", gate_reason(F.col("text")))
-            rejects = gated.filter(F.col("reason") != "ok").select(
-                "doc_id", "reason"
-            )
-            (
-                rejects.withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                # per-write, not session-global: idempotent replay overwrites
-                # only this batch's own partition
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
-                .parquet(self.out_dir + "_rejects")
+            reject_frames.append(
+                gated.filter(F.col("reason") != "ok").select("doc_id", "reason")
             )
             batch_df = gated.filter(F.col("reason") == "ok").drop("reason")
         w = Window.partitionBy("fp").orderBy("doc_id")
@@ -883,13 +911,45 @@ class StreamingCorpusIngest:
                 .select("fp")
             )
             fresh = fresh.join(seen, "fp", "left_anti")
-        (
-            fresh.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(self.out_dir)
-        )
+        bb = None
+        if self.near_dup:
+            # every gate-passing doc of this batch becomes seen state,
+            # admitted or not (see class docstring)
+            bb = doc_band_buckets(batch_df).persist()
+            a, b = bb.alias("a"), bb.alias("b")
+            collided = a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(F.col("b.doc_id").alias("doc_id"))
+            bdir = self.out_dir + "_buckets"
+            if os.path.isdir(bdir):
+                prior = (
+                    self.spark.read.parquet(bdir)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .select(F.col("doc_id").alias("p_doc"), "bucket")
+                )
+                collided = collided.unionByName(
+                    bb.join(prior, "bucket")
+                    .filter(F.col("p_doc") < F.col("doc_id"))
+                    .select("doc_id")
+                )
+            collided = collided.distinct()
+            reject_frames.append(collided.withColumn("reason", F.lit("near_dup")))
+            fresh = fresh.join(collided, "doc_id", "left_anti")
+            self._write_partitioned(bb, batch_id, bdir)
+        try:
+            self._write_partitioned(fresh, batch_id, self.out_dir)
+            if reject_frames:
+                rejects = reject_frames[0]
+                for rf in reject_frames[1:]:
+                    rejects = rejects.unionByName(rf)
+                self._write_partitioned(
+                    rejects, batch_id, self.out_dir + "_rejects"
+                )
+        finally:
+            if bb is not None:
+                bb.unpersist()
 
     def run_available_now(self) -> None:
         schema = self.spark.read.parquet(self.source_dir).schema

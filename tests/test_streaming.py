@@ -632,3 +632,60 @@ def test_compact_sink_crash_mid_swap_is_recoverable(spark, sf_dir, dirs, monkeyp
     got = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
     assert got == want
     assert not _os.path.isdir(path + ".bak") and not _os.path.isdir(path + ".compact")
+
+
+def test_streaming_near_dup_admission_matches_batch_survivors(spark, sf_dir, dirs):
+    """near_dup=True: after a full multi-batch id-ordered replay, the
+    admitted corpus equals the batch ``dedup_survivors`` keeper set — a
+    near-duplicate arriving batches after its keeper is rejected by the
+    band-bucket state, not just exact re-crawls. Rejections are logged
+    (no silent drops), and a lost-checkpoint replay changes nothing."""
+    from concordium_transaction_logger_spark.operators import dedup
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # three doc_id-ordered slices -> separate micro-batches, so near-dup
+    # pairs straddle batch boundaries
+    for lo, hi in ((0, 150), (150, 350), (350, 10**9)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(dirs["source"])
+    StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        near_dup=True,
+    ).run_available_now()
+
+    got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    want = {r["doc_id"] for r in dedup.dedup_survivors(spark, sf_dir).collect()}
+    assert got == want
+    # the losers are in the reject log with the near_dup reason
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    rejected = {
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["out"] + "_rejects")
+        .filter(F.col("reason") == "near_dup")
+        .collect()
+    }
+    assert rejected and rejected == all_ids - want
+    # at least one rejection crossed a batch boundary (keeper in an
+    # earlier slice), else the cross-batch state did no work
+    assert any(d >= 150 for d in rejected)
+
+    # lost-checkpoint replay is idempotent
+    shutil.rmtree(dirs["ckpt"])
+    StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        near_dup=True,
+    ).run_available_now()
+    assert {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()} == want
