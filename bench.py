@@ -81,6 +81,13 @@ def main() -> None:
     similarity.centroids_for(spark, sf_dir).count()
     similarity.ivf_index(spark, sf_dir).count()
     similarity.lsh_index(spark, sf_dir).count()
+    # The k-means assignment and PQ codebooks are session indexes too —
+    # without these two lines their build lands on whichever consumer the
+    # registry happens to order first (r2→r3 the reorder moved ~1.1 s of
+    # Lloyd's iterations from kmeans_profile onto semdedup_pairs, reading
+    # as a phantom per-query regression; see SCALE.md "bench variance").
+    similarity.kmeans_index(spark, sf_dir).count()
+    similarity.pq_index(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
