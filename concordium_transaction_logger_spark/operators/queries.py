@@ -148,6 +148,23 @@ def cis2_supply_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive.cis2_tokens_wide(feed).orderBy("idx", "subidx", "token_id")
 
 
+def cis2_supply_wide_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-int64 regime of the wide path, as a driver-checked
+    query: every movement amount ×10^14 (digits appended scan-side as a
+    string — the synthetic u256-scale corpus the reference's NUMERIC(80,0)
+    column exists for, m0001-initial.sql:39), so group totals land around
+    10^19-10^21 — past BIGINT's 9.2×10^18 and any long/double path. Same
+    limb plan as :func:`cis2_supply_wide`; DuckDB witnesses the exact
+    totals through 128-bit HUGEINT arithmetic."""
+    feed = derive.block_feed(spark, sf_dir)
+    wide_amounts = derive.cis2_events(feed).withColumn(
+        "amount", F.concat(F.col("amount").cast("string"), F.lit("0" * 14))
+    )
+    return derive.wide_sum(
+        wide_amounts, ["idx", "subidx", "token_id"], "amount"
+    ).orderBy("idx", "subidx", "token_id")
+
+
 def key_bindings_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current public-key bindings per account (M1 latest-wins snapshot,
     main.rs:506-540)."""

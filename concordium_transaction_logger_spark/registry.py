@@ -276,6 +276,21 @@ ORDER BY idx, subidx, token_id
 """
         ),
     ),
+    # The >int64 regime itself earning a driver hash row: amounts ×10^14
+    # via scan-side digit append, totals ~10^19-10^21 — past BIGINT and
+    # DECIMAL-as-long; limb carry/render path vs DuckDB 128-bit HUGEINT.
+    "cis2_supply_wide_overflow": QueryDef(
+        queries.cis2_supply_wide_overflow,
+        wrap(
+            """
+SELECT idx, subidx, token_id,
+       CAST(SUM(CAST(amount AS HUGEINT) * CAST(100000000000000 AS HUGEINT))
+            AS VARCHAR) AS total_supply
+FROM cis2_events GROUP BY idx, subidx, token_id
+ORDER BY idx, subidx, token_id
+"""
+        ),
+    ),
     "key_bindings_latest": QueryDef(
         lambda spark, sf: queries.key_bindings_latest(spark, sf),
         wrap("SELECT * FROM bindings ORDER BY address"),
@@ -2165,14 +2180,31 @@ ORDER BY label, dim
 # Driver-slot ordering. The grading driver differentially checks the
 # FIRST 50 registry entries, so the insertion order below is a coverage
 # decision, not cosmetics: the reference's own read surface first (it IS
-# the reference), then one-or-more representatives of every operator
-# family (dedup, MinHash/LSH, connected components, ANN, SemDeDup, text
-# analysis, winnowing, packing/splitting/contamination/mixture, temporal
-# joins, media) — so no family rides on local pytest alone. Everything
-# past slot 50 stays oracle-verified by tests/test_oracle_parity.py.
+# the reference — these 19 stay PINNED every round), then one-or-more
+# representatives of every operator family (dedup, MinHash/LSH, connected
+# components, ANN, SemDeDup, text analysis, winnowing, packing/splitting/
+# contamination/mixture, temporal joins, media, and — since round 4 —
+# the relational/TPC-H/window family) — so no family rides on local
+# pytest alone. Everything past slot 50 stays oracle-verified by
+# tests/test_oracle_parity.py.
+#
+# ROTATION (round 4 onward): ~10-13 of the non-pinned slots swap each
+# round so the ~75 past-slot-50 queries cycle through driver
+# verification across rounds instead of riding local DuckDB forever.
+# Rotated IN for round 4: doc_minhash_jaccard_estimate,
+# doc_dedup_survivors, doc_ngram_novelty, embedding_kmeans_profile,
+# embedding_near_dup_pairs, doc_tfdf_top_terms, doc_lang_confusion,
+# doc_quality_gate, pricing_summary, user_sessions,
+# customer_spend_deciles, media_validation, cis2_supply_wide_overflow
+# (new pin). Rotated OUT (r03-green, still covered by
+# test_oracle_parity): doc_simhash, doc_minhash_signatures,
+# corpus_dedup_stats, ann_cosine_topk_int8, ann_ivf_assign,
+# doc_dup_verdict, doc_token_stats, doc_bpe_token_stats,
+# doc_repetition_profile, doc_winnow_fingerprints, doc_train_split,
+# doc_stratified_sample, media_frame_sample.
 # ----------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # reference read surface (SURVEY §2.3-§2.8)
+    # reference read surface (SURVEY §2.3-§2.8) — pinned
     "account_txs_desc",
     "account_txs_asc_start",
     "account_txs_desc_start",
@@ -2184,6 +2216,7 @@ _DRIVER_PRIORITY = [
     "resume_offset",
     "cis2_supply",
     "cis2_supply_wide",
+    "cis2_supply_wide_overflow",
     "key_bindings_latest",
     "incoming_txs",
     "account_activity",
@@ -2193,42 +2226,42 @@ _DRIVER_PRIORITY = [
     "cis2_supply_guarded",
     # deduplication family
     "doc_exact_dup_groups",
-    "doc_minhash_signatures",
     "doc_minhash_band_pairs",
     "doc_dup_components",
-    "doc_dup_verdict",
-    "doc_simhash",
     "doc_ngram_jaccard_pairs",
-    "corpus_dedup_stats",
+    "doc_minhash_jaccard_estimate",
+    "doc_dedup_survivors",
+    "doc_ngram_novelty",
     # similarity / embedding family
     "ann_cosine_topk",
-    "ann_cosine_topk_int8",
     "ann_lsh_topk",
-    "ann_ivf_assign",
     "ann_ivf_topk",
     "embedding_near_dup_pairs_blocked",
     "embedding_semdedup_pairs",
+    "embedding_kmeans_profile",
+    "embedding_near_dup_pairs",
     # text-analysis family
-    "doc_token_stats",
-    "doc_bpe_token_stats",
     "doc_quality",
     "doc_lang_id",
-    "doc_repetition_profile",
-    "doc_winnow_fingerprints",
     "doc_winnow_dup_pairs",
     "doc_quality_classifier",
+    "doc_tfdf_top_terms",
+    "doc_lang_confusion",
+    "doc_quality_gate",
     # sampling / curation family
     "doc_pack_sequences",
-    "doc_train_split",
     "doc_split_contamination",
-    "doc_stratified_sample",
     "corpus_mixture_plan",
     "corpus_curation_verdict",
     # temporal joins
     "asof_purchase_last_click",
     "error_followup_burst",
     # multimodal plumbing
-    "media_frame_sample",
+    "media_validation",
+    # relational / TPC-H / window family (zero driver rows through r3)
+    "pricing_summary",
+    "user_sessions",
+    "customer_spend_deciles",
 ]
 
 REGISTRY = {
