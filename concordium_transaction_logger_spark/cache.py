@@ -33,3 +33,17 @@ def get_or_build(
     value = build()
     cache[key] = (spark, value)
     return value
+
+
+def release_corpus(spark: Any, sf_dir: str) -> None:
+    """Drop (and unpersist) every cached artifact for one (session,
+    corpus) pair — the eviction half of the index cache, for harnesses
+    that sweep many corpora through one session (scale_slopes.py builds
+    per-corpus shingle/minhash/LSH/IVF/k-means indexes; without eviction
+    the persisted blocks of every past corpus pin executor memory until
+    the session dies)."""
+    key = (id(spark), sf_dir)
+    for cache in _CACHES.values():
+        hit = cache.pop(key, None)
+        if hit is not None and hit[0] is spark and hasattr(hit[1], "unpersist"):
+            hit[1].unpersist()

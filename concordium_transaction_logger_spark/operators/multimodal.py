@@ -108,6 +108,267 @@ def _decode_ppm(payload: bytes):
     return raw[: w * h * 3].reshape(h, w, 3)
 
 
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded segment (already
+    unstuffed: 0xFF 0x00 -> 0xFF)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            return 0  # spec: pad past the end with zero bits
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huffman_table(counts, symbols):
+    """Canonical JPEG Huffman: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_symbol(reader: _JpegBitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_basis():
+    """8-point DCT-III basis matrix: spatial = basis.T @ coef @ basis."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+def _decode_jpeg(payload: bytes):
+    """REAL image decode for *baseline* JFIF/JPEG (SOF0, 8-bit, Huffman,
+    grayscale or YCbCr with any h/v sampling, restart markers) — pure
+    numpy + stdlib, no codec library: marker parse -> canonical Huffman
+    -> dequantize -> inverse zigzag -> 8x8 IDCT (matrix form) -> chroma
+    upsample -> YCbCr->RGB. Returns (h, w, 3) uint8 or None when the
+    payload is not a baseline JPEG (progressive/arithmetic/12-bit return
+    None — honestly undecodable here, not silently wrong).
+
+    This is the correctness kernel, not the throughput path: a production
+    deployment swaps `libjpeg-turbo` into the same mapInPandas slot; the
+    Spark-side plumbing (Arrow batches, narrow feature outputs, partition
+    sizing) is identical either way."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"\xff\xd8"):
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seglen = int.from_bytes(payload[i : i + 2], "big")
+        seg = payload[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    j += 64
+                else:
+                    qt[tq] = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int32)
+                    j += 128
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8 or h == 0 or w == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                counts = list(seg[j + 1 : j + 17])
+                nsym = sum(counts)
+                symbols = list(seg[j + 17 : j + 17 + nsym])
+                huff[(tc, th)] = _jpeg_huffman_table(counts, symbols)
+                j += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                return None
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomp.append((cid, tt >> 4, tt & 0xF))
+            data_start = i + seglen
+            # unstuff + split at restart markers
+            segments, cur = [], bytearray()
+            j = data_start
+            while j < n:
+                b = payload[j]
+                if b == 0xFF and j + 1 < n:
+                    m2 = payload[j + 1]
+                    if m2 == 0x00:
+                        cur.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= m2 <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        j += 2
+                        continue
+                    break  # EOI or another marker
+                cur.append(b)
+                j += 1
+            segments.append(bytes(cur))
+            return _jpeg_decode_scan(sof, scomp, qt, huff, restart_interval, segments)
+        # all other segments (APPn, COM) skipped
+        i += seglen
+    return None
+
+
+def _jpeg_decode_scan(sof, scomp, qt, huff, restart_interval, segments):
+    import numpy as np
+
+    h, w, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    basis = _idct_basis()
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+    tables = {cid: (huff.get((0, td)), huff.get((1, ta))) for cid, td, ta in scomp}
+    order = [c for c in comps]  # interleaved in SOF order
+    pred = {c["id"]: 0 for c in comps}
+    seg_idx = 0
+    reader = _JpegBitReader(segments[0])
+    mcu_count = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        return None
+                    reader = _JpegBitReader(segments[seg_idx])
+                    pred = {c["id"]: 0 for c in comps}
+                for c in order:
+                    dc_t, ac_t = tables[c["id"]]
+                    q = qt.get(c["tq"])
+                    if dc_t is None or ac_t is None or q is None:
+                        return None
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = np.zeros(64, dtype=np.int32)
+                            s = _jpeg_read_symbol(reader, dc_t)
+                            diff = _jpeg_extend(reader.read_bits(s), s)
+                            pred[c["id"]] += diff
+                            coef[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_read_symbol(reader, ac_t)
+                                r, size = rs >> 4, rs & 0xF
+                                if size == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[k] = _jpeg_extend(reader.read_bits(size), size)
+                                k += 1
+                            block = np.zeros(64, dtype=np.float64)
+                            block[_ZIGZAG] = coef * q
+                            spatial = basis.T @ block.reshape(8, 8) @ basis + 128.0
+                            py = (my * c["v"] + by) * 8
+                            px = (mx * c["h"] + bx) * 8
+                            planes[c["id"]][py : py + 8, px : px + 8] = spatial
+                mcu_count += 1
+    except ValueError:
+        return None
+    # upsample to full resolution and convert
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.dstack([y, y, y]).astype(np.uint8)
+    if len(full) != 3:
+        return None
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
 def _decode_wav(payload: bytes):
     """REAL audio decode for PCM WAV — stdlib ``wave`` + numpy, no codec
     lib. Returns (samples: int numpy array mono-mixed, framerate) or
@@ -135,14 +396,17 @@ def _decode_wav(payload: bytes):
 
 def _real_decode_features(payload: bytes, kind: str) -> list[float]:
     """Real per-payload features for the formats decodable without any
-    codec library: P6 PPM images (per-channel means, global std,
-    dimensions) and PCM WAV audio (duration, RMS, zero-crossing rate).
-    Anything else raises — the honest boundary: JPEG/PNG/MP4 need codecs
-    this environment does not ship."""
+    codec library: baseline JPEG and P6 PPM images (per-channel means,
+    global std, dimensions) and PCM WAV audio (duration, RMS,
+    zero-crossing rate). Anything else raises — the honest boundary:
+    progressive JPEG / PNG / MP4 need codecs this environment does not
+    ship."""
     import numpy as np
 
     if kind == "image":
         img = _decode_ppm(payload)
+        if img is None:
+            img = _decode_jpeg(payload)
         if img is not None:
             h, w, _ = img.shape
             means = img.reshape(-1, 3).mean(axis=0) / 255.0
@@ -166,7 +430,7 @@ def _real_decode_features(payload: bytes, kind: str) -> list[float]:
     raise NotImplementedError(
         f"real decode for this {kind} payload requires a codec library "
         "(PIL/ffmpeg) not present in this environment; supported real "
-        "formats: P6 PPM images, PCM16 WAV audio"
+        "formats: baseline JPEG + P6 PPM images, PCM16 WAV audio"
     )
 
 

@@ -637,7 +637,7 @@ def _kmeans_assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFr
 
 
 def _kmeans_centroids(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K
 ) -> list[tuple[int, list[int]]]:
     """Run the fixed Lloyd's iterations and return the final centroid set.
 
@@ -647,7 +647,7 @@ def _kmeans_centroids(
     wire, same as MLlib). Per-dim means are 64 column aggregates (no
     explode); clusters that empty out drop from the centroid set."""
     emb = _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e")
-    init = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [(int(r.vec_id), list(r.e)) for r in init]
     for _ in range(KMEANS_ITERS - 1):
         assigned = _kmeans_assign(emb, cents)
@@ -673,20 +673,28 @@ def _kmeans_centroids(
     return cents
 
 
-def kmeans_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_index(spark: SparkSession, sf_dir: str, k: int = KMEANS_K) -> DataFrame:
     """The materialized k-means assignment (vec_id, e, cluster, d) after
     the fixed Lloyd's iterations — a session index shared by the profile
     query and SemDeDup blocking (at 100 TB: written partitioned by
-    cluster, like the IVF assignment)."""
+    cluster, like the IVF assignment).
+
+    ``k`` is THE SemDeDup scale dial: the blocked pair space is
+    Σ|cluster|² ≈ N²/k, so a production deployment grows k with the
+    corpus to hold cluster size (and per-task matmul memory) constant —
+    k ∝ N keeps semdedup linear. The default stays the oracle-pinned
+    KMEANS_K; non-default k gets its own session-cache slot. Measured in
+    SCALE_SLOPES.json: fixed k=8 slope ~2 at 10× corpus, k ∝ N slope ~1."""
     from ..cache import get_or_build
 
+    name = "kmeans_assign" if k == KMEANS_K else f"kmeans_assign_k{k}"
     return get_or_build(
-        "kmeans_assign",
+        name,
         spark,
         sf_dir,
         lambda: _kmeans_assign(
             _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e"),
-            _kmeans_centroids(spark, sf_dir),
+            _kmeans_centroids(spark, sf_dir, k=k),
         ).persist(),
     )
 
@@ -713,7 +721,7 @@ def kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_pairs(
-    spark: SparkSession, sf_dir: str, threshold_micro: int = 400_000
+    spark: SparkSession, sf_dir: str, threshold_micro: int = 400_000, k: int = KMEANS_K
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked near-duplicate pairs: score only
     pairs that share a k-means cluster (Abbas et al. 2023's blocking), so
@@ -731,7 +739,7 @@ def semdedup_pairs(
     import numpy as np
     import pandas as pd
 
-    idx = kmeans_index(spark, sf_dir).select("vec_id", "cluster", "e")
+    idx = kmeans_index(spark, sf_dir, k=k).select("vec_id", "cluster", "e")
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

@@ -71,6 +71,11 @@ def build_session(
             os.path.join(tempfile.gettempdir(), "ctl-warehouse"),
         )
     )
+    # local-mode JVM heap (driver IS the executor there); only effective
+    # before the JVM starts, so an env knob rather than a runtime conf.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     return apply_runtime_confs(builder.getOrCreate())

@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Measured scaling slopes per operator family (SCALE.md evidence).
+
+Builds synthetic corpora at 1x / 3x / 10x the sf0.1 documents+embeddings
+tables and times one representative query per family against each,
+reporting the log-log slope  s = log(t_m / t_1) / log(m)  — s ~= 1 is
+linear scaling, s ~= 2 quadratic. This converts the "would survive
+100 TB" plan-shape arguments into measurements.
+
+Corpus construction (deterministic, structure-preserving):
+- documents: replica r suffixes every whitespace token with ``q{r}`` —
+  within a replica the dup/near-dup structure (exact dups, jaccard
+  values, shingle df distribution) is preserved token-for-token, across
+  replicas there is zero shingle overlap, so an m-times corpus has
+  m-times the documents with the same per-unit duplicate density (what a
+  bigger crawl looks like, not m carbon copies of every page). NOTE this
+  also means per-shingle document frequency does NOT grow with m, so the
+  plain replica corpus cannot exhibit the hot-shingle quadratic blowup —
+  that is what the *boilerplate* variant is for (below).
+- boilerplate variant: every 10th document additionally gets a shared
+  UNsuffixed boilerplate sentence, so those ~14 shingles' df grows with
+  the corpus — the Σ df² pair space grows quadratically. The df-capped
+  default must shrug this off (stop-shingle list absorbs it); the exact
+  twin is expected to blow up, which is WHY capped is the default.
+- embeddings: replica r rotates each vector's components by r positions
+  (norm-preserving); vec_ids offset by a stride. ANN query vectors stay
+  the fixed ``vec_id < 5`` set, so the measurement scales the CANDIDATE
+  side at constant query load. (Rotations of correlated embeddings stay
+  mutually similar, so near-dup pair COUNTS grow superlinearly — that
+  stresses the pair-emission side too, which is realistic for a crawl
+  whose duplicate density grows with breadth.)
+- all other tables symlink to the base sf dir.
+
+SemDeDup is measured twice: at the oracle-pinned fixed k=8 (pair space
+Σ|cluster|² ≈ N²/k — quadratic at fixed k) and at k ∝ N (constant
+cluster size — the production dial, expected ~linear).
+
+A full untimed warm pass over a scratch corpus runs first so
+whole-stage-codegen compilation is not billed to the 1x column.
+
+Usage: python scale_slopes.py   (writes SCALE_SLOPES.json, ~10 min)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the 10x corpus (50k docs / 20k vecs) needs more than the 1g local-mode
+# default heap; must be set before the JVM starts.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+from pyspark.sql import functions as F
+
+from concordium_transaction_logger_spark import build_session
+from concordium_transaction_logger_spark.cache import release_corpus
+from concordium_transaction_logger_spark.sources.tables import TABLES
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULTS = (1, 3, 10)
+STRIDE = 10_000_000
+BOILERPLATE = (
+    "shared boilerplate footer terms of service all rights reserved "
+    "contact us privacy policy cookie notice subscribe to newsletter"
+)
+#: df-uncapped jaccard on the boilerplate corpus: Σ df² pair space —
+#: measured only while the hot-shingle pair count stays tractable.
+EXACT_BOILER_CAP = 3
+
+
+def build_corpus(spark, mult: int, out_dir: str, boilerplate: bool = False) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        if name in ("documents", "embeddings"):
+            continue
+        os.symlink(
+            os.path.join(BASE_SF, f"{name}.parquet"),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    parts = []
+    for r in range(mult):
+        text = (
+            F.col("text")
+            if r == 0
+            else F.expr(
+                f"array_join(transform(split(text, ' '), t -> concat(t, 'q{r}')), ' ')"
+            )
+        )
+        if boilerplate:
+            text = F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(text, F.lit(" " + BOILERPLATE)),
+            ).otherwise(text)
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + r * STRIDE).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    eparts = []
+    for r in range(mult):
+        if r == 0:
+            eparts.append(emb)
+        else:
+            rot = r % 64
+            eparts.append(
+                emb.select(
+                    (F.col("vec_id") + r * STRIDE).alias("vec_id"),
+                    F.concat(
+                        F.slice("embedding", rot + 1, 64 - rot),
+                        F.slice("embedding", 1, rot),
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    from concordium_transaction_logger_spark.operators import (
+        dedup,
+        sampling,
+        similarity,
+        textstats,
+    )
+
+    spark = build_session("ctl-scale-slopes")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+
+    def families(m: int):
+        return {
+            "exact_dedup": dedup.exact_dup_groups,
+            "jaccard_capped": dedup.ngram_jaccard_pairs,
+            "minhash_band_pairs": dedup.minhash_band_pairs,
+            "dup_components": dedup.dup_components,
+            "winnow_dup_pairs": textstats.winnow_dup_pairs,
+            "token_stats": textstats.token_stats,
+            "pack_sequences": sampling.pack_sequences,
+            "split_contamination": sampling.split_contamination,
+            "ann_cosine_brute": similarity.cosine_topk,
+            "ann_lsh": similarity.ann_lsh_topk,
+            "ann_ivf": similarity.ivf_topk,
+            "ann_pq": similarity.ann_pq_topk,
+            "semdedup_fixed_k": similarity.semdedup_pairs,
+            "semdedup_scaled_k": lambda s, d: similarity.semdedup_pairs(
+                s, d, k=similarity.KMEANS_K * m
+            ),
+            "near_dup_blocked_exact": similarity.near_dup_pairs_blocked,
+        }
+
+    def boiler_families(m: int):
+        fams = {"jaccard_capped_boiler": dedup.ngram_jaccard_pairs}
+        if m <= EXACT_BOILER_CAP:
+            fams["jaccard_exact_boiler"] = lambda s, d: dedup.ngram_jaccard_pairs(
+                s, d, max_df=None
+            )
+        return fams
+
+    def build_indexes(cdir: str, m: int) -> float:
+        t0 = time.perf_counter()
+        dedup.shingle_index(spark, cdir).count()
+        dedup.minhash_index(spark, cdir).count()
+        dedup.band_buckets(spark, cdir).count()
+        similarity.centroids_for(spark, cdir).count()
+        similarity.ivf_index(spark, cdir).count()
+        similarity.lsh_index(spark, cdir).count()
+        similarity.kmeans_index(spark, cdir).count()
+        similarity.kmeans_index(spark, cdir, k=similarity.KMEANS_K * m).count()
+        similarity.pq_index(spark, cdir).count()
+        return time.perf_counter() - t0
+
+    results: dict[str, dict] = {"base_sf": BASE_SF, "mults": list(MULTS), "times": {}}
+    sizes = {}
+    root = tempfile.mkdtemp(prefix="ctl_scale_")
+    try:
+        # untimed warm pass: absorbs whole-stage-codegen + worker spin-up
+        wdir = os.path.join(root, "warm")
+        build_corpus(spark, 1, wdir)
+        build_indexes(wdir, 1)
+        for fn in families(1).values():
+            fn(spark, wdir).toPandas()
+        release_corpus(spark, wdir)
+        wbdir = os.path.join(root, "warm_boiler")
+        build_corpus(spark, 1, wbdir, boilerplate=True)
+        build_indexes(wbdir, 1)
+        for fn in boiler_families(1).values():
+            fn(spark, wbdir).toPandas()
+        release_corpus(spark, wbdir)
+        print("warm pass done", flush=True)
+
+        for m in MULTS:
+            cdir = os.path.join(root, f"x{m}")
+            build_corpus(spark, m, cdir)
+            sizes[m] = {
+                "docs": spark.read.parquet(os.path.join(cdir, "documents.parquet")).count(),
+                "vecs": spark.read.parquet(os.path.join(cdir, "embeddings.parquet")).count(),
+            }
+            results["times"].setdefault("index_build", {})[m] = round(
+                build_indexes(cdir, m), 3
+            )
+            for fam, fn in families(m).items():
+                t0 = time.perf_counter()
+                n = len(fn(spark, cdir).toPandas())
+                results["times"].setdefault(fam, {})[m] = round(
+                    time.perf_counter() - t0, 3
+                )
+                print(f"x{m} {fam}: {results['times'][fam][m]}s ({n} rows)", flush=True)
+
+            bdir = os.path.join(root, f"x{m}_boiler")
+            build_corpus(spark, m, bdir, boilerplate=True)
+            dedup.shingle_index(spark, bdir).count()
+            for fam, fn in boiler_families(m).items():
+                t0 = time.perf_counter()
+                n = len(fn(spark, bdir).toPandas())
+                results["times"].setdefault(fam, {})[m] = round(
+                    time.perf_counter() - t0, 3
+                )
+                print(f"x{m} {fam}: {results['times'][fam][m]}s ({n} rows)", flush=True)
+            release_corpus(spark, cdir)
+            release_corpus(spark, bdir)
+            print(f"x{m} corpus={sizes[m]}", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    results["sizes"] = sizes
+    slopes = {}
+    for fam, ts in results["times"].items():
+        ms = sorted(ts)
+        hi = ms[-1]
+        slopes[fam] = round(math.log(ts[hi] / ts[ms[0]]) / math.log(hi), 2)
+    results["slopes_1_to_max"] = slopes
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "SCALE_SLOPES.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(slopes, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
