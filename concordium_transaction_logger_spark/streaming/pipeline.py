@@ -143,6 +143,95 @@ class StreamingIngest:
         q.awaitTermination()
 
 
+class RateSourceIngest(StreamingIngest):
+    """The LIVE-unbounded-source twin of :class:`StreamingIngest`: the
+    same derivation and exactly-once batch-keyed sinks, fed by Spark's
+    ``rate`` source — a generator that emits rows forever with no files
+    and no end — instead of file replay. The reference consumes a gRPC
+    node feed (lib.rs:430-447), which is environmental; this class proves
+    the topology holds on a genuinely unbounded source: ONLY the
+    readStream line differs, ``_process_batch`` is inherited untouched,
+    and a Kafka deployment swaps ``format("rate")`` for
+    ``format("kafka")`` plus a value-decode select.
+
+    Every event column is derived DETERMINISTICALLY from the rate
+    ``value`` sequence number (never from the wall-clock ``timestamp``
+    column), so an unbounded run is replayable and comparable row-for-row
+    with the batch derivation over ``spark.range`` — asserted in
+    ``tests/test_streaming.py``. ``run_until`` consumes with a
+    processing-time trigger until at least ``min_rows`` have been
+    ingested, then stops the query — the bounded observation window over
+    an unbounded stream."""
+
+    #: deterministic event-time base: 2024-01-01T00:00:00Z in nanos.
+    BASE_TS_NS = 1_704_067_200_000_000_000
+    #: event-time step between consecutive events (1 s in nanos).
+    STEP_NS = 1_000_000_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        checkpoint_dir: str,
+        n_users: int = 97,
+        rows_per_second: int = 2000,
+    ):
+        super().__init__(
+            spark,
+            source_dir="",  # no file source: _events_stream is overridden
+            out_dir=out_dir,
+            checkpoint_dir=checkpoint_dir,
+            n_users=n_users,
+        )
+        self.rows_per_second = rows_per_second
+
+    @classmethod
+    def events_for_values(cls, values: DataFrame, n_users: int) -> DataFrame:
+        """value -> event row, shared by the stream and the batch twin
+        (``spark.range`` replay) so equivalence is by construction."""
+        v = F.col("value")
+        return values.select(
+            v.alias("event_id"),
+            (F.lit(cls.BASE_TS_NS) + v * F.lit(cls.STEP_NS)).alias("ts"),
+            (v % n_users).alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in KNOWN_EVENT_TYPES]),
+                (v % len(KNOWN_EVENT_TYPES) + 1).cast("int"),
+            ).alias("event_type"),
+            ((v % 997).cast("double") / F.lit(10.0)).alias("value"),
+            F.to_json(F.struct((v % 1231).alias("k"))).alias("props"),
+        )
+
+    def run_until(self, min_rows: int, timeout_s: int = 120) -> int:
+        """Consume the live source until >= ``min_rows`` ingested (or
+        timeout), then stop. Returns rows ingested."""
+        import time as _time
+
+        src = (
+            self.spark.readStream.format("rate")
+            .option("rowsPerSecond", self.rows_per_second)
+            .load()
+        )
+        events = self.events_for_values(src, self.n_users)
+        q = (
+            events.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + timeout_s
+        try:
+            while _time.time() < deadline:
+                done = sum(int(p["numInputRows"]) for p in q.recentProgress)
+                if done >= min_rows:
+                    break
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+
 class StreamingEnrichment:
     """Stream-static enrichment join — the reference's ingest-time
     canonical-address resolution (J2, main.rs:823-853) as a native

@@ -689,3 +689,44 @@ def test_streaming_near_dup_admission_matches_batch_survivors(spark, sf_dir, dir
         near_dup=True,
     ).run_available_now()
     assert {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()} == want
+
+
+def test_rate_source_ingest_matches_batch_derivation(spark, dirs):
+    """The unbounded-source twin: a live rate stream ingested through the
+    inherited per-batch derivation must land sinks row-identical to the
+    batch derivation over the same value range reconstructed with
+    spark.range — the proof that only the readStream line separates file
+    replay from a genuinely unbounded source. The ingested id set is a
+    contiguous prefix (rate values are sequential and batches commit in
+    order), so the batch twin is range(0, n_seen)."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        SINKS,
+        RateSourceIngest,
+    )
+
+    ing = RateSourceIngest(
+        spark, dirs["out"], dirs["ckpt"], n_users=97, rows_per_second=4000
+    )
+    got_rows = ing.run_until(min_rows=2000, timeout_s=120)
+    assert got_rows >= 2000
+
+    sunk = spark.read.parquet(os.path.join(dirs["out"], "summaries"))
+    ids = sorted(r.id for r in sunk.select("id").collect())
+    n = len(ids)
+    assert ids == list(range(n)), "ingested ids must be a contiguous prefix"
+
+    events = RateSourceIngest.events_for_values(spark.range(0, n).select(F.col("id").alias("value")), 97)
+    feed = derive.feed_from_events(events, n_users=97)
+    want = {
+        "summaries": derive.summaries(feed),
+        "ati": derive.ati(feed),
+        "cti": derive.cti(feed),
+        "cis2_events": derive.cis2_events(feed),
+        "bindings_all": derive.key_bindings_all(feed),
+    }
+    for name in SINKS:
+        got_df = spark.read.parquet(os.path.join(dirs["out"], name)).drop("ingest_batch")
+        cols = sorted(got_df.columns)
+        got = sorted(tuple(r) for r in got_df.select(*cols).collect())
+        exp = sorted(tuple(r) for r in want[name].select(*cols).collect())
+        assert got == exp, f"sink {name} diverged from batch derivation"
