@@ -425,6 +425,98 @@ def dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
     )
 
 
+def star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC 2014) — the adversarial-diameter twin of
+    :func:`dup_components`' hash-min propagation. Hash-min converges in
+    O(diameter) rounds, which a pathological chain corpus turns into
+    O(n); star contraction converges in O(log² n) rounds on ANY graph
+    shape, so it is the drop-in when candidate components can be long
+    chains (SCALE.md "dup connected-components" row).
+
+    ``edges``: undirected candidate pairs as columns (a, b). Returns
+    (node, component_id) for every node appearing in an edge; the caller
+    unions in singletons. Each round is two groupBy shuffles over the
+    edge list (same per-round cost shape as hash-min); lineage truncated
+    per round with localCheckpoint. Raises after ``max_iter`` rounds —
+    non-convergence is a bug, not a timeout."""
+    e = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def both_dirs(ed: DataFrame) -> DataFrame:
+        return ed.select("a", "b").union(
+            ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+
+    def star(ed: DataFrame, large: bool) -> DataFrame:
+        nbrs = both_dirs(ed)
+        mins = nbrs.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        joined = nbrs.join(mins, "a")
+        if large:
+            out = joined.filter(F.col("b") > F.col("a")).select(
+                F.col("b").alias("x"), F.col("m").alias("y")
+            )
+        else:
+            out = joined.filter(F.col("b") <= F.col("a")).select(
+                F.col("b").alias("x"), F.col("m").alias("y")
+            ).union(joined.select(F.col("a").alias("x"), F.col("m").alias("y")))
+        return (
+            out.filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_e = star(star(e, large=True), large=False).localCheckpoint()
+        changed = (
+            new_e.join(e, ["a", "b"], "left_anti").limit(1).count()
+            + e.join(new_e, ["a", "b"], "left_anti").limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_iter} rounds")
+    # converged: every edge is (member, component-min)
+    members = e.select(F.col("b").alias("node"), F.col("a").alias("component_id"))
+    roots = e.select(F.col("a").alias("node"), F.col("a").alias("component_id"))
+    return members.union(roots).distinct()
+
+
+def dup_components_star(spark: SparkSession, sf_dir: str, max_iter: int = 30) -> DataFrame:
+    """:func:`dup_components` computed by star contraction instead of
+    hash-min — identical output contract and oracle; kept as a separate
+    query so both algorithms stay continuously verified against each
+    other and the SQL oracle (the star variant is the one a deployment
+    switches to when components may be chain-shaped)."""
+    pairs = minhash_band_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = star_components(pairs, max_iter=max_iter)
+    singletons = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("component_id"))
+    )
+    labels = labels.union(singletons)
+    sizes = labels.groupBy("component_id").agg(F.count("*").alias("component_size"))
+    return (
+        labels.join(sizes, "component_id")
+        .select(F.col("node").alias("doc_id"), "component_id", "component_size")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The final keep/drop decision: one row per document with its
     component and whether it survives (the component's min doc_id is the

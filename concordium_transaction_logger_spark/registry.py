@@ -2264,6 +2264,14 @@ _DRIVER_PRIORITY = [
     "customer_spend_deciles",
 ]
 
+# Star-contraction components twin: identical output contract and oracle
+# as doc_dup_components, so the O(log² n)-round algorithm (the chain-
+# shaped-component drop-in, SCALE.md) stays continuously oracle-verified
+# alongside the O(diameter) hash-min default.
+REGISTRY["doc_dup_components_star"] = QueryDef(
+    dedup.dup_components_star, REGISTRY["doc_dup_components"].oracle
+)
+
 REGISTRY = {
     **{name: REGISTRY[name] for name in _DRIVER_PRIORITY},
     **{k: v for k, v in REGISTRY.items() if k not in _DRIVER_PRIORITY},

@@ -164,3 +164,27 @@ def test_dedup_survivors_partition_documents(spark, sf_dir):
     verdict = {r["doc_id"]: r["keep"] for r in dedup.dedup_verdict(spark, sf_dir).collect()}
     assert all(verdict[r["doc_id"]] for r in surv)
     assert len(surv) == sum(verdict.values())
+
+
+def test_star_components_match_hash_min(spark, sf_dir):
+    """Both component algorithms (hash-min propagation and large-star/
+    small-star contraction) must label the corpus identically."""
+    a = sorted(
+        tuple(r) for r in dedup.dup_components(spark, sf_dir).collect()
+    )
+    b = sorted(
+        tuple(r) for r in dedup.dup_components_star(spark, sf_dir).collect()
+    )
+    assert a == b
+
+
+def test_star_contraction_converges_on_long_chains(spark):
+    """The shape hash-min is worst at: a 200-node chain needs ~200
+    hash-min rounds but must finish in O(log² n) star rounds — max_iter
+    12 passing IS the convergence-rate assertion."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "a long, b long"
+    )
+    rows = dedup.star_components(edges, max_iter=12).collect()
+    assert {r.component_id for r in rows} == {0}
+    assert {r.node for r in rows} == set(range(200))

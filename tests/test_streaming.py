@@ -730,3 +730,60 @@ def test_rate_source_ingest_matches_batch_derivation(spark, dirs):
         got = sorted(tuple(r) for r in got_df.select(*cols).collect())
         exp = sorted(tuple(r) for r in want[name].select(*cols).collect())
         assert got == exp, f"sink {name} diverged from batch derivation"
+
+
+def test_streaming_curation_with_near_dup_composes(spark, sf_dir, dirs):
+    """quality_gate + near_dup together: gate-rejected docs never enter
+    the bucket state (a rejected doc must not block a later clean doc),
+    near-dup rejects and gate rejects share the reject log with distinct
+    reasons, and the admitted set equals batch survivors over the GATED
+    corpus."""
+    from concordium_transaction_logger_spark.operators import dedup, textstats
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = docs.agg(F.max("doc_id")).first()[0]
+    # a gate-failing doc whose text would otherwise near-dup a later doc
+    poisoned = spark.createDataFrame(
+        [(top + 1, "tiny", "en", "web", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    staged = docs.unionByName(poisoned)
+    for lo, hi in ((0, 250), (250, 10**9)):
+        staged.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(dirs["source"])
+    StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        quality_gate=True,
+        near_dup=True,
+    ).run_available_now()
+
+    got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    rejects = {
+        r["doc_id"]: r["reason"]
+        for r in spark.read.parquet(dirs["out"] + "_rejects").collect()
+    }
+    assert rejects[top + 1] == "too_short"  # gate reason, not near_dup
+    # gate-rejected docs never entered the bucket state
+    buckets = spark.read.parquet(dirs["out"] + "_buckets")
+    assert buckets.filter(F.col("doc_id") == top + 1).count() == 0
+    # admitted set = batch survivors among gate-passing docs (the corpus
+    # itself is all gate-passing, so this equals plain survivors)
+    batch_ok = {
+        r["doc_id"] for r in textstats.quality_gate(spark, sf_dir).collect() if r["accept"]
+    }
+    want = {
+        r["doc_id"] for r in dedup.dedup_survivors(spark, sf_dir).collect()
+    } & batch_ok
+    assert got == want
+    assert {d for d, why in rejects.items() if why == "near_dup"} == (
+        batch_ok - want
+    )
