@@ -188,3 +188,51 @@ def test_star_contraction_converges_on_long_chains(spark):
     rows = dedup.star_components(edges, max_iter=12).collect()
     assert {r.component_id for r in rows} == {0}
     assert {r.node for r in rows} == set(range(200))
+
+
+def test_star_components_match_union_find_on_random_graphs(spark):
+    """Property check against an independent driver-side union-find:
+    random sparse graphs (seeded) must get identical component labeling
+    from the distributed star contraction."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 120
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(30, 140))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for a, b in edges:
+            for v in (a, b):
+                want[v] = find(v)
+        # canonical label = component min
+        comp_min = {}
+        for v, r in want.items():
+            comp_min.setdefault(r, v if False else min(
+                [u for u in want if find(u) == r]
+            ))
+        want = {v: comp_min[find(v)] for v in want}
+
+        got = {
+            r.node: r.component_id
+            for r in dedup.star_components(
+                spark.createDataFrame(edges, "a long, b long"), max_iter=15
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"

@@ -787,3 +787,27 @@ def test_streaming_curation_with_near_dup_composes(spark, sf_dir, dirs):
     assert {d for d, why in rejects.items() if why == "near_dup"} == (
         batch_ok - want
     )
+
+
+def test_rate_source_restart_resumes_exactly_once(spark, dirs):
+    """Stop the live stream, restart from the same checkpoint: ingestion
+    resumes at the next unseen value — ids stay contiguous and unique
+    across the restart (ST2 on an unbounded source)."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        RateSourceIngest,
+    )
+
+    ing = RateSourceIngest(
+        spark, dirs["out"], dirs["ckpt"], n_users=97, rows_per_second=4000
+    )
+    ing.run_until(min_rows=1500, timeout_s=120)
+    first = spark.read.parquet(os.path.join(dirs["out"], "summaries")).count()
+
+    ing2 = RateSourceIngest(
+        spark, dirs["out"], dirs["ckpt"], n_users=97, rows_per_second=4000
+    )
+    ing2.run_until(min_rows=1500, timeout_s=120)
+    sunk = spark.read.parquet(os.path.join(dirs["out"], "summaries"))
+    ids = sorted(r.id for r in sunk.select("id").collect())
+    assert len(ids) > first, "restart must ingest new rows"
+    assert ids == list(range(len(ids))), "no gaps, no duplicates across restart"
