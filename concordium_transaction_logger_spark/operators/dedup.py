@@ -564,6 +564,82 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash16")).orderBy("doc_id")
 
 
+#: SimHash banding geometry: 16 bits -> 4 blocks of 4 bits. By the
+#: pigeonhole argument (Manku, Jain & Das Sarma, "Detecting
+#: Near-Duplicates for Web Crawling", WWW 2007), any pair within Hamming
+#: distance d <= SIMHASH_BLOCKS - k differs in at most d blocks, so it
+#: shares at least k identical blocks and lands in at least one
+#: (block-choice, values) bucket when bucketing on every k-subset.
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = NIBBLES // SIMHASH_BLOCKS  # 4
+
+
+def simhash_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 2
+) -> DataFrame:
+    """SimHash near-duplicate pairs with EXACT recall at Hamming <= 2 via
+    block banding: bucket each signature on every C(4,2)=6 choice of two
+    4-bit blocks; a pair within distance 2 touches at most 2 blocks, so
+    some 2 blocks match and the pair collides in that bucket (pigeonhole
+    — recall 1 by construction, verified against the brute-force oracle).
+    Candidates then pass the exact ``bit_count(xor)`` filter.
+
+    Scale shape: the self-join keys are (block-choice, 8 bits of
+    signature) — 6×256 buckets at this 16-bit geometry; a production
+    64-bit simhash uses the same plan with more/wider blocks so bucket
+    count grows into the millions and \\|bucket\\|² stays bounded. Bodies
+    never move: only (doc_id, signature) pairs shuffle."""
+    from itertools import combinations
+
+    sig = simhash(spark, sf_dir).select("doc_id", "simhash16")
+    blocks = [
+        ((F.col("simhash16") / F.lit(1 << (4 * i))).cast("long") % 16).alias(
+            f"blk{i}"
+        )
+        for i in range(SIMHASH_BLOCKS)
+    ]
+    withb = sig.select("doc_id", "simhash16", *blocks)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("choice"),
+                F.col(f"blk{i}").alias("v1"),
+                F.col(f"blk{j}").alias("v2"),
+            )
+            for n, (i, j) in enumerate(combinations(range(SIMHASH_BLOCKS), 2))
+        ]
+    )
+    keyed = withb.select(
+        "doc_id", "simhash16", F.explode(keys).alias("k")
+    ).select(
+        "doc_id", "simhash16", F.col("k.choice").alias("choice"),
+        F.col("k.v1").alias("v1"), F.col("k.v2").alias("v2"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.choice") == F.col("b.choice"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash16").alias("sa"),
+            F.col("b.simhash16").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup-health dashboard: per-source document counts, distinct
     text counts, and duplicate rate in per-mille — the summary a curation

@@ -67,7 +67,9 @@ ORDER BY a.id {'DESC' if descending else 'ASC'} {lim}
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_core() -> str:
+    """The per-doc simhash SELECT, shared by the signature query and the
+    banded-pairs oracle."""
     nibbles = dedup.NIBBLES
     bit_sums = ", ".join(
         "SUM(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1) % 2 = 1"
@@ -77,13 +79,31 @@ def _simhash_sql() -> str:
     sig = " + ".join(
         f"CASE WHEN s{p} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END" for p in range(nibbles)
     )
-    return wrap(
-        f"""
-SELECT doc_id, {sig} AS simhash16
-FROM (SELECT doc_id, {bit_sums} FROM tokset GROUP BY doc_id)
-ORDER BY doc_id
-"""
+    return (
+        f"SELECT doc_id, {sig} AS simhash16 "
+        f"FROM (SELECT doc_id, {bit_sums} FROM tokset GROUP BY doc_id)"
     )
+
+
+def _simhash_sql() -> str:
+    return wrap(f"""
+{_simhash_core()}
+ORDER BY doc_id
+""")
+
+
+def _simhash_pairs_sql(max_hamming: int = 2) -> str:
+    """Brute-force oracle for the banded pairs: the banding has recall 1
+    at Hamming <= 2 by pigeonhole, so all-pairs-with-filter IS the
+    expected result, not an approximation of it."""
+    return wrap(f"""
+, sh AS ({_simhash_core()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+""")
 
 
 def _lang_pred_exprs() -> tuple[str, str, list[str]]:
@@ -1514,6 +1534,10 @@ ORDER BY doc_a, doc_b
         ),
     ),
     "doc_simhash": QueryDef(dedup.simhash, _simhash_sql()),
+    # Banded SimHash pair generation (Manku WWW'07 block pigeonhole):
+    # exact recall at Hamming <= 2, so the brute-force oracle is the
+    # ground truth, not a lower bound.
+    "doc_simhash_dup_pairs": QueryDef(dedup.simhash_dup_pairs, _simhash_pairs_sql()),
     # Transitive closure of the near-dup candidate graph: iterative
     # hash-min label propagation in Spark, recursive CTE in the oracle —
     # the keep/drop clustering step after pair generation.
