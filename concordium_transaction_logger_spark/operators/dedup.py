@@ -691,3 +691,88 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Window length (tokens) for exact duplicate-span detection. 50 tokens in
+#: the original suffix-array formulation; 8 here so the test corpora (mean
+#: ~50 tokens/doc) exercise the merge logic. The plan is L-independent.
+SPAN_L = 8
+
+
+def duplicate_spans(
+    spark: SparkSession, sf_dir: str, span_l: int = SPAN_L
+) -> DataFrame:
+    """Exact substring-duplication audit — the ExactSubstr pass of Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models Better")
+    re-expressed for Spark. The suffix-array formulation is inherently
+    sequential; the distributed equivalent hashes every ``span_l``-token
+    window, marks windows whose hash occurs >= 2 times corpus-wide as
+    duplicated, and merges overlapping duplicated windows per document
+    into maximal spans (gaps-and-islands over two window functions).
+    Output: per-doc duplicated-span count, removable duplicated-token
+    count, and dup share in per-mille.
+
+    Scale shape: window hashes are computed scan-side (array transform, no
+    shuffle); the corpus-wide occurrence count is ONE hash-partitioned
+    window over the 16-byte hash key (cheaper than groupBy+join, which
+    would shuffle the same occurrence rows PLUS a count table); the
+    island merge partitions by doc_id — embarrassingly parallel. A
+    boilerplate span seen everywhere is a hot key for the count window;
+    AQE skew handling splits it, and no pair explosion exists anywhere
+    (output is linear in input, unlike pair-generating dedup ops).
+    """
+    from pyspark.sql.window import Window
+
+    para = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(para, "doc_id")
+    t = F.col("t")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (span_l - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(span_l)])
+        ),
+    )
+    spans = (
+        tok.filter(F.size(t) >= span_l)
+        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    )
+    occ = F.count("*").over(Window.partitionBy("h"))
+    dpos = spans.withColumn("n_occ", occ).filter(F.col("n_occ") >= 2).select(
+        "doc_id", "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + span_l).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dpos.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") >= prev_end), 1).otherwise(0),
+    ).withColumn("island_id", F.sum("new_island").over(w))
+    segs = isl.groupBy("doc_id", "island_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + span_l).alias("e")
+    )
+    per_doc = segs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_dup_tokens"),
+    )
+    n_tok = tok.select("doc_id", F.size(t).cast("long").alias("n_tokens"))
+    joined = n_tok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_spans",
+        "n_dup_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(1000.0 * F.col("n_dup_tokens") / F.col("n_tokens")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_permille"),
+    ).orderBy("doc_id")

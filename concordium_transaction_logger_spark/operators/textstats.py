@@ -514,3 +514,49 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_permille"),
     ).orderBy("lang", "pred_lang")
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model document scoring, integer-exact: a unigram LM is
+    trained on the corpus itself and every document is scored by its mean
+    token surprisal — the CCNet/RefinedWeb "perplexity bucket" signal
+    without an external model. To keep the Spark and DuckDB results
+    hash-identical, surprisal is quantized to whole bits via binary
+    bit-length (bitlen(N) - bitlen(count) == floor-quantized
+    -log2(count/N)) instead of floating-point ln — no transcendental
+    functions, so no cross-engine rounding drift; the final mean is the
+    usual exact-rational per-mille.
+
+    Scale shape: token occurrences pre-aggregate to (doc_id, tok, k)
+    map-side before any join; the LM itself is a partial-aggregated
+    groupBy over tokens (vocabulary-sized, tiny relative to the corpus);
+    the occurrences⋈vocab join hash-partitions both sides on ``tok`` and
+    AQE will broadcast the vocab side when it fits. The corpus total is a
+    1-row aggregate broadcast by crossJoin. Document bodies never
+    shuffle; everything after the scan is counts."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    occ = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    per_doc_tok = occ.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
+    cnt = per_doc_tok.groupBy("tok").agg(F.sum("k").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").alias("n_total"))
+    bits_tbl = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt"))))
+        .cast("long")
+        .alias("bits"),
+    )
+    return (
+        per_doc_tok.join(bits_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("bits")).cast("long").alias("total_surprisal_bits"),
+            F.max("bits").cast("long").alias("max_token_bits"),
+        )
+        .withColumn(
+            "mean_surprisal_millibits",
+            F.round(1000.0 * F.col("total_surprisal_bits") / F.col("n_tokens"))
+            .cast("long"),
+        )
+        .orderBy("doc_id")
+    )

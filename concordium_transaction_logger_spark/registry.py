@@ -1309,6 +1309,31 @@ ORDER BY doc_id
         ),
         bench=True,
     ),
+    "doc_unigram_surprisal": QueryDef(
+        textstats.unigram_surprisal,
+        wrap(
+            """
+, uocc AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+updt AS (SELECT doc_id, tok, COUNT(*) AS k FROM uocc GROUP BY doc_id, tok),
+ucnt AS (SELECT tok, SUM(k) AS cnt FROM updt GROUP BY tok),
+utot AS (SELECT SUM(cnt) AS n_total FROM ucnt),
+ubits AS (
+  SELECT tok,
+         CAST(length(bin((SELECT n_total FROM utot)))
+              - length(bin(cnt)) AS BIGINT) AS bits
+  FROM ucnt
+)
+SELECT doc_id,
+  CAST(SUM(k) AS BIGINT) AS n_tokens,
+  CAST(SUM(k * bits) AS BIGINT) AS total_surprisal_bits,
+  CAST(MAX(bits) AS BIGINT) AS max_token_bits,
+  CAST(ROUND(1000.0 * SUM(k * bits) / SUM(k)) AS BIGINT) AS mean_surprisal_millibits
+FROM updt JOIN ubits USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+        ),
+        bench=True,
+    ),
     "doc_winnow_fingerprints": QueryDef(
         textstats.winnow_fingerprints,
         wrap(
@@ -1482,6 +1507,52 @@ FROM shingles JOIN dfc USING (sh)
 GROUP BY doc_id ORDER BY doc_id
 """
         ),
+    ),
+    "doc_duplicate_spans": QueryDef(
+        dedup.duplicate_spans,
+        wrap(
+            f"""
+, dspans AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(list_aggregate(t[i:i+{dedup.SPAN_L - 1}], 'string_agg', ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(t) - {dedup.SPAN_L - 1})) AS u(i)
+),
+ddup AS (SELECT h FROM dspans GROUP BY h HAVING COUNT(*) >= 2),
+ddpos AS (SELECT doc_id, pos FROM dspans WHERE h IN (SELECT h FROM ddup)),
+disl AS (
+  SELECT doc_id, pos,
+         CASE WHEN MAX(pos + {dedup.SPAN_L}) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos >= MAX(pos + {dedup.SPAN_L}) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM ddpos
+),
+disl2 AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island_id
+  FROM disl
+),
+dsegs AS (
+  SELECT doc_id, island_id, MIN(pos) AS s, MAX(pos) + {dedup.SPAN_L} AS e
+  FROM disl2 GROUP BY doc_id, island_id
+),
+dper_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS n_dup_tokens
+  FROM dsegs GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+       CASE WHEN len(t.t) > 0
+            THEN CAST(ROUND(1000.0 * COALESCE(p.n_dup_tokens, 0) / len(t.t)) AS BIGINT)
+            ELSE 0 END AS dup_permille
+FROM toks t LEFT JOIN dper_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+        ),
+        bench=True,
     ),
     # No-silent-caps audit artifact: exactly what the default cap drops.
     "doc_stop_shingles": QueryDef(
@@ -2256,6 +2327,7 @@ _DRIVER_PRIORITY = [
     "doc_minhash_jaccard_estimate",
     "doc_dedup_survivors",
     "doc_ngram_novelty",
+    "doc_duplicate_spans",
     # similarity / embedding family
     "ann_cosine_topk",
     "ann_lsh_topk",
@@ -2272,6 +2344,7 @@ _DRIVER_PRIORITY = [
     "doc_tfdf_top_terms",
     "doc_lang_confusion",
     "doc_quality_gate",
+    "doc_unigram_surprisal",
     # sampling / curation family
     "doc_pack_sequences",
     "doc_split_contamination",

@@ -1,0 +1,145 @@
+"""Property tests for the exact substring-duplication audit
+(``dedup.duplicate_spans``) and the quantized unigram-LM scorer
+(``textstats.unigram_surprisal``) against pure-Python references on
+adversarial tiny corpora — small vocabularies force heavy span-hash
+collisions, so the interval-merge (gaps-and-islands) logic is exercised
+far harder than by the real corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from concordium_transaction_logger_spark.operators import dedup, textstats
+
+
+def _write_docs(spark, tmp_path, token_lists):
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(toks),
+            lang="en",
+            source=f"src{i % 3}",
+            n_chars=len(" ".join(toks)),
+        )
+        for i, toks in enumerate(token_lists)
+    ]
+    path = str(tmp_path)
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    return path
+
+
+def _py_duplicate_spans(token_lists, span_l):
+    """Reference: hash every span_l-token window, mark windows occurring
+    >= 2 times corpus-wide, merge overlapping windows per doc."""
+    from collections import Counter
+
+    counts = Counter()
+    for toks in token_lists:
+        for i in range(len(toks) - span_l + 1):
+            counts[tuple(toks[i : i + span_l])] += 1
+    out = {}
+    for doc_id, toks in enumerate(token_lists):
+        pos = [
+            i
+            for i in range(len(toks) - span_l + 1)
+            if counts[tuple(toks[i : i + span_l])] >= 2
+        ]
+        segs = []
+        for p in pos:
+            if segs and p < segs[-1][1]:
+                segs[-1][1] = max(segs[-1][1], p + span_l)
+            else:
+                segs.append([p, p + span_l])
+        n_dup = sum(e - s for s, e in segs)
+        pm = round(1000.0 * n_dup / len(toks)) if toks else 0
+        out[doc_id] = (len(toks), len(segs), n_dup, pm)
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    token_lists=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=25),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_duplicate_spans_matches_python_reference(spark, tmp_path, token_lists):
+    span_l = 3
+    sf = _write_docs(spark, tmp_path, token_lists)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.n_dup_tokens, r.dup_permille)
+        for r in dedup.duplicate_spans(spark, sf, span_l=span_l).collect()
+    }
+    assert got == _py_duplicate_spans(token_lists, span_l)
+
+
+def _py_surprisal(token_lists):
+    from collections import Counter
+
+    cnt = Counter(t for toks in token_lists for t in toks)
+    total = sum(cnt.values())
+    bits = {t: total.bit_length() - c.bit_length() for t, c in cnt.items()}
+    out = {}
+    for doc_id, toks in enumerate(token_lists):
+        if not toks:
+            continue
+        s = sum(bits[t] for t in toks)
+        out[doc_id] = (
+            len(toks),
+            s,
+            max(bits[t] for t in toks),
+            round(1000.0 * s / len(toks)),
+        )
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    token_lists=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=20),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_unigram_surprisal_matches_python_reference(spark, tmp_path, token_lists):
+    sf = _write_docs(spark, tmp_path, token_lists)
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.total_surprisal_bits,
+            r.max_token_bits,
+            r.mean_surprisal_millibits,
+        )
+        for r in textstats.unigram_surprisal(spark, sf).collect()
+    }
+    assert got == _py_surprisal(token_lists)
+
+
+def test_duplicate_spans_planted_full_duplicate(spark, tmp_path):
+    """Two identical docs: every window duplicated, one merged span covering
+    the whole doc; a third unrelated doc reports zero."""
+    toks = list("abcdefghij")
+    sf = _write_docs(spark, tmp_path, [toks, toks, list("zzzyyyxxxw")])
+    rows = {r.doc_id: r for r in dedup.duplicate_spans(spark, sf, span_l=4).collect()}
+    for d in (0, 1):
+        assert rows[d].n_dup_spans == 1
+        assert rows[d].n_dup_tokens == 10
+        assert rows[d].dup_permille == 1000
+    assert rows[2].n_dup_spans == 0
+    assert rows[2].dup_permille == 0
