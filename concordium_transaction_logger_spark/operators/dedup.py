@@ -776,3 +776,76 @@ def duplicate_spans(
         .cast("long")
         .alias("dup_permille"),
     ).orderBy("doc_id")
+
+
+def dedup_clean_text(
+    spark: SparkSession, sf_dir: str, span_l: int = SPAN_L
+) -> DataFrame:
+    """The removal step that follows :func:`duplicate_spans` — Lee et al.
+    2021's ExactSubstr-dedup transformation itself: every duplicated
+    ``span_l``-token window occurrence EXCEPT the globally first one
+    (min (doc_id, pos) per window hash) is removed, overlapping removals
+    merge naturally via token-index coverage, and the surviving tokens are
+    reassembled into the cleaned text. A full duplicate of an earlier doc
+    cleans to the empty string; the first occurrence survives verbatim.
+
+    Scale shape: one shuffle+sort on the window hash assigns the keeper
+    (row_number) and the occurrence count in the same window pass; removal
+    coverage explodes to (doc_id, token_idx) pairs — bounded by corpus
+    token count, linear, never pairs of documents; the kept-token
+    reassembly is a per-doc sort_array over an already doc-partitioned
+    aggregate. Document text rides the scan only twice (tokenize +
+    rebuild); the join spine is all integers and 16-byte hashes."""
+    from pyspark.sql.window import Window
+
+    para = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(para, "doc_id")
+    t = F.col("t")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (span_l - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(span_l)])
+        ),
+    )
+    spans = (
+        tok.filter(F.size(t) >= span_l)
+        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    )
+    w_h = Window.partitionBy("h")
+    ranked = spans.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(w_h.orderBy("doc_id", "pos")).alias("rn"),
+        F.count("*").over(w_h).alias("n_occ"),
+    )
+    removed = ranked.filter((F.col("n_occ") >= 2) & (F.col("rn") >= 2))
+    covered = removed.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (span_l - 1))).alias("idx"),
+    ).distinct()
+    toks_idx = tok.select("doc_id", F.posexplode(t).alias("idx", "tok"))
+    kept = toks_idx.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        tok.select("doc_id", F.size(t).cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1554,6 +1554,49 @@ ORDER BY doc_id
         ),
         bench=True,
     ),
+    "doc_dedup_clean_text": QueryDef(
+        dedup.dedup_clean_text,
+        wrap(
+            f"""
+, cspans AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(list_aggregate(t[i:i+{dedup.SPAN_L - 1}], 'string_agg', ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(t) - {dedup.SPAN_L - 1})) AS u(i)
+),
+crank AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS n_occ
+  FROM cspans
+),
+ccov AS (
+  SELECT DISTINCT doc_id, pos + j AS idx
+  FROM crank, unnest(generate_series(0, {dedup.SPAN_L - 1})) AS v(j)
+  WHERE n_occ >= 2 AND rn >= 2
+),
+ctok AS (
+  SELECT doc_id, i - 1 AS idx, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+ckept AS (
+  SELECT c.doc_id, c.idx, c.tok
+  FROM ctok c LEFT JOIN ccov v ON c.doc_id = v.doc_id AND c.idx = v.idx
+  WHERE v.idx IS NULL
+),
+crebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM ckept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN crebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+        ),
+    ),
     # No-silent-caps audit artifact: exactly what the default cap drops.
     "doc_stop_shingles": QueryDef(
         dedup.stop_shingles,
@@ -2328,6 +2371,7 @@ _DRIVER_PRIORITY = [
     "doc_dedup_survivors",
     "doc_ngram_novelty",
     "doc_duplicate_spans",
+    "doc_dedup_clean_text",
     # similarity / embedding family
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -143,3 +143,61 @@ def test_duplicate_spans_planted_full_duplicate(spark, tmp_path):
         assert rows[d].dup_permille == 1000
     assert rows[2].n_dup_spans == 0
     assert rows[2].dup_permille == 0
+
+
+def _py_clean_text(token_lists, span_l):
+    """Reference: remove every duplicated-window occurrence except the
+    globally first (min (doc_id, pos)) one; rebuild from kept tokens."""
+    from collections import Counter
+
+    counts = Counter()
+    for toks in token_lists:
+        for i in range(len(toks) - span_l + 1):
+            counts[tuple(toks[i : i + span_l])] += 1
+    seen = set()
+    out = {}
+    for doc_id, toks in enumerate(token_lists):
+        covered = set()
+        for i in range(len(toks) - span_l + 1):
+            key = tuple(toks[i : i + span_l])
+            if counts[key] >= 2:
+                if key in seen:
+                    covered.update(range(i, i + span_l))
+                else:
+                    seen.add(key)
+            else:
+                seen.add(key)
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[doc_id] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    token_lists=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=20),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_dedup_clean_text_matches_python_reference(spark, tmp_path, token_lists):
+    span_l = 3
+    sf = _write_docs(spark, tmp_path, token_lists)
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in dedup.dedup_clean_text(spark, sf, span_l=span_l).collect()
+    }
+    assert got == _py_clean_text(token_lists, span_l)
+
+
+def test_dedup_clean_text_first_copy_survives(spark, tmp_path):
+    toks = list("abcdefghij")
+    sf = _write_docs(spark, tmp_path, [toks, toks, toks])
+    rows = {r.doc_id: r for r in dedup.dedup_clean_text(spark, sf, span_l=4).collect()}
+    assert rows[0].clean_text == " ".join(toks) and rows[0].n_removed == 0
+    for d in (1, 2):
+        assert rows[d].clean_text == "" and rows[d].n_removed == 10
