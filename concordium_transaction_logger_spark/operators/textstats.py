@@ -537,8 +537,13 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load_table(spark, sf_dir, "documents"))
     occ = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     per_doc_tok = occ.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
-    cnt = per_doc_tok.groupBy("tok").agg(F.sum("k").alias("cnt"))
-    tot = cnt.agg(F.sum("cnt").alias("n_total"))
+    # The corpus total comes from a row-local size() sum over the doc scan —
+    # never from re-aggregating the occurrence lineage, which Spark would
+    # recompute as a separate subtree within the same plan.
+    tot = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_total")
+    )
+    cnt = occ.groupBy("tok").agg(F.count("*").alias("cnt"))
     bits_tbl = cnt.crossJoin(F.broadcast(tot)).select(
         "tok",
         (F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt"))))

@@ -2362,8 +2362,9 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # deduplication family
-    "doc_exact_dup_groups",
+    # deduplication family (doc_exact_dup_groups rotated out after its r03
+    # green row to make room for the new span-dedup ops; still
+    # value-checked locally every pytest run)
     "doc_minhash_band_pairs",
     "doc_dup_components",
     "doc_ngram_jaccard_pairs",
@@ -2380,9 +2381,8 @@ _DRIVER_PRIORITY = [
     "embedding_semdedup_pairs",
     "embedding_kmeans_profile",
     "embedding_near_dup_pairs",
-    # text-analysis family
-    "doc_quality",
-    "doc_lang_id",
+    # text-analysis family (doc_quality / doc_lang_id rotated out after
+    # their r03 green rows — same local-parity backstop)
     "doc_winnow_dup_pairs",
     "doc_quality_classifier",
     "doc_tfdf_top_terms",

@@ -158,6 +158,9 @@ def main() -> None:
             "minhash_band_pairs": dedup.minhash_band_pairs,
             "dup_components": dedup.dup_components,
             "winnow_dup_pairs": textstats.winnow_dup_pairs,
+            "duplicate_spans": dedup.duplicate_spans,
+            "dedup_clean_text": dedup.dedup_clean_text,
+            "unigram_surprisal": textstats.unigram_surprisal,
             "token_stats": textstats.token_stats,
             "pack_sequences": sampling.pack_sequences,
             "split_contamination": sampling.split_contamination,
