@@ -279,3 +279,38 @@ def curation_verdict(
         )
         .orderBy("doc_id")
     )
+
+
+#: Shard count for the deterministic pre-training shuffle. Production dial:
+#: pick shards ~= number of training data-loader workers.
+N_SHUFFLE_SHARDS = 16
+
+
+def shuffle_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHUFFLE_SHARDS,
+    salt: str = "sh1",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the step that
+    randomizes document order before training without ever running a
+    global sort. Every document gets an md5-derived 32-bit sort key
+    (retry-stable: a pure function of (doc_id, salt), never rand());
+    shard = key mod n_shards, position = rank of the key within the
+    shard. Readers stream shards in shard_pos order and the corpus is
+    uniformly shuffled, reproducibly — re-running the job, or re-running
+    one failed shard, yields byte-identical order.
+
+    Scale shape: ONE hash shuffle keyed by shard + a shard-local
+    row_number sort — each of the n_shards partitions sorts
+    independently, so 100 TB shuffles at full cluster width; a global
+    ORDER BY (single merge lineage) never appears."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#" + salt)))
+    key = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("shard_id").orderBy("skey", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("skey"))
+        .withColumn("shard_id", (F.col("skey") % n_shards).cast("long"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard_id", "shard_pos", "skey")
+        .orderBy("shard_id", "shard_pos")
+    )

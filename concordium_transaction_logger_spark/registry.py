@@ -1970,6 +1970,24 @@ FROM documents
 ORDER BY doc_id
 """,
     ),
+    "doc_shuffle_shards": QueryDef(
+        sampling.shuffle_shards,
+        f"""
+SELECT doc_id, shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY skey, doc_id)
+            AS BIGINT) AS shard_pos,
+       skey
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sh1'), 1, 8))
+              AS BIGINT) AS skey,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sh1'), 1, 8))
+              AS BIGINT) % {sampling.N_SHUFFLE_SHARDS} AS shard_id
+  FROM documents
+)
+ORDER BY shard_id, shard_pos
+""",
+    ),
     "doc_stratified_sample": QueryDef(
         sampling.stratified_sample,
         """
@@ -2389,10 +2407,11 @@ _DRIVER_PRIORITY = [
     "doc_lang_confusion",
     "doc_quality_gate",
     "doc_unigram_surprisal",
-    # sampling / curation family
+    # sampling / curation family (corpus_mixture_plan rotated out after its
+    # r03 green row; the new pre-training shuffle takes the slot)
+    "doc_shuffle_shards",
     "doc_pack_sequences",
     "doc_split_contamination",
-    "corpus_mixture_plan",
     "corpus_curation_verdict",
     # temporal joins
     "asof_purchase_last_click",

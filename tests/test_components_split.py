@@ -236,3 +236,30 @@ def test_star_components_match_union_find_on_random_graphs(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_shuffle_shards_is_a_deterministic_permutation(spark, sf_dir):
+    """The pre-training shuffle must be a permutation of the corpus
+    (every doc exactly once), contiguous within each shard (positions
+    1..n), ordered by the hash key, and byte-identical across re-runs
+    (retry stability — the whole point of hash keys over rand())."""
+    a = sampling.shuffle_shards(spark, sf_dir).collect()
+    b = sampling.shuffle_shards(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    docs = {r.doc_id for r in a}
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    assert docs == {
+        r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    by_shard: dict[int, list] = {}
+    for r in a:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert set(by_shard) <= set(range(sampling.N_SHUFFLE_SHARDS))
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.shard_pos)
+        assert [r.shard_pos for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r.skey, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+        assert all(r.skey % sampling.N_SHUFFLE_SHARDS == shard for r in rows)
