@@ -255,3 +255,43 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_duplicate_spans_single_count_window_no_join_for_df(spark, sf_dir):
+    """The span-occurrence count is ONE hash-partitioned window over the
+    window-hash key — not a groupBy+join (which would shuffle the same
+    occurrence rows twice); the two island windows share one doc_id
+    sort; nothing cartesian."""
+    from concordium_transaction_logger_spark.operators import dedup
+
+    plan = layout.explain_str(dedup.duplicate_spans(spark, sf_dir), "simple")
+    assert plan.count("Window") == 3  # count-by-hash + prev-end + island-sum
+    assert "CartesianProduct" not in plan
+    # the only join is the final left-outer stats attach onto the doc spine
+    assert plan.count("Join") == 1
+
+
+def test_unigram_surprisal_total_is_broadcast_single_row(spark, sf_dir):
+    """The corpus total rides a 1-row broadcast; the vocab join is an
+    equi-join on tok; occurrence rows pre-aggregate before joining."""
+    from concordium_transaction_logger_spark.operators import textstats
+
+    plan = layout.explain_str(textstats.unigram_surprisal(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_shuffle_shards_no_global_sort(spark, sf_dir):
+    """The pre-training shuffle must never plan a global ORDER BY over the
+    corpus: ranking happens in shard-partitioned windows. The only
+    rangepartitioning Exchange allowed is the final presentation sort of
+    the (already tiny) ranked output — the Window itself must be fed by a
+    hashpartitioning Exchange on shard_id."""
+    from concordium_transaction_logger_spark.operators import sampling
+
+    df = sampling.shuffle_shards(spark, sf_dir)
+    plan = layout.explain_str(df, "formatted")
+    assert "Window" in plan
+    w_ex = [l for l in plan.splitlines() if "hashpartitioning(shard_id" in l]
+    assert w_ex, "window must partition by shard_id"
