@@ -849,3 +849,106 @@ def dedup_clean_text(
         )
         .orderBy("doc_id")
     )
+
+
+#: Admission threshold for span-level dedup: reject a document when more
+#: than this share (per-mille) of its tokens is covered by L-token windows
+#: already seen in earlier (smaller doc_id) documents.
+SPAN_MAX_DUP_PERMILLE = 500
+
+
+def span_admission(
+    spark: SparkSession,
+    sf_dir: str,
+    span_l: int = SPAN_L,
+    max_dup_permille: int = SPAN_MAX_DUP_PERMILLE,
+) -> DataFrame:
+    """Span-level admission verdict — the ORDERED counterpart of
+    :func:`duplicate_spans`: an occurrence only counts as duplicated if
+    the same ``span_l``-token window occurs in an EARLIER document
+    (smaller doc_id), so the first arrival of any content is always
+    charged zero. A document whose earlier-dup share exceeds
+    ``max_dup_permille`` is rejected. This is the batch twin of the
+    streaming ``span_dedup`` admission in ``StreamingCorpusIngest``:
+    a full in-order replay admits exactly this verdict's 'admit' set,
+    because "earlier document" is batch-boundary-free (min doc_id per
+    window hash).
+
+    Scale shape: identical to :func:`duplicate_spans` — scan-side window
+    hashing, ONE count/min window over the hash key, doc-partitioned
+    island merge, linear output."""
+    from pyspark.sql.window import Window
+
+    para = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(para, "doc_id")
+    t = F.col("t")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (span_l - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(span_l)])
+        ),
+    )
+    spans = (
+        tok.filter(F.size(t) >= span_l)
+        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    )
+    min_doc = F.min("doc_id").over(Window.partitionBy("h"))
+    dpos = (
+        spans.withColumn("min_doc", min_doc)
+        .filter(F.col("min_doc") < F.col("doc_id"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + span_l).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dpos.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") >= prev_end), 1).otherwise(0),
+    ).withColumn("island_id", F.sum("new_island").over(w))
+    per_doc = (
+        isl.groupBy("doc_id", "island_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + span_l).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s")).cast("long").alias("n_dup_tokens"))
+    )
+    pm = F.when(
+        F.col("n_tokens") > 0,
+        F.round(1000.0 * F.coalesce(F.col("n_dup_tokens"), F.lit(0)) / F.col("n_tokens")),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        tok.select("doc_id", F.size(t).cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+            pm.alias("dup_permille"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("dup_permille") > max_dup_permille, F.lit("reject"))
+            .otherwise(F.lit("admit")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def doc_span_occurrences(docs: DataFrame, span_l: int = SPAN_L) -> DataFrame:
+    """(doc_id, pos, h) for every ``span_l``-token window of every
+    document — the shared kernel behind the span-dedup family and the
+    streaming ``span_dedup`` admission (which probes these hashes against
+    its seen-window state)."""
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (span_l - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(span_l)])
+        ),
+    )
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size(t) >= span_l)
+        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    )

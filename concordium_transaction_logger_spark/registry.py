@@ -1554,6 +1554,55 @@ ORDER BY doc_id
         ),
         bench=True,
     ),
+    "doc_span_admission": QueryDef(
+        dedup.span_admission,
+        wrap(
+            f"""
+, aspans AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(list_aggregate(t[i:i+{dedup.SPAN_L - 1}], 'string_agg', ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(t) - {dedup.SPAN_L - 1})) AS u(i)
+),
+adpos AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, MIN(doc_id) OVER (PARTITION BY h) AS min_doc
+        FROM aspans)
+  WHERE min_doc < doc_id
+),
+aisl AS (
+  SELECT doc_id, pos,
+         CASE WHEN MAX(pos + {dedup.SPAN_L}) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos >= MAX(pos + {dedup.SPAN_L}) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM adpos
+),
+aisl2 AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island_id
+  FROM aisl
+),
+aper_doc AS (
+  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_dup_tokens
+  FROM (SELECT doc_id, island_id, MIN(pos) AS s, MAX(pos) + {dedup.SPAN_L} AS e
+        FROM aisl2 GROUP BY doc_id, island_id)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+       CASE WHEN len(t.t) > 0
+            THEN CAST(ROUND(1000.0 * COALESCE(p.n_dup_tokens, 0) / len(t.t)) AS BIGINT)
+            ELSE 0 END AS dup_permille,
+       CASE WHEN (CASE WHEN len(t.t) > 0
+                       THEN CAST(ROUND(1000.0 * COALESCE(p.n_dup_tokens, 0) / len(t.t)) AS BIGINT)
+                       ELSE 0 END) > {dedup.SPAN_MAX_DUP_PERMILLE}
+            THEN 'reject' ELSE 'admit' END AS verdict
+FROM toks t LEFT JOIN aper_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+        ),
+    ),
     "doc_dedup_clean_text": QueryDef(
         dedup.dedup_clean_text,
         wrap(

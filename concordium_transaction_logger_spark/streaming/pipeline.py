@@ -935,6 +935,17 @@ class StreamingCorpusIngest:
     prunes to colliding buckets; its size is n_bands rows per document —
     linear, the same budget as the batch band index.
 
+    ``span_dedup=True`` adds the third admission layer: span-level
+    containment (batch twin ``dedup.span_admission``). A document is
+    rejected when more than SPAN_MAX_DUP_PERMILLE of its tokens is
+    covered by L-token windows first seen in a smaller doc_id — whether
+    that doc arrived batches ago (the ``<out_dir>_spans`` state sink
+    stores min doc_id per window hash) or earlier in the same batch.
+    Unlike MinHash banding this catches PARTIAL duplication — a doc
+    assembled from quotes/boilerplate of earlier docs — and the verdict
+    is exactly the batch one on any full replay, because "earlier" is
+    batch-boundary-free (asserted in ``test_streaming.py``).
+
     Admission semantics: the greedy prefix rule — admit d iff no
     earlier-seen document shares a bucket with d. On an id-ordered full
     replay this equals the batch ``dedup_survivors`` keeper set (component
@@ -953,6 +964,7 @@ class StreamingCorpusIngest:
         max_files_per_trigger: int | None = None,
         quality_gate: bool = False,
         near_dup: bool = False,
+        span_dedup: bool = False,
     ):
         self.spark = apply_runtime_confs(spark)
         self.source_dir = source_dir
@@ -961,6 +973,7 @@ class StreamingCorpusIngest:
         self.max_files_per_trigger = max_files_per_trigger
         self.quality_gate = quality_gate
         self.near_dup = near_dup
+        self.span_dedup = span_dedup
 
     def _write_partitioned(self, df: DataFrame, batch_id: int, path: str) -> None:
         (
@@ -1027,6 +1040,79 @@ class StreamingCorpusIngest:
             reject_frames.append(collided.withColumn("reason", F.lit("near_dup")))
             fresh = fresh.join(collided, "doc_id", "left_anti")
             self._write_partitioned(bb, batch_id, bdir)
+        sp_state = None
+        if self.span_dedup:
+            # Span-level admission (batch twin: dedup.span_admission): a
+            # document is rejected when the share of its tokens covered by
+            # L-token windows first seen in a SMALLER doc_id (any earlier
+            # batch, or this batch) exceeds SPAN_MAX_DUP_PERMILLE. The
+            # seen-window state is a (h, min doc_id) side sink — linear in
+            # corpus windows, the same budget as the batch span index, and
+            # batch-partitioned for idempotent replay.
+            from pyspark.sql.window import Window as W
+
+            from ..operators.dedup import (
+                SPAN_L,
+                SPAN_MAX_DUP_PERMILLE,
+                doc_span_occurrences,
+                tokens,
+            )
+
+            sp = doc_span_occurrences(batch_df).persist()
+            sp_state = sp
+            sdir = self.out_dir + "_spans"
+            mins = sp.groupBy("h").agg(F.min("doc_id").alias("min_doc"))
+            if os.path.isdir(sdir):
+                prior = (
+                    self.spark.read.parquet(sdir)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .select("h", "min_doc")
+                )
+                global_min = (
+                    mins.unionByName(prior)
+                    .groupBy("h")
+                    .agg(F.min("min_doc").alias("min_doc"))
+                )
+            else:
+                global_min = mins
+            dpos = (
+                sp.join(global_min, "h")
+                .filter(F.col("min_doc") < F.col("doc_id"))
+                .select("doc_id", "pos")
+            )
+            w_doc = W.partitionBy("doc_id").orderBy("pos")
+            prev_end = F.max(F.col("pos") + SPAN_L).over(
+                w_doc.rowsBetween(W.unboundedPreceding, -1)
+            )
+            dup_tok = (
+                dpos.withColumn(
+                    "new_island",
+                    F.when(
+                        prev_end.isNull() | (F.col("pos") >= prev_end), 1
+                    ).otherwise(0),
+                )
+                .withColumn("island_id", F.sum("new_island").over(w_doc))
+                .groupBy("doc_id", "island_id")
+                .agg(F.min("pos").alias("s"), (F.max("pos") + SPAN_L).alias("e"))
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("e") - F.col("s")).alias("n_dup_tokens"))
+            )
+            n_tok = batch_df.select(
+                "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+            )
+            span_rejects = (
+                n_tok.join(dup_tok, "doc_id")
+                .filter(
+                    F.round(1000.0 * F.col("n_dup_tokens") / F.col("n_tokens"))
+                    > SPAN_MAX_DUP_PERMILLE
+                )
+                .select("doc_id")
+            )
+            reject_frames.append(
+                span_rejects.withColumn("reason", F.lit("span_dup"))
+            )
+            fresh = fresh.join(span_rejects, "doc_id", "left_anti")
+            self._write_partitioned(mins, batch_id, sdir)
         try:
             self._write_partitioned(fresh, batch_id, self.out_dir)
             if reject_frames:
@@ -1039,6 +1125,8 @@ class StreamingCorpusIngest:
         finally:
             if bb is not None:
                 bb.unpersist()
+            if sp_state is not None:
+                sp_state.unpersist()
 
     def run_available_now(self) -> None:
         schema = self.spark.read.parquet(self.source_dir).schema

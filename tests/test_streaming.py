@@ -811,3 +811,57 @@ def test_rate_source_restart_resumes_exactly_once(spark, dirs):
     ids = sorted(r.id for r in sunk.select("id").collect())
     assert len(ids) > first, "restart must ingest new rows"
     assert ids == list(range(len(ids))), "no gaps, no duplicates across restart"
+
+
+def test_streaming_span_admission_matches_batch_verdict(spark, sf_dir, dirs):
+    """span_dedup=True: after a full multi-batch id-ordered replay, the
+    admitted corpus equals the batch ``span_admission`` 'admit' set —
+    "earlier document" is batch-boundary-free because the seen-window
+    state carries the min doc_id per window hash across batches. A doc
+    mostly assembled from spans first seen batches earlier is rejected
+    with the span_dup reason; a lost-checkpoint replay changes nothing."""
+    from concordium_transaction_logger_spark.operators import dedup
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for lo, hi in ((0, 150), (150, 350), (350, 10**9)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(dirs["source"])
+    StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        span_dedup=True,
+    ).run_available_now()
+
+    verdicts = dedup.span_admission(spark, sf_dir).collect()
+    want = {r["doc_id"] for r in verdicts if r["verdict"] == "admit"}
+    got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert got == want
+    rejected = {
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["out"] + "_rejects")
+        .filter(F.col("reason") == "span_dup")
+        .collect()
+    }
+    assert rejected == {r["doc_id"] for r in verdicts if r["verdict"] == "reject"}
+    # cross-batch rejections must exist, else the span state did no work
+    assert any(d >= 150 for d in rejected)
+
+    # lost-checkpoint replay is idempotent
+    shutil.rmtree(dirs["ckpt"])
+    StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        span_dedup=True,
+    ).run_available_now()
+    assert {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()} == want
