@@ -108,6 +108,103 @@ def _decode_ppm(payload: bytes):
     return raw[: w * h * 3].reshape(h, w, 3)
 
 
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth).
+    Up vectorizes; Sub/Average/Paeth are sequential in x by definition —
+    fine for the thumbnail payloads this kernel sees per Arrow batch."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = line.copy()
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                c = pv[x - bpp] if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    return None
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
+def _decode_png(payload: bytes):
+    """REAL image decode for PNG — stdlib zlib + numpy, no codec lib:
+    chunk parse (IHDR/PLTE/IDAT/IEND), one zlib stream, per-scanline
+    un-filtering. Supports the non-interlaced 8-bit-depth profile —
+    grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6); alpha
+    is dropped, palette entries resolve through PLTE. Returns an
+    (h, w, 3) uint8 array or None when the payload is not such a PNG."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if w <= 0 or h <= 0 or (color == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        return None
+    px = _png_unfilter(raw, h, stride, channels)
+    if px is None:
+        return None
+    px = px.reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 2:
+        return px
+    if color == 3:
+        return plte[px[:, :, 0]]
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA -> drop alpha
+
+
 class _JpegBitReader:
     """MSB-first bit reader over one entropy-coded segment (already
     unstuffed: 0xFF 0x00 -> 0xFF)."""
@@ -396,15 +493,17 @@ def _decode_wav(payload: bytes):
 
 def _real_decode_features(payload: bytes, kind: str) -> list[float]:
     """Real per-payload features for the formats decodable without any
-    codec library: baseline JPEG and P6 PPM images (per-channel means,
-    global std, dimensions) and PCM WAV audio (duration, RMS,
-    zero-crossing rate). Anything else raises — the honest boundary:
-    progressive JPEG / PNG / MP4 need codecs this environment does not
-    ship."""
+    codec library: baseline JPEG, non-interlaced 8-bit PNG and P6 PPM
+    images (per-channel means, global std, dimensions) and PCM WAV audio
+    (duration, RMS, zero-crossing rate). Anything else raises — the
+    honest boundary: progressive JPEG / 16-bit+interlaced PNG / MP4 need
+    codecs this environment does not ship."""
     import numpy as np
 
     if kind == "image":
         img = _decode_ppm(payload)
+        if img is None:
+            img = _decode_png(payload)
         if img is None:
             img = _decode_jpeg(payload)
         if img is not None:
@@ -430,7 +529,7 @@ def _real_decode_features(payload: bytes, kind: str) -> list[float]:
     raise NotImplementedError(
         f"real decode for this {kind} payload requires a codec library "
         "(PIL/ffmpeg) not present in this environment; supported real "
-        "formats: baseline JPEG + P6 PPM images, PCM16 WAV audio"
+        "formats: baseline JPEG + 8-bit PNG + P6 PPM images, PCM16 WAV audio"
     )
 
 

@@ -317,3 +317,105 @@ def test_real_decode_baseline_jpeg(spark):
 
     # progressive/garbage JPEGs are refused, not silently wrong
     assert _decode_jpeg(b"\xff\xd8\xff\xc2" + payload[4:]) is None
+
+
+def _encode_png(img, color_type, filters):
+    """Independent PNG encoder for the round-trip test: chunk writer +
+    per-scanline FORWARD filtering (the decoder must invert every type).
+    ``img`` is (h, w, channels) uint8; ``filters[y]`` picks the filter for
+    scanline y."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        out = np.zeros_like(line)
+        for x in range(len(line)):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (line[x] - pred) & 0xFF
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decode_png_all_filters_and_color_types(spark):
+    """Exact round-trip (PNG is lossless) through an independent encoder,
+    cycling every scanline filter (None/Sub/Up/Average/Paeth) and each
+    supported color type; unsupported profiles are refused, not wrong."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from concordium_transaction_logger_spark.operators.multimodal import (
+        _decode_png,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(7)
+    h, w = 11, 13
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        decoded = _decode_png(_encode_png(rgb, 2, filters))
+        assert decoded is not None and (decoded == rgb).all(), f"filters {filters}"
+
+    gray = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+    d = _decode_png(_encode_png(gray, 0, [0, 1, 2, 3, 4]))
+    assert (d == np.repeat(gray, 3, axis=2)).all()
+
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    d = _decode_png(_encode_png(rgba, 6, [4, 3, 2, 1, 0]))
+    assert (d == rgba[:, :, :3]).all()
+
+    ga = rng.integers(0, 256, (h, w, 2), dtype=np.uint8)
+    d = _decode_png(_encode_png(ga, 4, [1, 4]))
+    assert (d == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+
+    # the feature kernel sees true dims/means through the PNG path
+    payload = _encode_png(rgb, 2, [0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=bytes(payload))]
+    )
+    feat = extract_features(media, real_decode=True).collect()[0]["feature"]
+    assert (feat[4], feat[5]) == (float(w), float(h))
+    assert abs(feat[0] - rgb[:, :, 0].mean() / 255.0) < 1e-6
+
+    # interlaced / 16-bit profiles are refused, not silently wrong
+    import struct as _s
+    bad = bytearray(_encode_png(rgb, 2, [0]))
+    bad[8 + 8 + 12] = 1  # interlace flag inside IHDR
+    assert _decode_png(bytes(bad)) is None
