@@ -314,3 +314,77 @@ def shuffle_shards(
         .select("doc_id", "shard_id", "shard_pos", "skey")
         .orderBy("shard_id", "shard_pos")
     )
+
+
+#: DSIR hashed-feature space size. 256 buckets is plenty for the test
+#: vocabulary; production dial is 10k-100k buckets (the weight table stays
+#: broadcast-sized either way).
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "v1",
+    val_permille: int = 100,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): documents are scored by
+    how much their hashed-n-gram feature distribution resembles a TARGET
+    distribution relative to the corpus distribution — here the target is
+    the deterministic val split (the same md5-bucket rule as
+    ``split_assignment``), so the whole computation is a pure function of
+    the corpus. Each document's score is the sum over its shingle
+    occurrences of log2(p_target(bucket)/p_corpus(bucket)), quantized to
+    whole bits via binary bit-length with add-one smoothing — the same
+    zero-transcendental trick as ``unigram_surprisal``, so the DuckDB
+    oracle is hash-identical. High scores = looks like the target; a
+    resampling pass keeps documents with probability ∝ exp(score), which
+    deterministically becomes "keep the top-k by score" here.
+
+    Scale shape: rides the session shingle index; bucket histograms are
+    two partial-aggregated groupBys over an ``n_buckets``-sized key space;
+    the per-bucket weight table is tiny and broadcasts into the
+    per-document fold. One shuffle of (doc, bucket) occurrence rows."""
+    from .dedup import shingle_index
+
+    sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
+    b = (F.conv(F.substring(F.md5(F.col("sh")), 1, 4), 16, 10) % n_buckets).cast(
+        "long"
+    )
+    occ = sh.select(
+        "doc_id",
+        b.alias("b"),
+        (_bucket(F.col("doc_id"), salt) < val_permille).alias("is_val"),
+    )
+    cc = occ.groupBy("b").agg(
+        F.count("*").alias("c_cnt"),
+        F.sum(F.when(F.col("is_val"), 1).otherwise(0)).alias("t_cnt"),
+    )
+    tot = cc.agg(
+        F.sum("c_cnt").alias("ctot"), F.sum("t_cnt").alias("ttot")
+    )
+    bl = lambda c: F.length(F.bin(c))  # noqa: E731 — bit-length, both engines
+    wb = cc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            (bl(F.col("t_cnt") + 1) - bl(F.col("ttot") + 1))
+            - (bl(F.col("c_cnt") + 1) - bl(F.col("ctot") + 1))
+        )
+        .cast("long")
+        .alias("w_bits"),
+    )
+    return (
+        occ.join(F.broadcast(wb), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("w_bits").cast("long").alias("score_bits"),
+        )
+        .withColumn(
+            "mean_score_millibits",
+            F.round(1000.0 * F.col("score_bits") / F.col("n_feats")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2037,6 +2037,38 @@ FROM (
 ORDER BY shard_id, shard_pos
 """,
     ),
+    "doc_dsir_weights": QueryDef(
+        sampling.dsir_weights,
+        wrap(
+            f"""
+, db AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 4)) AS BIGINT) % {sampling.DSIR_BUCKETS} AS b,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#v1'), 1, 8)) AS BIGINT)
+           % 1000 < 100 AS is_val
+  FROM shingles
+),
+dcc AS (
+  SELECT b, COUNT(*) AS c_cnt,
+         SUM(CASE WHEN is_val THEN 1 ELSE 0 END) AS t_cnt
+  FROM db GROUP BY b
+),
+dtot AS (SELECT SUM(c_cnt) AS ctot, SUM(t_cnt) AS ttot FROM dcc),
+dwb AS (
+  SELECT b,
+         CAST((length(bin(t_cnt + 1)) - length(bin((SELECT ttot FROM dtot) + 1)))
+              - (length(bin(c_cnt + 1)) - length(bin((SELECT ctot FROM dtot) + 1)))
+              AS BIGINT) AS w_bits
+  FROM dcc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(w_bits) AS BIGINT) AS score_bits,
+       CAST(ROUND(1000.0 * SUM(w_bits) / COUNT(*)) AS BIGINT) AS mean_score_millibits
+FROM db JOIN dwb USING (b)
+GROUP BY doc_id ORDER BY doc_id
+"""
+        ),
+    ),
     "doc_stratified_sample": QueryDef(
         sampling.stratified_sample,
         """
