@@ -201,3 +201,67 @@ def test_dedup_clean_text_first_copy_survives(spark, tmp_path):
     assert rows[0].clean_text == " ".join(toks) and rows[0].n_removed == 0
     for d in (1, 2):
         assert rows[d].clean_text == "" and rows[d].n_removed == 10
+
+
+def _py_dsir(token_lists, n_buckets=256, val_permille=100):
+    """Reference DSIR: distinct 3-gram shingles per doc, md5 bucket,
+    val-split target by the same md5 doc bucket rule, per-doc sum of
+    bit-length-quantized log ratios with add-one smoothing."""
+    import hashlib
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    feats = {}
+    for doc_id, toks in enumerate(token_lists):
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if sh:
+            feats[doc_id] = [int(md5hex(s)[:4], 16) % n_buckets for s in sorted(sh)]
+    is_val = {
+        d: int(md5hex(f"{d}#v1")[:8], 16) % 1000 < val_permille for d in feats
+    }
+    c_cnt, t_cnt = {}, {}
+    for d, bs in feats.items():
+        for b in bs:
+            c_cnt[b] = c_cnt.get(b, 0) + 1
+            if is_val[d]:
+                t_cnt[b] = t_cnt.get(b, 0) + 1
+    ctot, ttot = sum(c_cnt.values()), sum(t_cnt.values())
+    w = {
+        b: ((t_cnt.get(b, 0) + 1).bit_length() - (ttot + 1).bit_length())
+        - ((c_cnt[b] + 1).bit_length() - (ctot + 1).bit_length())
+        for b in c_cnt
+    }
+    out = {}
+    for d, bs in feats.items():
+        s = sum(w[b] for b in bs)
+        out[d] = (len(bs), s, round(1000.0 * s / len(bs)))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    token_lists=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=15),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_dsir_weights_match_python_reference(spark, tmp_path, token_lists):
+    from concordium_transaction_logger_spark.cache import release_corpus
+    from concordium_transaction_logger_spark.operators import sampling
+
+    sf = _write_docs(spark, tmp_path, token_lists)
+    release_corpus(spark, sf)  # the shingle index memoizes per (session, dir)
+    try:
+        got = {
+            r.doc_id: (r.n_feats, r.score_bits, r.mean_score_millibits)
+            for r in sampling.dsir_weights(spark, sf).collect()
+        }
+    finally:
+        release_corpus(spark, sf)
+    assert got == _py_dsir(token_lists)
