@@ -265,3 +265,78 @@ def test_dsir_weights_match_python_reference(spark, tmp_path, token_lists):
     finally:
         release_corpus(spark, sf)
     assert got == _py_dsir(token_lists)
+
+
+def _py_perceptron(token_lists, n_buckets=64, epochs=8):
+    """Reference pocket perceptron: binary hashed-shingle features + bias,
+    cost-sensitive batch updates, best-accuracy snapshot (earliest epoch
+    on ties). Labels follow the quality gate (here: length >= 100 chars,
+    since crafted text is all lowercase+spaces)."""
+    import hashlib
+
+    feats, lab = {}, {}
+    for d, toks in enumerate(token_lists):
+        text = " ".join(toks)
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        bs = {
+            int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % n_buckets
+            for s in sh
+        }
+        feats[d] = sorted(bs) + [n_buckets]  # bias
+        lab[d] = 1 if len(text) >= 100 else -1
+    n_pos = sum(1 for y in lab.values() if y > 0)
+    n_neg = len(lab) - n_pos
+    cw = {1: n_neg, -1: n_pos}
+    w = [0] * (n_buckets + 1)
+
+    def margin(d):
+        return sum(w[b] for b in feats[d])
+
+    def acc():
+        return sum(1 for d, y in lab.items() if y * margin(d) > 0)
+
+    best = (-1, None)
+    for _ in range(epochs):
+        delta = [0] * (n_buckets + 1)
+        for d, y in lab.items():
+            if y * margin(d) <= 0:
+                for b in feats[d]:
+                    delta[b] += y * cw[y]
+        w = [a + b for a, b in zip(w, delta)]
+        a = acc()
+        if a > best[0]:
+            best = (a, list(w))
+    w = best[1]
+    return {
+        d: (y, margin(d), 1 if margin(d) > 0 else -1, y * margin(d) > 0)
+        for d, y in lab.items()
+    }
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    token_lists=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "omega"]),
+                 min_size=3, max_size=40),
+        min_size=3,
+        max_size=8,
+    )
+)
+def test_perceptron_train_matches_python_reference(spark, tmp_path, token_lists):
+    from concordium_transaction_logger_spark.cache import release_corpus
+    from concordium_transaction_logger_spark.operators import textstats
+
+    sf = _write_docs(spark, tmp_path, token_lists)
+    release_corpus(spark, sf)
+    try:
+        got = {
+            r.doc_id: (r.label, r.margin, r.pred, r.correct)
+            for r in textstats.perceptron_train(spark, sf).collect()
+        }
+    finally:
+        release_corpus(spark, sf)
+    assert got == _py_perceptron(token_lists)
