@@ -688,3 +688,115 @@ def perceptron_train(
         ).orderBy("doc_id")
     finally:
         feats.unpersist()
+
+
+def perceptron_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = PERC_BUCKETS,
+    epochs: int = PERC_EPOCHS,
+    salt: str = "v1",
+    val_permille: int = 100,
+) -> DataFrame:
+    """The held-out evaluation protocol for :func:`perceptron_train`:
+    fit the pocket perceptron on the TRAIN side of the deterministic
+    md5-bucket split only (same rule as ``split_assignment``), then score
+    BOTH splits under the pocket weights and report per-split accuracy —
+    the generalization-gap row an ML pipeline actually gates on, not
+    training accuracy. Identical integer machinery, so the generated
+    DuckDB oracle stays hash-exact."""
+    from .dedup import shingle_index  # deferred: dedup imports this module
+    from .sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
+    b = (F.conv(F.substring(F.md5(F.col("sh")), 1, 4), 16, 10) % n_buckets).cast(
+        "long"
+    )
+    feats = (
+        sh.select("doc_id", b.alias("b"))
+        .distinct()
+        .unionByName(
+            docs.select("doc_id", F.lit(n_buckets).cast("long").alias("b"))
+        )
+        .persist()
+    )
+    labels = docs.select(
+        "doc_id",
+        F.when(gate_reason(F.col("text")) == "ok", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        (_bucket(F.col("doc_id"), salt) < val_permille).alias("is_val"),
+    )
+    tr = labels.filter(~F.col("is_val")).select("doc_id", "y")
+    counts = tr.groupBy().agg(
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("y") < 0, 1).otherwise(0)).alias("n_neg"),
+    ).collect()[0]
+    cw = {1: int(counts["n_neg"]), -1: int(counts["n_pos"])}
+
+    def margins_under(w: dict, lab: DataFrame) -> DataFrame:
+        if not w:
+            return lab.withColumn("margin", F.lit(0).cast("long"))
+        wdf = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in sorted(w.items())], "b long, w long"
+        )
+        mg = (
+            feats.join(F.broadcast(wdf), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("w").cast("long").alias("margin"))
+        )
+        return lab.join(mg, "doc_id", "left").withColumn(
+            "margin", F.coalesce(F.col("margin"), F.lit(0)).cast("long")
+        )
+
+    try:
+        w: dict[int, int] = {}
+        best_acc, best_w = -1, {}
+        for _ in range(epochs):
+            md = margins_under(w, tr)
+            mis = md.filter(F.col("y") * F.col("margin") <= 0).select("doc_id", "y")
+            delta = (
+                feats.join(mis, "doc_id")
+                .groupBy("b")
+                .agg(
+                    F.sum(
+                        F.col("y")
+                        * F.when(F.col("y") > 0, F.lit(cw[1])).otherwise(F.lit(cw[-1]))
+                    ).alias("d")
+                )
+                .collect()
+            )
+            for r in delta:
+                w[int(r["b"])] = w.get(int(r["b"]), 0) + int(r["d"])
+            acc = (
+                margins_under(w, tr)
+                .filter(F.col("y") * F.col("margin") > 0)
+                .count()
+            )
+            if acc > best_acc:
+                best_acc, best_w = acc, dict(w)
+        scored = margins_under(best_w, labels)
+        return (
+            scored.withColumn(
+                "split",
+                F.when(F.col("is_val"), F.lit("val")).otherwise(F.lit("train")),
+            )
+            .groupBy("split")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(
+                    F.when(F.col("y") * F.col("margin") > 0, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_correct"),
+            )
+            .withColumn(
+                "acc_permille",
+                F.round(1000.0 * F.col("n_correct") / F.col("n_docs")).cast("long"),
+            )
+            .orderBy("split")
+        )
+    finally:
+        feats.unpersist()

@@ -220,6 +220,83 @@ ORDER BY vec_a, vec_b
 )
 
 
+def _perceptron_eval_sql() -> str:
+    """Generated oracle for textstats.perceptron_eval: identical epoch
+    machinery to _perceptron_sql but fitted on the train side of the
+    deterministic split only, with per-split accuracy output."""
+    e = textstats.PERC_EPOCHS
+    cwexpr = ("(CASE WHEN y > 0 THEN (SELECT n_neg FROM ccw) "
+              "ELSE (SELECT n_pos FROM ccw) END)")
+    parts = [f"""
+, cfeat AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 4)) AS BIGINT) % {textstats.PERC_BUCKETS} AS b
+  FROM shingles
+  UNION ALL
+  SELECT doc_id, {textstats.PERC_BUCKETS} AS b FROM documents
+),
+clab AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN (
+      CASE WHEN length(text) < 100 THEN 'too_short'
+           WHEN (CASE WHEN length(text) > 0
+                      THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) AS BIGINT)
+                      ELSE 0 END) < 500 THEN 'low_alpha'
+           WHEN (CASE WHEN length(text) > 0
+                      THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^0-9]', '', 'g')) / length(text)) AS BIGINT)
+                      ELSE 0 END) > 300 THEN 'digit_heavy'
+           ELSE 'ok' END) = 'ok' THEN 1 ELSE -1 END AS y,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#v1'), 1, 8)) AS BIGINT)
+      % 1000 < 100 AS is_val
+  FROM documents
+),
+ctr AS MATERIALIZED (SELECT doc_id, y FROM clab WHERE NOT is_val),
+ccw AS MATERIALIZED (
+  SELECT SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN y < 0 THEN 1 ELSE 0 END) AS n_neg
+  FROM ctr
+),
+w1 AS MATERIALIZED (
+  SELECT b, SUM(y * {cwexpr}) AS w
+  FROM cfeat JOIN ctr USING (doc_id) GROUP BY b
+),
+m1 AS MATERIALIZED (SELECT doc_id, SUM(w) AS margin FROM cfeat JOIN w1 USING (b) GROUP BY doc_id),
+a1 AS MATERIALIZED (SELECT COUNT(*) AS a FROM ctr JOIN m1 USING (doc_id) WHERE y * margin > 0)"""]
+    for k in range(2, e + 1):
+        parts.append(f""",
+mis{k} AS MATERIALIZED (SELECT c.doc_id, c.y FROM ctr c JOIN m{k-1} USING (doc_id)
+           WHERE c.y * m{k-1}.margin <= 0),
+d{k} AS MATERIALIZED (SELECT b, SUM(y * {cwexpr}) AS d
+         FROM cfeat JOIN mis{k} USING (doc_id) GROUP BY b),
+w{k} AS MATERIALIZED (SELECT w{k-1}.b, w{k-1}.w + COALESCE(d{k}.d, 0) AS w
+         FROM w{k-1} LEFT JOIN d{k} ON w{k-1}.b = d{k}.b),
+m{k} AS MATERIALIZED (SELECT doc_id, SUM(w) AS margin FROM cfeat JOIN w{k} USING (b) GROUP BY doc_id),
+a{k} AS MATERIALIZED (SELECT COUNT(*) AS a FROM ctr JOIN m{k} USING (doc_id) WHERE y * margin > 0)""")
+    scores = ", ".join(
+        f"(SELECT a FROM a{k}) * 1000 - {k} AS s{k}" for k in range(1, e + 1)
+    )
+    greatest = ", ".join(f"s{k}" for k in range(1, e + 1))
+    pick = " ".join(f"WHEN s{k} = g THEN {k}" for k in range(1, e + 1))
+    joins = " ".join(f"JOIN m{k} USING (doc_id)" for k in range(2, e + 1))
+    cases = " ".join(f"WHEN {k} THEN m{k}.margin" for k in range(1, e + 1))
+    parts.append(f""",
+sel AS (SELECT *, GREATEST({greatest}) AS g FROM (SELECT {scores})),
+bk AS (SELECT CASE {pick} END AS k FROM sel),
+fm AS (
+  SELECT m1.doc_id, CASE (SELECT k FROM bk) {cases} END AS margin
+  FROM m1 {joins}
+)
+SELECT CASE WHEN c.is_val THEN 'val' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.y * fm.margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(ROUND(1000.0 * SUM(CASE WHEN c.y * fm.margin > 0 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS acc_permille
+FROM clab c JOIN fm USING (doc_id)
+GROUP BY split
+ORDER BY split
+""")
+    return wrap("".join(parts))
+
+
 def _perceptron_sql() -> str:
     """Generate the unrolled pocket-perceptron oracle (PERC_EPOCHS epochs).
     Mirrors textstats.perceptron_train exactly: cost-sensitive batch
@@ -1410,6 +1487,9 @@ GROUP BY doc_id ORDER BY doc_id
     ),
     "doc_perceptron_train": QueryDef(
         textstats.perceptron_train, _perceptron_sql()
+    ),
+    "doc_perceptron_eval": QueryDef(
+        textstats.perceptron_eval, _perceptron_eval_sql()
     ),
     "doc_winnow_fingerprints": QueryDef(
         textstats.winnow_fingerprints,
