@@ -800,3 +800,88 @@ def perceptron_eval(
         )
     finally:
         feats.unpersist()
+
+
+#: Number of BPE merge steps the trainer learns. Enough to see real
+#: multi-character symbols emerge on the test vocabulary; the unrolled
+#: oracle stays readable. Production dial: thousands of steps, same plan
+#: per step.
+BPE_MERGES = 6
+
+
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Train a BPE tokenizer IN the engine (Sennrich et al. 2016): start
+    from characters, repeatedly merge the globally most frequent adjacent
+    symbol pair (ties broken lexicographically — fully deterministic).
+    Training runs on the distinct-word/frequency table, the classic BPE
+    formulation, with each word held as a bracketed symbol string
+    (``[c][a][t]``) so merge application is an exact literal
+    ``replace('[c][a]' -> '[ca]')`` — leftmost non-overlapping, the
+    greedy BPE apply rule, with identical semantics in Spark and DuckDB.
+    Output: one row per merge step (left, right, merged symbol, corpus
+    pair count at selection time).
+
+    Scale shape: the word/frequency table is one partial-aggregated
+    groupBy over token occurrences (vocabulary-sized); each merge step is
+    one pair-explode + count aggregate and a 1-row argmax collect (the
+    Lloyd's/perceptron round-trip pattern); merge application is a
+    row-local string replace — no shuffle. Step count bounds the loop,
+    not corpus size."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    wfreq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    rep = wfreq.select(
+        "tok", "f", F.regexp_replace("tok", "(.)", "[$1]").alias("rep")
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(rep, 2, length(rep) - 2)"), r"\]\["
+        )
+        s = F.col("s")
+        pairs = (
+            rep.select("f", syms.alias("s"))
+            # single-symbol words carry no pairs — and Spark's
+            # sequence(1, 0) DESCENDS rather than being empty
+            .filter(F.size(s) >= 2)
+            .select(
+                "f",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(s) - 1),
+                        lambda i: F.struct(
+                            F.element_at(s, i).alias("l"),
+                            F.element_at(s, i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("f", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step, l, r, l + r, cnt))
+        rep = rep.withColumn(
+            "rep",
+            F.replace(
+                F.col("rep"),
+                F.lit(f"[{l}][{r}]"),
+                F.lit(f"[{l}{r}]"),
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, pair_count long"
+    ).orderBy("step")

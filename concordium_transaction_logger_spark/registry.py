@@ -220,6 +220,48 @@ ORDER BY vec_a, vec_b
 )
 
 
+def _bpe_sql() -> str:
+    """Generated oracle for textstats.bpe_merges: BPE_MERGES unrolled
+    merge steps over the word/frequency table; symbol strings are
+    bracketed so merge application is exact literal replace()."""
+    e = textstats.BPE_MERGES
+    parts = [r"""
+, bwf AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS f
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+r0 AS MATERIALIZED (
+  SELECT tok, f, regexp_replace(tok, '(.)', '[\1]', 'g') AS rep FROM bwf
+)"""]
+    for k in range(1, e + 1):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT s[i] AS l, s[i+1] AS r, SUM(f) AS cnt
+  FROM (SELECT f, string_split(substr(rep, 2, length(rep) - 2), '][') AS s
+        FROM r{k-1}),
+       unnest(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY l, r
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+r{k} AS MATERIALIZED (
+  SELECT tok, f,
+         replace(rep, '[' || (SELECT l FROM b{k}) || '][' || (SELECT r FROM b{k}) || ']',
+                      '[' || (SELECT l FROM b{k}) || (SELECT r FROM b{k}) || ']') AS rep
+  FROM r{k-1}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS left, r AS right, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, e + 1)
+    )
+    parts.append(f"""
+{selects}
+ORDER BY step
+""")
+    return wrap("".join(parts))
+
+
 def _perceptron_eval_sql() -> str:
     """Generated oracle for textstats.perceptron_eval: identical epoch
     machinery to _perceptron_sql but fitted on the train side of the
@@ -1490,6 +1532,9 @@ GROUP BY doc_id ORDER BY doc_id
     ),
     "doc_perceptron_eval": QueryDef(
         textstats.perceptron_eval, _perceptron_eval_sql()
+    ),
+    "corpus_bpe_merges": QueryDef(
+        textstats.bpe_merges, _bpe_sql()
     ),
     "doc_winnow_fingerprints": QueryDef(
         textstats.winnow_fingerprints,

@@ -340,3 +340,61 @@ def test_perceptron_train_matches_python_reference(spark, tmp_path, token_lists)
     finally:
         release_corpus(spark, sf)
     assert got == _py_perceptron(token_lists)
+
+
+def _py_bpe(token_lists, n_merges=6):
+    """Reference BPE trainer: all-adjacent-pair counts over the distinct
+    word/frequency table, max count with lexicographic tie-break, greedy
+    leftmost non-overlapping merge application."""
+    from collections import Counter
+
+    wf = Counter(t for toks in token_lists for t in toks)
+    reps = {w: list(w) for w in wf}
+    out = []
+    for step in range(1, n_merges + 1):
+        cnt = Counter()
+        for w, f in wf.items():
+            s = reps[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += f
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), c = best
+        out.append((step, l, r, l + r, c))
+        for w in reps:
+            s, ns, i = reps[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            reps[w] = ns
+    return out
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    token_lists=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=15
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bpe_merges_match_python_reference(spark, tmp_path, token_lists):
+    from concordium_transaction_logger_spark.operators import textstats
+
+    sf = _write_docs(spark, tmp_path, token_lists)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in textstats.bpe_merges(spark, sf).collect()
+    ]
+    assert got == _py_bpe(token_lists)
