@@ -838,6 +838,16 @@ def bpe_merges(
     rep = wfreq.select(
         "tok", "f", F.regexp_replace("tok", "(.)", "[$1]").alias("rep")
     )
+    merges, rep = _bpe_fit(rep, n_merges)
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, pair_count long"
+    ).orderBy("step")
+
+
+def _bpe_fit(rep: DataFrame, n_merges: int):
+    """The shared BPE fitting loop: returns (merge list, final symbol
+    table). Each step is one pair-count aggregate + a 1-row argmax
+    collect; merge application is a row-local literal replace."""
     merges = []
     for step in range(1, n_merges + 1):
         syms = F.split(
@@ -882,6 +892,48 @@ def bpe_merges(
                 F.lit(f"[{l}{r}]"),
             ),
         )
-    return spark.createDataFrame(
-        merges, "step long, left string, right string, merged string, pair_count long"
-    ).orderBy("step")
+    return merges, rep
+
+
+def bpe_apply(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Apply the learned BPE merges corpus-wide and report the per-doc
+    compression effect: characters vs BPE pieces per document under the
+    ``n_merges``-rule tokenizer trained by :func:`bpe_merges`. Piece
+    counting is a row-local bracket count over the final symbol table,
+    joined to token occurrences by word — the tokenizer table is
+    vocabulary-sized and broadcasts."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    wfreq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    rep = wfreq.select(
+        "tok", "f", F.regexp_replace("tok", "(.)", "[$1]").alias("rep")
+    )
+    _, rep = _bpe_fit(rep, n_merges)
+    pieces = rep.select(
+        "tok",
+        (
+            F.length("rep") - F.length(F.replace(F.col("rep"), F.lit("["), F.lit("")))
+        )
+        .cast("long")
+        .alias("np"),
+    )
+    occ = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        occ.join(F.broadcast(pieces), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.length("tok")).cast("long").alias("n_chars"),
+            F.sum("np").cast("long").alias("n_pieces"),
+        )
+        .withColumn(
+            "pieces_per_kchar",
+            F.round(1000.0 * F.col("n_pieces") / F.col("n_chars")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )

@@ -220,6 +220,32 @@ ORDER BY vec_a, vec_b
 )
 
 
+def _bpe_apply_sql() -> str:
+    """Generated oracle for textstats.bpe_apply: the same unrolled merge
+    chain as _bpe_sql, finishing with per-doc piece/char counts under the
+    final symbol table."""
+    e = textstats.BPE_MERGES
+    steps = _bpe_sql()
+    # reuse everything up to the final UNION-ALL select of _bpe_sql
+    head = steps[: steps.index("\nSELECT CAST(1 AS BIGINT)")]
+    return head + f"""
+, bnp AS MATERIALIZED (
+  SELECT tok,
+         CAST(length(rep) - length(replace(rep, '[', '')) AS BIGINT) AS np
+  FROM r{e}
+),
+bocc AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+       CAST(SUM(np) AS BIGINT) AS n_pieces,
+       CAST(ROUND(1000.0 * SUM(np) / SUM(length(tok))) AS BIGINT) AS pieces_per_kchar
+FROM bocc JOIN bnp USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _bpe_sql() -> str:
     """Generated oracle for textstats.bpe_merges: BPE_MERGES unrolled
     merge steps over the word/frequency table; symbol strings are
@@ -1535,6 +1561,9 @@ GROUP BY doc_id ORDER BY doc_id
     ),
     "corpus_bpe_merges": QueryDef(
         textstats.bpe_merges, _bpe_sql()
+    ),
+    "corpus_bpe_apply": QueryDef(
+        textstats.bpe_apply, _bpe_apply_sql()
     ),
     "doc_winnow_fingerprints": QueryDef(
         textstats.winnow_fingerprints,
