@@ -164,6 +164,9 @@ def main() -> None:
             "token_stats": textstats.token_stats,
             "pack_sequences": sampling.pack_sequences,
             "split_contamination": sampling.split_contamination,
+            "dsir_weights": sampling.dsir_weights,
+            "bpe_train": textstats.bpe_merges,
+            "perceptron_train": textstats.perceptron_train,
             "ann_cosine_brute": similarity.cosine_topk,
             "ann_lsh": similarity.ann_lsh_topk,
             "ann_ivf": similarity.ivf_topk,
