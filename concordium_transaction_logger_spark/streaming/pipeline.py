@@ -942,9 +942,13 @@ class StreamingCorpusIngest:
     that doc arrived batches ago (the ``<out_dir>_spans`` state sink
     stores min doc_id per window hash) or earlier in the same batch.
     Unlike MinHash banding this catches PARTIAL duplication — a doc
-    assembled from quotes/boilerplate of earlier docs — and the verdict
-    is exactly the batch one on any full replay, because "earlier" is
-    batch-boundary-free (asserted in ``test_streaming.py``).
+    assembled from quotes/boilerplate of earlier docs. On an id-ordered
+    full replay the admission set equals the batch verdict exactly,
+    because "earlier" (smaller doc_id) is then batch-boundary-free
+    (asserted in ``test_streaming.py``); if the feed delivers out of id
+    order, a document whose smaller-id twin arrives later is admitted —
+    a one-pass streaming decision cannot see the future — and the batch
+    job is the reconciler, the same contract as the near-dup layer.
 
     Admission semantics: the greedy prefix rule — admit d iff no
     earlier-seen document shares a bucket with d. On an id-ordered full
