@@ -865,3 +865,54 @@ def test_streaming_span_admission_matches_batch_verdict(spark, sf_dir, dirs):
         span_dedup=True,
     ).run_available_now()
     assert {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()} == want
+
+
+def test_streaming_span_admission_out_of_order_is_permissive_only(spark, sf_dir, dirs):
+    """Out-of-id-order delivery can only MISS rejections (a smaller-id
+    twin that has not arrived yet cannot charge the current doc), never
+    over-reject: streaming admitted ⊇ batch admitted, streaming rejects
+    ⊆ batch rejects. This is the documented safety direction of the
+    one-pass contract — content the batch keeps is never dropped."""
+    from concordium_transaction_logger_spark.operators import dedup
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # reversed slice order: high ids arrive first
+    for lo, hi in ((350, 10**9), (150, 350), (0, 150)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(dirs["source"])
+    StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        span_dedup=True,
+    ).run_available_now()
+
+    batch_admit = {
+        r["doc_id"]
+        for r in dedup.span_admission(spark, sf_dir).collect()
+        if r["verdict"] == "admit"
+    }
+    got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert got >= batch_admit
+    import os as _os
+
+    rej_dir = dirs["out"] + "_rejects"
+    rejected = (
+        {
+            r["doc_id"]
+            for r in spark.read.parquet(rej_dir)
+            .filter(F.col("reason") == "span_dup")
+            .collect()
+        }
+        if _os.path.isdir(rej_dir)
+        else set()
+    )
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert rejected <= (all_ids - batch_admit)
