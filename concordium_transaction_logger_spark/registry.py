@@ -2703,12 +2703,13 @@ _DRIVER_PRIORITY = [
     "doc_ngram_novelty",
     "doc_duplicate_spans",
     "doc_dedup_clean_text",
+    "doc_span_admission",
     # similarity / embedding family
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dup_pairs_blocked",
-    "embedding_semdedup_pairs",
+    # embedding_semdedup_pairs rotated out after its r03 green row
     "embedding_kmeans_profile",
     "embedding_near_dup_pairs",
     # text-analysis family (doc_quality / doc_lang_id rotated out after
@@ -2721,6 +2722,8 @@ _DRIVER_PRIORITY = [
     "doc_lang_confusion",
     "doc_quality_gate",
     "doc_unigram_surprisal",
+    # error_followup_burst's slot (r03 green) goes to the BPE trainer
+    "corpus_bpe_merges",
     # sampling / curation family (corpus_mixture_plan rotated out after its
     # r03 green row; the new pre-training shuffle takes the slot)
     "doc_shuffle_shards",
@@ -2729,7 +2732,6 @@ _DRIVER_PRIORITY = [
     "corpus_curation_verdict",
     # temporal joins
     "asof_purchase_last_click",
-    "error_followup_burst",
     # multimodal plumbing
     "media_validation",
     # relational / TPC-H / window family (zero driver rows through r3)
