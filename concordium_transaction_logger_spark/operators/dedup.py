@@ -664,6 +664,56 @@ def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: pairwise shingle-set Jaccard
+    between sources — the provenance dashboard that catches two "different"
+    crawl snapshots or mirrored dumps feeding near-identical content into
+    the corpus (the source-level view of what the doc-level LSH pipeline
+    catches pairwise). Pairs with zero shared shingles are omitted.
+
+    Scale shape: the session shingle index collapses to DISTINCT
+    (source, shingle) — a partial-aggregated distinct whose row count is
+    bounded by Σ per-source vocabularies, far below the occurrence count —
+    then a self-join on the shingle key where fan-out per shingle is
+    bounded by |sources|, never |docs|; the result is |sources|² rows at
+    most. Per-source sizes re-aggregate from the same distinct set and
+    broadcast back. With thousands of sources and boilerplate shingles the
+    hot-key dial is the same stop-shingle broadcast anti-join the jaccard
+    self-join uses (`stop_shingles`). The string shingle (not the 64-bit
+    hash) is joined here so the count is collision-exact against the
+    oracle; at 100 TB the ``shh`` form is the documented swap."""
+    sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ssh = sh.join(src, "doc_id").select("source", "sh").distinct()
+    sizes = ssh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = ssh.alias("a"), ssh.alias("b")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("inter_shingles"))
+    )
+    za = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter_shingles",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(1000 * inter_shingles) DIV (n_a + n_b - inter_shingles)"
+            ).alias("jaccard_permille"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: the share of its distinct shingles that occur
     NOWHERE else in the corpus (df == 1) — the diversity/memorization

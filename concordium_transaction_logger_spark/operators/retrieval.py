@@ -1,0 +1,173 @@
+"""Lexical retrieval over ``documents``: BM25 top-k keyword search.
+
+The similarity family (`similarity.py`) covers the embedding modality;
+this module is the *lexical* twin — the BM25 ranking a curation pipeline
+uses for decontamination lookups, targeted corpus probes, and hybrid
+(lexical + vector) retrieval. Reference scope: the transaction logger's
+query surface is exact-key lookup only (postgres.rs:97-143), so this is
+part of the beyond-reference training-data family, not a ported operator.
+
+Integer-exact scoring (the engine's cross-engine determinism rule,
+ingest/oracle.py): IDF is quantized to whole bits via binary bit-length —
+``bitlen((N - df + 1) // (df + 1)) - 1`` is the floor of
+``log2((N-df+1)/(df+1))``, a Lucene-style non-negative IDF with no
+transcendental functions — and the tf/length saturation is exact integer
+arithmetic over milli-scaled quantities, so Spark and DuckDB agree to the
+last bit. All magnitudes are corpus-size-independent (avgdl enters as a
+per-document-scale milli integer), so the arithmetic stays in BIGINT at
+any corpus size.
+
+Scale shape: two scans of the token projection — one map-side-combined
+aggregate collapsing to a SINGLE stats row (N, Σdl, df per query term),
+then a row-local scoring pass over the broadcast stats row and a global
+top-k (TakeOrderedAndProject — never a full sort). Term frequencies are
+computed *inside the row* with array expressions; no token ever shuffles.
+A resident engine serves many queries from one materialized token
+projection; the per-query cost is the second scan only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .textstats import _spread, tokens
+
+#: Default query for the registry/bench entry: one rare term (high IDF)
+#: plus two common ones. Terms appearing in more than half the corpus get
+#: IDF 0 — the same clamp Lucene applies to negative-IDF terms.
+DEFAULT_QUERY = ("dup", "vector", "fast")
+K1_MILLI = 1200  # BM25 k1 = 1.2, as an exact milli integer
+TOP_K = 10
+
+
+def _tf(t: Column, term: str) -> Column:
+    return F.size(F.filter(t, lambda x: x == F.lit(term))).cast("long")
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = DEFAULT_QUERY,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Top-k documents by BM25 (b=1, k1=1.2, whole-bit IDF) for a literal
+    term query. Ties broken by ascending doc_id so the cut is total."""
+    docs = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    return bm25_over(docs, terms, k)
+
+
+def bm25_over(docs: DataFrame, terms: tuple[str, ...], k: int) -> DataFrame:
+    """BM25 over an arbitrary ``(doc_id, t: array<string>)`` frame (unit
+    tests feed synthetic corpora through the same kernel)."""
+    t = F.col("t")
+    pertf = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("dl"),
+        *[_tf(t, w).alias(f"tf{i}") for i, w in enumerate(terms)],
+    )
+    # ONE map-side-combined aggregate -> a single broadcastable stats row.
+    stats = pertf.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).withColumn("avgdl_milli", F.expr("(1000 * sum_dl) DIV n_docs"))
+    for i in range(len(terms)):
+        # floor(log2((N-df+1)/(df+1))), clamped at 0: bin(0) = '0' has
+        # length 1, so the -1 lands the x=0 and x=1 cases both on 0 bits.
+        stats = stats.withColumn(
+            f"idf{i}",
+            (
+                F.length(F.bin(F.expr(f"(n_docs - df{i} + 1) DIV (df{i} + 1)")))
+                - F.lit(1)
+            ).cast("long"),
+        )
+    scored = pertf.crossJoin(F.broadcast(stats))
+    term_scores = [
+        F.when(
+            F.col(f"tf{i}") > 0,
+            F.expr(
+                f"(idf{i} * tf{i} * {K1_MILLI + 1000} * avgdl_milli)"
+                f" DIV (tf{i} * avgdl_milli + {K1_MILLI} * dl)"
+            ),
+        ).otherwise(F.lit(0))
+        for i in range(len(terms))
+    ]
+    hits = [(F.col(f"tf{i}") > 0).cast("long") for i in range(len(terms))]
+    score = term_scores[0]
+    nhit = hits[0]
+    for i in range(1, len(terms)):
+        score = score + term_scores[i]
+        nhit = nhit + hits[i]
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            score.cast("long").alias("score_milli"),
+            nhit.cast("long").alias("n_terms_hit"),
+        )
+        .filter(F.col("score_milli") > 0)
+        .orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_sql(terms: tuple[str, ...] = DEFAULT_QUERY, k: int = TOP_K) -> str:
+    """The DuckDB oracle for :func:`bm25_topk` — identical arithmetic, the
+    shared ``toks`` prologue CTE as the token projection."""
+    tf_exprs = ",\n       ".join(
+        f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS tf{i}"
+        for i, w in enumerate(terms)
+    )
+    df_exprs = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    idf_exprs = ",\n       ".join(
+        f"CAST(length(bin(CAST((n_docs - df{i} + 1) // (df{i} + 1) AS BIGINT)))"
+        f" - 1 AS BIGINT) AS idf{i}"
+        for i in range(len(terms))
+    )
+    term_scores = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN (idf{i} * tf{i} * {K1_MILLI + 1000}"
+        f" * avgdl_milli) // (tf{i} * avgdl_milli + {K1_MILLI} * dl)"
+        f" ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    hit_sum = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    return f"""
+, btf AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       {tf_exprs}
+  FROM toks
+),
+bstat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       {df_exprs}
+  FROM btf
+),
+bidf AS (
+  SELECT *, (1000 * sum_dl) // n_docs AS avgdl_milli FROM bstat
+),
+bq AS (
+  SELECT *,
+       {idf_exprs}
+  FROM bidf
+)
+SELECT doc_id, dl,
+       CAST({term_scores} AS BIGINT) AS score_milli,
+       CAST({hit_sum} AS BIGINT) AS n_terms_hit
+FROM btf CROSS JOIN bq
+WHERE {term_scores} > 0
+ORDER BY score_milli DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -22,6 +22,7 @@ from .operators import (
     multimodal,
     queries,
     relational,
+    retrieval,
     sampling,
     similarity,
     temporal,
@@ -1627,6 +1628,33 @@ GROUP BY source
 ORDER BY source
 """,
         bench=True,
+    ),
+    "corpus_source_overlap": QueryDef(
+        dedup.source_overlap,
+        wrap(
+            """
+, ssh AS (
+  SELECT DISTINCT d.source, s.sh
+  FROM shingles s JOIN documents d USING (doc_id)
+),
+ssz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ssh GROUP BY source),
+spr AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS inter_shingles
+  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, inter_shingles,
+  za.n_sh AS n_a, zb.n_sh AS n_b,
+  (1000 * inter_shingles) // (za.n_sh + zb.n_sh - inter_shingles) AS jaccard_permille
+FROM spr JOIN ssz za ON za.source = spr.src_a JOIN ssz zb ON zb.source = spr.src_b
+ORDER BY src_a, src_b
+"""
+        ),
+        bench=True,
+    ),
+    "doc_bm25_topk": QueryDef(
+        retrieval.bm25_topk, wrap(retrieval.bm25_sql()), bench=True
     ),
     "corpus_mixture_plan": QueryDef(
         sampling.mixture_plan,

@@ -1,0 +1,119 @@
+"""BM25 lexical retrieval and the cross-source overlap matrix: property
+tests against independent Python references (the DuckDB value-parity rows
+live in test_oracle_parity.py via the registry)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from concordium_transaction_logger_spark.operators import dedup, retrieval
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+corpora = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12),
+    min_size=1,
+    max_size=12,
+)
+queries_st = st.lists(
+    st.sampled_from(VOCAB), min_size=1, max_size=3, unique=True
+)
+
+
+def _py_bm25(token_lists, terms, k):
+    """Independent reference for the quantized BM25: whole-bit IDF via
+    int.bit_length (== length(bin(x)) - 1 for x >= 1, and 0 for x == 0),
+    milli-integer saturation, floor division throughout."""
+    n_docs = len(token_lists)
+    sum_dl = sum(len(t) for t in token_lists)
+    avgdl_milli = (1000 * sum_dl) // n_docs
+    df = {w: sum(1 for t in token_lists if w in t) for w in terms}
+    idf = {
+        w: max(((n_docs - df[w] + 1) // (df[w] + 1)).bit_length() - 1, 0)
+        for w in terms
+    }
+    out = []
+    for doc_id, t in enumerate(token_lists):
+        dl = len(t)
+        score = 0
+        hit = 0
+        for w in terms:
+            tf = t.count(w)
+            if tf > 0:
+                hit += 1
+                score += (idf[w] * tf * (retrieval.K1_MILLI + 1000) * avgdl_milli) // (
+                    tf * avgdl_milli + retrieval.K1_MILLI * dl
+                )
+        if score > 0:
+            out.append((doc_id, dl, score, hit))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpora, queries_st)
+def test_bm25_matches_python_reference(spark, token_lists, terms):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, t=t) for i, t in enumerate(token_lists)],
+        schema="doc_id bigint, t array<string>",
+    )
+    got = [
+        (r.doc_id, r.dl, r.score_milli, r.n_terms_hit)
+        for r in retrieval.bm25_over(docs, tuple(terms), k=50).collect()
+    ]
+    assert got == _py_bm25(token_lists, tuple(terms), 50)
+
+
+def test_bm25_topk_is_total_and_bounded(spark, sf_dir):
+    rows = retrieval.bm25_topk(spark, sf_dir).collect()
+    assert len(rows) <= retrieval.TOP_K
+    # cut is totally ordered: (score desc, doc_id asc), no ties unresolved
+    keys = [(-r.score_milli, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.score_milli > 0 and r.n_terms_hit >= 1 for r in rows)
+
+
+def test_bm25_plan_is_broadcast_plus_topk(spark, sf_dir):
+    plan = retrieval.bm25_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # global top-k must be TakeOrderedAndProject, never a full Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    # the stats row joins by broadcast; no shuffled join anywhere
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_source_overlap_matches_python_reference(spark, sf_dir):
+    got = {
+        (r.src_a, r.src_b): (r.inter_shingles, r.n_a, r.n_b, r.jaccard_permille)
+        for r in dedup.source_overlap(spark, sf_dir).collect()
+    }
+    # brute-force reference from the same shingle definition
+    sh = dedup.shingle_index(spark, sf_dir).select("doc_id", "sh")
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+    )
+    by_src: dict[str, set] = {}
+    for r in sh.join(src, "doc_id").collect():
+        by_src.setdefault(r.source, set()).add(r.sh)
+    expect = {}
+    names = sorted(by_src)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            inter = len(by_src[a] & by_src[b])
+            if inter:
+                union = len(by_src[a]) + len(by_src[b]) - inter
+                expect[(a, b)] = (
+                    inter,
+                    len(by_src[a]),
+                    len(by_src[b]),
+                    (1000 * inter) // union,
+                )
+    assert got == expect
+    assert all(v[3] <= 1000 for v in got.values())
