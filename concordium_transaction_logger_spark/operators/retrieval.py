@@ -118,9 +118,69 @@ def bm25_over(docs: DataFrame, terms: tuple[str, ...], k: int) -> DataFrame:
     )
 
 
-def bm25_sql(terms: tuple[str, ...] = DEFAULT_QUERY, k: int = TOP_K) -> str:
-    """The DuckDB oracle for :func:`bm25_topk` — identical arithmetic, the
-    shared ``toks`` prologue CTE as the token projection."""
+#: Reciprocal-rank-fusion constant (Cormack & Clarke 2009's k=60) and the
+#: rank depth each modality contributes to the fusion.
+RRF_K = 60
+RRF_DEPTH = 20
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = DEFAULT_QUERY,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking with the exact
+    cosine ANN ranking for query vector 0 by reciprocal-rank fusion —
+    ``rrf_milli = Σ 1000 // (60 + rank)`` over the modalities that ranked
+    the document (integer floor division, so cross-engine exact). Absent
+    ranks render as 0 (a document can surface on one modality alone).
+
+    Scale shape: each modality produces its own top-``RRF_DEPTH`` list the
+    scalable way (BM25: broadcast stats + TakeOrderedAndProject; ANN:
+    broadcast query + per-partition top-k); the fusion itself is a full
+    outer join of two <=RRF_DEPTH-row frames — driver-free but trivially
+    small, so the single-partition rank window over the 20-row BM25 list
+    is not a scale hazard."""
+    from pyspark.sql.window import Window
+
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(spark, sf_dir, terms, RRF_DEPTH).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    vec = (
+        cosine_topk(spark, sf_dir, n_queries=1, k=RRF_DEPTH)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("ann_rank"))
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("long").alias("bm25_rank"),
+        F.coalesce("ann_rank", F.lit(0)).cast("long").alias("ann_rank"),
+        (
+            F.when(
+                F.col("bm25_rank").isNotNull(),
+                F.expr(f"1000 DIV ({RRF_K} + bm25_rank)"),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("ann_rank").isNotNull(),
+                F.expr(f"1000 DIV ({RRF_K} + ann_rank)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_milli"),
+    )
+    return fused.orderBy(F.col("rrf_milli").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def bm25_ctes(terms: tuple[str, ...] = DEFAULT_QUERY) -> str:
+    """The BM25 scoring pipeline as a DuckDB CTE chain ending in ``bms``
+    (doc_id, dl, score_milli, n_terms_hit for every scoring document) —
+    shared by the standalone oracle and the hybrid-fusion oracle."""
     tf_exprs = ",\n       ".join(
         f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS tf{i}"
         for i, w in enumerate(terms)
@@ -162,12 +222,26 @@ bq AS (
   SELECT *,
        {idf_exprs}
   FROM bidf
-)
-SELECT doc_id, dl,
+),
+bms AS (
+  SELECT doc_id, dl,
        CAST({term_scores} AS BIGINT) AS score_milli,
        CAST({hit_sum} AS BIGINT) AS n_terms_hit
-FROM btf CROSS JOIN bq
-WHERE {term_scores} > 0
+  FROM btf CROSS JOIN bq
+  WHERE {term_scores} > 0
+)
+"""
+
+
+def bm25_sql(terms: tuple[str, ...] = DEFAULT_QUERY, k: int = TOP_K) -> str:
+    """The DuckDB oracle for :func:`bm25_topk` — identical arithmetic, the
+    shared ``toks`` prologue CTE as the token projection."""
+    return (
+        bm25_ctes(terms)
+        + f"""
+SELECT doc_id, dl, score_milli, n_terms_hit
+FROM bms
 ORDER BY score_milli DESC, doc_id ASC
 LIMIT {k}
 """
+    )

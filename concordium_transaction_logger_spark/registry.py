@@ -1656,6 +1656,39 @@ ORDER BY src_a, src_b
     "doc_bm25_topk": QueryDef(
         retrieval.bm25_topk, wrap(retrieval.bm25_sql()), bench=True
     ),
+    "hybrid_rrf_topk": QueryDef(
+        retrieval.hybrid_rrf_topk,
+        wrap(
+            retrieval.bm25_ctes()
+            + f"""
+, bmr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id ASC) AS bm25_rank
+  FROM bms
+  QUALIFY bm25_rank <= {retrieval.RRF_DEPTH}
+),
+annr AS (
+  SELECT doc_id, ann_rank FROM (
+    SELECT c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY {_COSINE_SIM} DESC, c.vec_id ASC) AS ann_rank
+    FROM qvec q JOIN qvec c ON q.vec_id = 0 AND c.vec_id >= 1) s
+  WHERE ann_rank <= {retrieval.RRF_DEPTH}
+)
+SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+  CAST(COALESCE(b.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+  CAST(COALESCE(a.ann_rank, 0) AS BIGINT) AS ann_rank,
+  CAST((CASE WHEN b.bm25_rank IS NOT NULL
+             THEN 1000 // ({retrieval.RRF_K} + b.bm25_rank) ELSE 0 END)
+     + (CASE WHEN a.ann_rank IS NOT NULL
+             THEN 1000 // ({retrieval.RRF_K} + a.ann_rank) ELSE 0 END)
+       AS BIGINT) AS rrf_milli
+FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.doc_id
+ORDER BY rrf_milli DESC, doc_id ASC
+LIMIT {retrieval.TOP_K}
+"""
+        ),
+        bench=True,
+    ),
     "corpus_mixture_plan": QueryDef(
         sampling.mixture_plan,
         """
@@ -2697,7 +2730,9 @@ ORDER BY label, dim
 # corpus_dedup_stats, ann_cosine_topk_int8, ann_ivf_assign,
 # doc_dup_verdict, doc_token_stats, doc_bpe_token_stats,
 # doc_repetition_profile, doc_winnow_fingerprints, doc_train_split,
-# doc_stratified_sample, media_frame_sample.
+# doc_stratified_sample, media_frame_sample. Late round-4 swaps:
+# doc_bm25_topk and corpus_source_overlap take the r03-green slots of
+# doc_winnow_dup_pairs and doc_split_contamination.
 # ----------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # reference read surface (SURVEY §2.3-§2.8) — pinned
@@ -2741,8 +2776,10 @@ _DRIVER_PRIORITY = [
     "embedding_kmeans_profile",
     "embedding_near_dup_pairs",
     # text-analysis family (doc_quality / doc_lang_id rotated out after
-    # their r03 green rows — same local-parity backstop)
-    "doc_winnow_dup_pairs",
+    # their r03 green rows — same local-parity backstop;
+    # doc_winnow_dup_pairs' r03-green slot goes to the new lexical
+    # retrieval op)
+    "doc_bm25_topk",
     # doc_quality_classifier rotated out after its r03 green row; the
     # in-engine trainer takes the slot
     "doc_perceptron_train",
@@ -2756,7 +2793,9 @@ _DRIVER_PRIORITY = [
     # r03 green row; the new pre-training shuffle takes the slot)
     "doc_shuffle_shards",
     "doc_pack_sequences",
-    "doc_split_contamination",
+    # doc_split_contamination's r03-green slot goes to the new
+    # cross-source overlap matrix
+    "corpus_source_overlap",
     "corpus_curation_verdict",
     # temporal joins
     "asof_purchase_last_click",

@@ -88,6 +88,21 @@ def test_bm25_plan_is_broadcast_plus_topk(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_hybrid_rrf_fuses_both_modalities(spark, sf_dir):
+    rows = retrieval.hybrid_rrf_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= retrieval.TOP_K
+    for r in rows:
+        expect = (
+            1000 // (retrieval.RRF_K + r.bm25_rank) if r.bm25_rank else 0
+        ) + (1000 // (retrieval.RRF_K + r.ann_rank) if r.ann_rank else 0)
+        assert r.rrf_milli == expect
+        assert 0 <= r.bm25_rank <= retrieval.RRF_DEPTH
+        assert 0 <= r.ann_rank <= retrieval.RRF_DEPTH
+        assert r.bm25_rank or r.ann_rank
+    keys = [(-r.rrf_milli, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_source_overlap_matches_python_reference(spark, sf_dir):
     got = {
         (r.src_a, r.src_b): (r.inter_shingles, r.n_a, r.n_b, r.jaccard_permille)
