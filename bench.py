@@ -144,6 +144,9 @@ def main() -> None:
         "embedding_semdedup_pairs",
         "corpus_curation_verdict",
         "events_column_profile",
+        "doc_bm25_topk",
+        "hybrid_rrf_topk",
+        "corpus_source_overlap",
     ]
     line = {
         "metric": "bench_total_wall",

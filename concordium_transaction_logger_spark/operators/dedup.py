@@ -671,35 +671,84 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (the source-level view of what the doc-level LSH pipeline
     catches pairwise). Pairs with zero shared shingles are omitted.
 
-    Scale shape: the session shingle index collapses to DISTINCT
-    (source, shingle) — a partial-aggregated distinct whose row count is
-    bounded by Σ per-source vocabularies, far below the occurrence count —
-    then a self-join on the shingle key where fan-out per shingle is
-    bounded by |sources|, never |docs|; the result is |sources|² rows at
-    most. Per-source sizes re-aggregate from the same distinct set and
-    broadcast back. With thousands of sources and boilerplate shingles the
-    hot-key dial is the same stop-shingle broadcast anti-join the jaccard
-    self-join uses (`stop_shingles`). The string shingle (not the 64-bit
-    hash) is joined here so the count is collision-exact against the
-    oracle; at 100 TB the ``shh`` form is the documented swap."""
+    Scale shape: ONE wide shuffle, all-integer aggregation state. The
+    doc→source-index map broadcasts into the session shingle index (at
+    ingest scale ``source`` simply rides the shingle index as a scan-side
+    column — the broadcast is the sf-local stand-in), then a single
+    groupBy on the shingle key folds each shingle's source set into a
+    64-BIT BITMASK (`bit_or(1 << idx)` — a plain long aggregate buffer;
+    a collect_set-of-strings buffer here costs ~3× in shuffle/agg
+    weight, measured on the 10× slope corpus), and the ordered source
+    pairs explode from the set bits of each mask as INT structs — the
+    pair fan-out carries two ints per pair, never two source strings.
+    (A distinct-mask pre-collapse was measured and dropped: at realistic
+    source counts the extra aggregate costs more than the explode it
+    saves.) Per-source vocabulary sizes fall out of the same mask
+    frame. The
+    64-source ceiling is asserted loudly (`assert_true`); past it the
+    mask becomes an array of words (same plan, segmented bit_or) — the
+    documented dial, alongside the stop-shingle anti-join for
+    boilerplate skew. The string shingle (not the 64-bit hash) keys the
+    groupBy so the count is collision-exact against the oracle; at
+    100 TB the ``shh`` form is the documented swap."""
+    from pyspark.sql.window import Window
+
     sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ssh = sh.join(src, "doc_id").select("source", "sh").distinct()
-    sizes = ssh.groupBy("source").agg(F.count("*").alias("n_sh"))
-    a, b = ssh.alias("a"), ssh.alias("b")
-    pairs = (
-        a.join(b, "sh")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+    w = Window.orderBy("source")  # |sources| rows — single tiny partition
+    srcidx = (
+        src.select("source")
+        .distinct()
+        .select(
+            "source", (F.row_number().over(w) - 1).cast("int").alias("idx")
         )
+        .withColumn(
+            "idx",
+            F.when(
+                F.assert_true(
+                    F.col("idx") < 64, "source_overlap: >64 sources; segment the mask"
+                ).isNull(),
+                F.col("idx"),
+            ),
+        )
+    )
+    docmap = src.join(F.broadcast(srcidx), "source").select("doc_id", "idx")
+    masks = (
+        sh.join(F.broadcast(docmap), "doc_id")
+        .groupBy("sh")
+        .agg(F.bit_or(F.expr("shiftleft(1L, idx)")).alias("mask"))
+    )
+    bits = F.expr(
+        "filter(sequence(0, 63), i -> ((mask >> i) & 1) = 1)"
+    ).alias("bits")
+    mc = masks.select(bits)
+    sizes = (
+        mc.select(F.explode("bits").alias("idx"))
+        .groupBy("idx")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(bits, (x, i) ->"
+            " transform(slice(bits, i + 2, size(bits)),"
+            " y -> struct(x AS ia, y AS ib))))"
+        )
+    ).alias("p")
+    pairs = (
+        mc.filter(F.size("bits") >= 2)
+        .select(pair)
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .agg(F.count("*").alias("inter_shingles"))
     )
-    za = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    za = sizes.join(F.broadcast(srcidx), "idx").select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"), F.col("idx").alias("ia")
+    )
+    zb = sizes.join(F.broadcast(srcidx), "idx").select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"), F.col("idx").alias("ib")
+    )
     return (
-        pairs.join(F.broadcast(za), "src_a")
-        .join(F.broadcast(zb), "src_b")
+        pairs.join(F.broadcast(za), "ia")
+        .join(F.broadcast(zb), "ib")
         .select(
             "src_a",
             "src_b",

@@ -142,6 +142,7 @@ def build_corpus(spark, mult: int, out_dir: str, boilerplate: bool = False) -> N
 def main() -> None:
     from concordium_transaction_logger_spark.operators import (
         dedup,
+        retrieval,
         sampling,
         similarity,
         textstats,
@@ -176,6 +177,12 @@ def main() -> None:
                 s, d, k=similarity.KMEANS_K * m
             ),
             "near_dup_blocked_exact": similarity.near_dup_pairs_blocked,
+            # retrieval family: BM25's query terms live in replica 0 only,
+            # so df stays constant while the scanned corpus grows — the
+            # realistic fixed-query-bigger-corpus load; source_overlap
+            # keeps |sources| fixed while per-source vocabulary grows.
+            "bm25_topk": retrieval.bm25_topk,
+            "source_overlap": dedup.source_overlap,
         }
 
     def boiler_families(m: int):
