@@ -21,6 +21,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Local-mode default driver heap is 1 GiB; a 70+-query run with session
+# indexes and broadcasts GC-thrashes near that cliff and the LATE queries
+# pay for it (measured: totals 75->105 s run-to-run at the same code, the
+# inflation concentrated in the last-ordered queries). On a cluster this
+# is ordinary executor sizing; here it must be set before the JVM starts.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+
 from pyspark.sql import functions as F
 
 from concordium_transaction_logger_spark import build_session
