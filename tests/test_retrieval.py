@@ -103,6 +103,27 @@ def test_hybrid_rrf_fuses_both_modalities(spark, sf_dir):
     assert keys == sorted(keys)
 
 
+def test_source_overlap_raises_loudly_past_64_sources(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text="alpha beta gamma delta eps zeta",
+                lang="en",
+                source=f"s{i:03d}",
+                n_chars=30,
+            )
+            for i in range(70)
+        ]
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(Exception, match="64 sources|assert"):
+        dedup.source_overlap(spark, str(tmp_path)).collect()
+
+
 def test_source_overlap_matches_python_reference(spark, sf_dir):
     got = {
         (r.src_a, r.src_b): (r.inter_shingles, r.n_a, r.n_b, r.jaccard_permille)
