@@ -684,7 +684,10 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A distinct-mask pre-collapse was measured and dropped: at realistic
     source counts the extra aggregate costs more than the explode it
     saves.) Per-source vocabulary sizes fall out of the same mask
-    frame. The
+    frame — the sizes/pairs consumers instantiate the mask-aggregate
+    subtree more than once in the static plan, but it reads the persisted
+    session shingle index and AQE dedupes the exchanges at runtime
+    (measured: 7 reused query stages in the adaptive executed plan). The
     64-source ceiling is asserted loudly (`assert_true`); past it the
     mask becomes an array of words (same plan, segmented bit_or) — the
     documented dial, alongside the stop-shingle anti-join for
@@ -740,10 +743,11 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .agg(F.count("*").alias("inter_shingles"))
     )
-    za = sizes.join(F.broadcast(srcidx), "idx").select(
+    sz = sizes.join(F.broadcast(srcidx), "idx")
+    za = sz.select(
         F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"), F.col("idx").alias("ia")
     )
-    zb = sizes.join(F.broadcast(srcidx), "idx").select(
+    zb = sz.select(
         F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"), F.col("idx").alias("ib")
     )
     return (

@@ -13,9 +13,11 @@ ingest/oracle.py): IDF is quantized to whole bits via binary bit-length —
 ``log2((N-df+1)/(df+1))``, a Lucene-style non-negative IDF with no
 transcendental functions — and the tf/length saturation is exact integer
 arithmetic over milli-scaled quantities, so Spark and DuckDB agree to the
-last bit. All magnitudes are corpus-size-independent (avgdl enters as a
-per-document-scale milli integer), so the arithmetic stays in BIGINT at
-any corpus size.
+last bit. Magnitudes are corpus-size-independent AND per-document-bounded:
+the relative length enters as a permille integer (1000*dl/avgdl, floor),
+so the score numerator is bounded by the single document's term frequency
+alone — exact in BIGINT for documents up to ~6e7 tokens at any corpus
+size.
 
 Scale shape: two scans of the token projection — one map-side-combined
 aggregate collapsing to a SINGLE stats row (N, Σdl, df per query term),
@@ -60,9 +62,25 @@ def bm25_topk(
     return bm25_over(docs, terms, k)
 
 
+def _check_terms(terms: tuple[str, ...]) -> None:
+    """Terms must be non-empty and in the tokenizer's alphabet — anything
+    else (uppercase, quotes, spaces) can never match a token and would
+    break the interpolated oracle SQL, so fail loudly instead."""
+    import re
+
+    if not terms:
+        raise ValueError("bm25: terms must be a non-empty tuple")
+    for w in terms:
+        if not re.fullmatch(r"[a-z0-9]+", w):
+            raise ValueError(
+                f"bm25: term {w!r} is not a lowercase-alphanumeric token"
+            )
+
+
 def bm25_over(docs: DataFrame, terms: tuple[str, ...], k: int) -> DataFrame:
     """BM25 over an arbitrary ``(doc_id, t: array<string>)`` frame (unit
     tests feed synthetic corpora through the same kernel)."""
+    _check_terms(terms)
     t = F.col("t")
     pertf = docs.select(
         "doc_id",
@@ -77,7 +95,12 @@ def bm25_over(docs: DataFrame, terms: tuple[str, ...], k: int) -> DataFrame:
             F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
             for i in range(len(terms))
         ],
-    ).withColumn("avgdl_milli", F.expr("(1000 * sum_dl) DIV n_docs"))
+    ).withColumn(
+        # clamped to >=1 so the r_permille division is total even on an
+        # all-empty corpus (where every score is 0 anyway)
+        "avgdl_milli",
+        F.expr("greatest(1L, (1000 * sum_dl) DIV n_docs)"),
+    )
     for i in range(len(terms)):
         # floor(log2((N-df+1)/(df+1))), clamped at 0: bin(0) = '0' has
         # length 1, so the -1 lands the x=0 and x=1 cases both on 0 bits.
@@ -88,13 +111,23 @@ def bm25_over(docs: DataFrame, terms: tuple[str, ...], k: int) -> DataFrame:
                 - F.lit(1)
             ).cast("long"),
         )
-    scored = pertf.crossJoin(F.broadcast(stats))
+    # The relative document length enters as a PERMILLE integer
+    # (r = 1000*dl/avgdl, floor) rather than as raw dl*avgdl products:
+    # that keeps the score numerator's magnitude bounded by the single
+    # document's tf alone (idf<=63 * tf * 2200 * 1e6 — exact in BIGINT for
+    # docs up to ~6e7 tokens at ANY corpus size), where the naive
+    # tf*avgdl_milli form overflows once tf and avgdl are both book-sized.
+    # The permille floor is mirrored exactly in the oracle; its ranking
+    # effect is <0.1% of the length normalization.
+    scored = pertf.crossJoin(F.broadcast(stats)).withColumn(
+        "r_permille", F.expr("(1000000 * dl) DIV avgdl_milli")
+    )
     term_scores = [
         F.when(
             F.col(f"tf{i}") > 0,
             F.expr(
-                f"(idf{i} * tf{i} * {K1_MILLI + 1000} * avgdl_milli)"
-                f" DIV (tf{i} * avgdl_milli + {K1_MILLI} * dl)"
+                f"(idf{i} * tf{i} * {K1_MILLI + 1000} * 1000000)"
+                f" DIV (1000000 * tf{i} + {K1_MILLI} * r_permille)"
             ),
         ).otherwise(F.lit(0))
         for i in range(len(terms))
@@ -181,6 +214,7 @@ def bm25_ctes(terms: tuple[str, ...] = DEFAULT_QUERY) -> str:
     """The BM25 scoring pipeline as a DuckDB CTE chain ending in ``bms``
     (doc_id, dl, score_milli, n_terms_hit for every scoring document) —
     shared by the standalone oracle and the hybrid-fusion oracle."""
+    _check_terms(terms)
     tf_exprs = ",\n       ".join(
         f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS tf{i}"
         for i, w in enumerate(terms)
@@ -196,7 +230,7 @@ def bm25_ctes(terms: tuple[str, ...] = DEFAULT_QUERY) -> str:
     )
     term_scores = " + ".join(
         f"(CASE WHEN tf{i} > 0 THEN (idf{i} * tf{i} * {K1_MILLI + 1000}"
-        f" * avgdl_milli) // (tf{i} * avgdl_milli + {K1_MILLI} * dl)"
+        f" * 1000000) // (1000000 * tf{i} + {K1_MILLI} * r_permille)"
         f" ELSE 0 END)"
         for i in range(len(terms))
     )
@@ -216,7 +250,7 @@ bstat AS (
   FROM btf
 ),
 bidf AS (
-  SELECT *, (1000 * sum_dl) // n_docs AS avgdl_milli FROM bstat
+  SELECT *, GREATEST(1, (1000 * sum_dl) // n_docs) AS avgdl_milli FROM bstat
 ),
 bq AS (
   SELECT *,
@@ -227,7 +261,8 @@ bms AS (
   SELECT doc_id, dl,
        CAST({term_scores} AS BIGINT) AS score_milli,
        CAST({hit_sum} AS BIGINT) AS n_terms_hit
-  FROM btf CROSS JOIN bq
+  FROM (SELECT *, (1000000 * dl) // avgdl_milli AS r_permille
+        FROM btf CROSS JOIN bq) br
   WHERE {term_scores} > 0
 )
 """

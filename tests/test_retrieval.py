@@ -29,7 +29,7 @@ def _py_bm25(token_lists, terms, k):
     milli-integer saturation, floor division throughout."""
     n_docs = len(token_lists)
     sum_dl = sum(len(t) for t in token_lists)
-    avgdl_milli = (1000 * sum_dl) // n_docs
+    avgdl_milli = max(1, (1000 * sum_dl) // n_docs)
     df = {w: sum(1 for t in token_lists if w in t) for w in terms}
     idf = {
         w: max(((n_docs - df[w] + 1) // (df[w] + 1)).bit_length() - 1, 0)
@@ -38,15 +38,16 @@ def _py_bm25(token_lists, terms, k):
     out = []
     for doc_id, t in enumerate(token_lists):
         dl = len(t)
+        r_permille = (1_000_000 * dl) // avgdl_milli
         score = 0
         hit = 0
         for w in terms:
             tf = t.count(w)
             if tf > 0:
                 hit += 1
-                score += (idf[w] * tf * (retrieval.K1_MILLI + 1000) * avgdl_milli) // (
-                    tf * avgdl_milli + retrieval.K1_MILLI * dl
-                )
+                score += (
+                    idf[w] * tf * (retrieval.K1_MILLI + 1000) * 1_000_000
+                ) // (1_000_000 * tf + retrieval.K1_MILLI * r_permille)
         if score > 0:
             out.append((doc_id, dl, score, hit))
     out.sort(key=lambda r: (-r[2], r[0]))
@@ -69,6 +70,16 @@ def test_bm25_matches_python_reference(spark, token_lists, terms):
         for r in retrieval.bm25_over(docs, tuple(terms), k=50).collect()
     ]
     assert got == _py_bm25(token_lists, tuple(terms), 50)
+
+
+def test_bm25_rejects_malformed_queries(spark, sf_dir):
+    import pytest
+
+    for bad in ((), ("It's",), ("two words",), ("UPPER",)):
+        with pytest.raises(ValueError):
+            retrieval.bm25_topk(spark, sf_dir, terms=bad)
+        with pytest.raises(ValueError):
+            retrieval.bm25_sql(terms=bad)
 
 
 def test_bm25_topk_is_total_and_bounded(spark, sf_dir):
