@@ -122,8 +122,15 @@ def decode_cis2_log(payload: Column) -> Column:
         & terminated
         & ~overlong
     )
-    ok = F.when(has_amount, ok_amount).otherwise(
-        tag.isin(TAG_UPDATE_OPERATOR, TAG_TOKEN_METADATA)
+    # coalesce: an empty/NULL payload makes has_amount and the tag test
+    # both NULL, which would leak ok=NULL — a row that then vanishes from
+    # BOTH the ok and the ~ok audit sets (NULL is not true). Malformed
+    # must always read as false, never as unknown.
+    ok = F.coalesce(
+        F.when(has_amount, ok_amount).otherwise(
+            tag.isin(TAG_UPDATE_OPERATOR, TAG_TOKEN_METADATA)
+        ),
+        F.lit(False),
     )
     amount = F.when(has_amount & ok_amount, value.cast("string"))
     return F.struct(

@@ -186,6 +186,17 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_aggs() -> list[Column]:
+    """The K minhash aggregate expressions — THE definition both the
+    session index (:func:`minhash_index`) and the streaming per-batch
+    twin (:func:`doc_band_buckets`) compile, so batch and streaming
+    signatures are structurally identical, not hand-synchronized."""
+    return [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
 def minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(session, sf_dir) materialized minhash signature table — the
     signature matrix IS the minhash index: built once from the shingle
@@ -195,11 +206,7 @@ def minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         sh = shingle_index(spark, sf_dir)
-        aggs = [
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
-            for i in range(MINHASH_K)
-        ]
-        return sh.groupBy("doc_id").agg(*aggs).persist()
+        return sh.groupBy("doc_id").agg(*_minhash_aggs()).persist()
 
     return get_or_build("minhash_index", spark, sf_dir, build)
 
@@ -258,11 +265,7 @@ def doc_band_buckets(docs: DataFrame) -> DataFrame:
     with exactly these expressions, so streaming bucket keys compare
     string-for-string with the batch index."""
     sh = shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(MINHASH_K)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
     return _explode_buckets(sig.select("doc_id", *_band_cols()))
 
 
@@ -591,6 +594,15 @@ def simhash_dup_pairs(
     never move: only (doc_id, signature) pairs shuffle."""
     from itertools import combinations
 
+    # The 2-of-4 block banding generates candidates ONLY for distance
+    # <= SIMHASH_BLOCKS - 2; a larger max_hamming would silently lose
+    # recall (the final filter would accept pairs banding never surfaces).
+    if max_hamming > SIMHASH_BLOCKS - 2:
+        raise ValueError(
+            f"simhash_dup_pairs: max_hamming={max_hamming} exceeds the "
+            f"2-of-{SIMHASH_BLOCKS} banding's exact-recall bound "
+            f"{SIMHASH_BLOCKS - 2}; widen SIMHASH_BLOCKS instead"
+        )
     sig = simhash(spark, sf_dir).select("doc_id", "simhash16")
     blocks = [
         ((F.col("simhash16") / F.lit(1 << (4 * i))).cast("long") % 16).alias(
@@ -830,16 +842,7 @@ def duplicate_spans(
     docs = load_table(spark, sf_dir, "documents").repartition(para, "doc_id")
     t = F.col("t")
     tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (span_l - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(span_l)])
-        ),
-    )
-    spans = (
-        tok.filter(F.size(t) >= span_l)
-        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
-    )
+    spans = doc_span_occurrences(docs, span_l)
     occ = F.count("*").over(Window.partitionBy("h"))
     dpos = spans.withColumn("n_occ", occ).filter(F.col("n_occ") >= 2).select(
         "doc_id", "pos"
@@ -905,16 +908,7 @@ def dedup_clean_text(
     docs = load_table(spark, sf_dir, "documents").repartition(para, "doc_id")
     t = F.col("t")
     tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (span_l - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(span_l)])
-        ),
-    )
-    spans = (
-        tok.filter(F.size(t) >= span_l)
-        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
-    )
+    spans = doc_span_occurrences(docs, span_l)
     w_h = Window.partitionBy("h")
     ranked = spans.select(
         "doc_id",
@@ -986,16 +980,7 @@ def span_admission(
     docs = load_table(spark, sf_dir, "documents").repartition(para, "doc_id")
     t = F.col("t")
     tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (span_l - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(span_l)])
-        ),
-    )
-    spans = (
-        tok.filter(F.size(t) >= span_l)
-        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
-    )
+    spans = doc_span_occurrences(docs, span_l)
     min_doc = F.min("doc_id").over(Window.partitionBy("h"))
     dpos = (
         spans.withColumn("min_doc", min_doc)

@@ -74,6 +74,31 @@ def _stub_decode_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h]
 
 
+def _none_on_malformed(fn):
+    """The format decoders promise ``None`` for payloads that are not a
+    well-formed instance of their format — but a corrupt payload carrying
+    the right magic bytes could escape the explicit checks via
+    struct.error / IndexError / KeyError deep in the parse and abort the
+    whole Arrow-batch job on one bad row (verified: a PNG signature with
+    a truncated IHDR, a palette index past PLTE). The broad except is
+    deliberate parser armor: ANY parse failure means "not decodable
+    here" → None; only ``NotImplementedError`` (the honest
+    unsupported-profile signal) propagates."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload):
+        try:
+            return fn(payload)
+        except NotImplementedError:
+            raise
+        except Exception:
+            return None
+
+    return wrapped
+
+
+@_none_on_malformed
 def _decode_ppm(payload: bytes):
     """REAL image decode for binary PPM (P6) — pure numpy, no codec lib:
     ASCII header ``P6 <w> <h> <maxval>`` then raw interleaved RGB bytes.
@@ -148,6 +173,7 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
     return out
 
 
+@_none_on_malformed
 def _decode_png(payload: bytes):
     """REAL image decode for PNG — stdlib zlib + numpy, no codec lib:
     chunk parse (IHDR/PLTE/IDAT/IEND), one zlib stream, per-scanline
@@ -284,6 +310,7 @@ def _idct_basis():
     return m
 
 
+@_none_on_malformed
 def _decode_jpeg(payload: bytes):
     """REAL image decode for *baseline* JFIF/JPEG (SOF0, 8-bit, Huffman,
     grayscale or YCbCr with any h/v sampling, restart markers) — pure
@@ -466,6 +493,7 @@ def _jpeg_decode_scan(sof, scomp, qt, huff, restart_interval, segments):
     return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
 
 
+@_none_on_malformed
 def _decode_wav(payload: bytes):
     """REAL audio decode for PCM WAV — stdlib ``wave`` + numpy, no codec
     lib. Returns (samples: int numpy array mono-mixed, framerate) or

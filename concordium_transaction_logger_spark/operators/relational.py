@@ -786,10 +786,19 @@ def global_ranked(df: DataFrame, sort_cols: list, rank_col: str = "rn") -> DataF
     the (total-ordered) sort key, rank locally inside each partition, add
     each partition's prefix offset. The only driver traffic is the P
     partition sizes (control plane); no partition ever holds more than its
-    range share, so the sort parallelizes across the cluster. The input
-    is persisted so the offset pass and the rank pass see one consistent
-    (sampled) range partitioning; the pin is released on the next call —
-    call :func:`release_ranked_cache` to drop it sooner."""
+    range share, so the sort parallelizes across the cluster.
+
+    The prefix offsets are computed IN-PLAN (a cumulative window over the
+    P-row partition-count frame, broadcast back on the partition id), not
+    via a driver collect baked into literals: a collected offset map is a
+    snapshot of one sampled range partitioning, and a result consumed
+    after its persisted input was released (e.g. an interleaved second
+    call) would re-sample different boundaries while keeping the stale
+    literals — silently corrupt ranks. In-plan, both subtrees always read
+    the SAME exchange (persisted here; single-plan exchange reuse covers
+    even the released-cache replay), so the result is deferred-safe. The
+    pin is released on the next call — call :func:`release_ranked_cache`
+    to drop it sooner."""
     from pyspark.sql.window import Window
 
     release_ranked_cache()
@@ -797,24 +806,20 @@ def global_ranked(df: DataFrame, sort_cols: list, rank_col: str = "rn") -> DataF
     parted = df.repartitionByRange(p, *sort_cols).persist()
     _RANKED_CACHE.append(parted)
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
-    sizes = sorted(
-        (r["_pid"], r["cnt"])
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, cnt in sizes:
-        offsets[pid] = acc
-        acc += cnt
-    omap = F.create_map(
-        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # P rows — the single-partition cumulative window is control-plane
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
     )
     wlocal = Window.partitionBy("_pid").orderBy(*sort_cols)
     return (
-        with_pid.withColumn(
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
             rank_col,
-            (F.row_number().over(wlocal) + omap[F.col("_pid")]).cast("long"),
+            (F.row_number().over(wlocal) + F.col("_off")).cast("long"),
         )
-        .drop("_pid")
+        .drop("_pid", "_off")
     )
 
 

@@ -575,6 +575,87 @@ PERC_BUCKETS = 64
 PERC_EPOCHS = 8
 
 
+def _perc_features(spark: SparkSession, sf_dir: str, n_buckets: int):
+    """(docs, feature-rows) for the perceptron family: binary hashed-
+    shingle bucket indicators plus the bias slot ``n_buckets`` — ONE
+    definition compiled by both the trainer and the held-out eval, so the
+    two can never drift apart silently."""
+    from .dedup import shingle_index  # deferred: dedup imports this module
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
+    b = (F.conv(F.substring(F.md5(F.col("sh")), 1, 4), 16, 10) % n_buckets).cast(
+        "long"
+    )
+    feats = (
+        sh.select("doc_id", b.alias("b"))
+        .distinct()
+        .unionByName(
+            docs.select("doc_id", F.lit(n_buckets).cast("long").alias("b"))
+        )
+    )
+    return docs, feats
+
+
+def _perc_fit(
+    spark: SparkSession, feats: DataFrame, train_labels: DataFrame, epochs: int
+):
+    """The cost-sensitive pocket-perceptron loop (Gallant 1990), shared by
+    :func:`perceptron_train` (fit on everything) and
+    :func:`perceptron_eval` (fit on the train split only) so the two can
+    never silently train different models. Returns the pocket weights and
+    a ``margins_under(w, lab)`` scorer usable on any label frame.
+    All-integer arithmetic; per epoch one margin pass, one |buckets|-row
+    delta collect, one accuracy count — the Lloyd's round-trip pattern."""
+    counts = train_labels.groupBy().agg(
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("y") < 0, 1).otherwise(0)).alias("n_neg"),
+    ).collect()[0]
+    cw = {1: int(counts["n_neg"]), -1: int(counts["n_pos"])}
+
+    def margins_under(w: dict, lab: DataFrame) -> DataFrame:
+        if not w:
+            return lab.withColumn("margin", F.lit(0).cast("long"))
+        wdf = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in sorted(w.items())], "b long, w long"
+        )
+        mg = (
+            feats.join(F.broadcast(wdf), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("w").cast("long").alias("margin"))
+        )
+        return lab.join(mg, "doc_id", "left").withColumn(
+            "margin", F.coalesce(F.col("margin"), F.lit(0)).cast("long")
+        )
+
+    w: dict[int, int] = {}
+    best_acc, best_w = -1, {}
+    for _ in range(epochs):
+        md = margins_under(w, train_labels)
+        mis = md.filter(F.col("y") * F.col("margin") <= 0).select("doc_id", "y")
+        delta = (
+            feats.join(mis, "doc_id")
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    F.col("y")
+                    * F.when(F.col("y") > 0, F.lit(cw[1])).otherwise(F.lit(cw[-1]))
+                ).alias("d")
+            )
+            .collect()
+        )
+        for r in delta:
+            w[int(r["b"])] = w.get(int(r["b"]), 0) + int(r["d"])
+        acc = (
+            margins_under(w, train_labels)
+            .filter(F.col("y") * F.col("margin") > 0)
+            .count()
+        )
+        if acc > best_acc:  # strict: earliest epoch wins ties
+            best_acc, best_w = acc, dict(w)
+    return best_w, margins_under
+
+
 def perceptron_train(
     spark: SparkSession,
     sf_dir: str,
@@ -599,26 +680,10 @@ def perceptron_train(
     test corpora. Output: per-document margin, prediction, and
     correctness under the pocket weights.
 
-    Scale shape: each epoch is one margin pass (features ⋈ broadcast
-    |buckets|-row weight table, per-doc partial-agg sum), one
-    |buckets|-row delta aggregate and one accuracy count collected to
-    the driver — k-row driver traffic per epoch, the Lloyd's round-trip
-    pattern; feature rows build once and are reused across epochs."""
-    from .dedup import shingle_index  # deferred: dedup imports this module
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
-    b = (F.conv(F.substring(F.md5(F.col("sh")), 1, 4), 16, 10) % n_buckets).cast(
-        "long"
-    )
-    feats = (
-        sh.select("doc_id", b.alias("b"))
-        .distinct()
-        .unionByName(
-            docs.select("doc_id", F.lit(n_buckets).cast("long").alias("b"))
-        )
-        .persist()
-    )
+    Scale shape: see :func:`_perc_fit` — k-row driver traffic per epoch;
+    feature rows build once and are reused across epochs."""
+    docs, fplan = _perc_features(spark, sf_dir, n_buckets)
+    feats = fplan.persist()
     labels = docs.select(
         "doc_id",
         F.when(gate_reason(F.col("text")) == "ok", F.lit(1))
@@ -626,56 +691,9 @@ def perceptron_train(
         .cast("long")
         .alias("y"),
     )
-    counts = labels.groupBy().agg(
-        F.sum(F.when(F.col("y") > 0, 1).otherwise(0)).alias("n_pos"),
-        F.sum(F.when(F.col("y") < 0, 1).otherwise(0)).alias("n_neg"),
-    ).collect()[0]
-    cw = {1: int(counts["n_neg"]), -1: int(counts["n_pos"])}
-
-    def margins_under(w: dict):
-        if not w:
-            return labels.select(
-                "doc_id", "y", F.lit(0).cast("long").alias("margin")
-            )
-        wdf = spark.createDataFrame(
-            [(int(k), int(v)) for k, v in sorted(w.items())], "b long, w long"
-        )
-        mg = (
-            feats.join(F.broadcast(wdf), "b")
-            .groupBy("doc_id")
-            .agg(F.sum("w").cast("long").alias("margin"))
-        )
-        return labels.join(mg, "doc_id", "left").select(
-            "doc_id", "y", F.coalesce("margin", F.lit(0)).cast("long").alias("margin")
-        )
-
     try:
-        w: dict[int, int] = {}
-        best_acc, best_w = -1, {}
-        for _ in range(epochs):
-            md = margins_under(w)
-            mis = md.filter(F.col("y") * F.col("margin") <= 0).select("doc_id", "y")
-            delta = (
-                feats.join(mis, "doc_id")
-                .groupBy("b")
-                .agg(
-                    F.sum(
-                        F.col("y")
-                        * F.when(F.col("y") > 0, F.lit(cw[1])).otherwise(F.lit(cw[-1]))
-                    ).alias("d")
-                )
-                .collect()
-            )
-            for r in delta:
-                w[int(r["b"])] = w.get(int(r["b"]), 0) + int(r["d"])
-            acc = (
-                margins_under(w)
-                .filter(F.col("y") * F.col("margin") > 0)
-                .count()
-            )
-            if acc > best_acc:  # strict: earliest epoch wins ties
-                best_acc, best_w = acc, dict(w)
-        final = margins_under(best_w)
+        best_w, margins_under = _perc_fit(spark, feats, labels, epochs)
+        final = margins_under(best_w, labels)
         return final.select(
             "doc_id",
             F.col("y").alias("label"),
@@ -705,22 +723,10 @@ def perceptron_eval(
     the generalization-gap row an ML pipeline actually gates on, not
     training accuracy. Identical integer machinery, so the generated
     DuckDB oracle stays hash-exact."""
-    from .dedup import shingle_index  # deferred: dedup imports this module
     from .sampling import _bucket
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
-    b = (F.conv(F.substring(F.md5(F.col("sh")), 1, 4), 16, 10) % n_buckets).cast(
-        "long"
-    )
-    feats = (
-        sh.select("doc_id", b.alias("b"))
-        .distinct()
-        .unionByName(
-            docs.select("doc_id", F.lit(n_buckets).cast("long").alias("b"))
-        )
-        .persist()
-    )
+    docs, fplan = _perc_features(spark, sf_dir, n_buckets)
+    feats = fplan.persist()
     labels = docs.select(
         "doc_id",
         F.when(gate_reason(F.col("text")) == "ok", F.lit(1))
@@ -730,53 +736,8 @@ def perceptron_eval(
         (_bucket(F.col("doc_id"), salt) < val_permille).alias("is_val"),
     )
     tr = labels.filter(~F.col("is_val")).select("doc_id", "y")
-    counts = tr.groupBy().agg(
-        F.sum(F.when(F.col("y") > 0, 1).otherwise(0)).alias("n_pos"),
-        F.sum(F.when(F.col("y") < 0, 1).otherwise(0)).alias("n_neg"),
-    ).collect()[0]
-    cw = {1: int(counts["n_neg"]), -1: int(counts["n_pos"])}
-
-    def margins_under(w: dict, lab: DataFrame) -> DataFrame:
-        if not w:
-            return lab.withColumn("margin", F.lit(0).cast("long"))
-        wdf = spark.createDataFrame(
-            [(int(k), int(v)) for k, v in sorted(w.items())], "b long, w long"
-        )
-        mg = (
-            feats.join(F.broadcast(wdf), "b")
-            .groupBy("doc_id")
-            .agg(F.sum("w").cast("long").alias("margin"))
-        )
-        return lab.join(mg, "doc_id", "left").withColumn(
-            "margin", F.coalesce(F.col("margin"), F.lit(0)).cast("long")
-        )
-
     try:
-        w: dict[int, int] = {}
-        best_acc, best_w = -1, {}
-        for _ in range(epochs):
-            md = margins_under(w, tr)
-            mis = md.filter(F.col("y") * F.col("margin") <= 0).select("doc_id", "y")
-            delta = (
-                feats.join(mis, "doc_id")
-                .groupBy("b")
-                .agg(
-                    F.sum(
-                        F.col("y")
-                        * F.when(F.col("y") > 0, F.lit(cw[1])).otherwise(F.lit(cw[-1]))
-                    ).alias("d")
-                )
-                .collect()
-            )
-            for r in delta:
-                w[int(r["b"])] = w.get(int(r["b"]), 0) + int(r["d"])
-            acc = (
-                margins_under(w, tr)
-                .filter(F.col("y") * F.col("margin") > 0)
-                .count()
-            )
-            if acc > best_acc:
-                best_acc, best_w = acc, dict(w)
+        best_w, margins_under = _perc_fit(spark, feats, tr, epochs)
         scored = margins_under(best_w, labels)
         return (
             scored.withColumn(
@@ -829,19 +790,48 @@ def bpe_merges(
     Lloyd's/perceptron round-trip pattern); merge application is a
     row-local string replace — no shuffle. Step count bounds the loop,
     not corpus size."""
-    docs = _spread(load_table(spark, sf_dir, "documents"))
-    wfreq = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("f"))
-    )
-    rep = wfreq.select(
-        "tok", "f", F.regexp_replace("tok", "(.)", "[$1]").alias("rep")
-    )
-    merges, rep = _bpe_fit(rep, n_merges)
+    merges, _ = bpe_fit_for(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, pair_count long"
     ).orderBy("step")
+
+
+class _BpeFit:
+    """Cached (merges, fitted-symbol-table) pair; quacks ``unpersist`` so
+    ``cache.release_corpus`` can evict the persisted rep table."""
+
+    def __init__(self, merges, rep):
+        self.merges = merges
+        self.rep = rep
+
+    def unpersist(self):
+        self.rep.unpersist()
+
+
+def bpe_fit_for(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
+    """The fitted BPE tokenizer as a session index: ``bpe_merges`` (the
+    trainer's report) and ``bpe_apply`` (the corpus-wide application)
+    both consume the same fit, and the fit is the expensive part — a
+    loop of pair-count aggregates with a 1-row collect each. Memoized
+    per (session, corpus, n_merges) like the shingle/minhash/k-means
+    indexes, so running both registry queries trains once."""
+    from ..cache import get_or_build
+
+    def build() -> _BpeFit:
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        wfreq = (
+            docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("f"))
+        )
+        rep = wfreq.select(
+            "tok", "f", F.regexp_replace("tok", "(.)", "[$1]").alias("rep")
+        )
+        merges, fitted = _bpe_fit(rep, n_merges)
+        return _BpeFit(merges, fitted.persist())
+
+    fit = get_or_build(f"bpe_fit_{n_merges}", spark, sf_dir, build)
+    return fit.merges, fit.rep
 
 
 def _bpe_fit(rep: DataFrame, n_merges: int):
@@ -903,17 +893,11 @@ def bpe_apply(
     ``n_merges``-rule tokenizer trained by :func:`bpe_merges`. Piece
     counting is a row-local bracket count over the final symbol table,
     joined to token occurrences by word — the tokenizer table is
-    vocabulary-sized and broadcasts."""
+    vocabulary-sized and broadcasts. Rides the memoized
+    :func:`bpe_fit_for` session index, so a session that already trained
+    (``corpus_bpe_merges``) applies without re-fitting."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
-    wfreq = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("f"))
-    )
-    rep = wfreq.select(
-        "tok", "f", F.regexp_replace("tok", "(.)", "[$1]").alias("rep")
-    )
-    _, rep = _bpe_fit(rep, n_merges)
+    _, rep = bpe_fit_for(spark, sf_dir, n_merges)
     pieces = rep.select(
         "tok",
         (

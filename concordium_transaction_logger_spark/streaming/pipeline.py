@@ -219,17 +219,27 @@ class RateSourceIngest(StreamingIngest):
             .trigger(processingTime="500 milliseconds")
             .start()
         )
+        # Count CUMULATIVELY by progress batchId, not by summing
+        # q.recentProgress: Spark caps that buffer at ~100 entries, so a
+        # slow source needing >100 micro-batches would plateau below
+        # min_rows forever and spin to timeout with an undercounted total.
+        seen_batches: dict[int, int] = {}
+
+        def _absorb() -> int:
+            for p in q.recentProgress:
+                seen_batches[int(p["batchId"])] = int(p["numInputRows"])
+            return sum(seen_batches.values())
+
         deadline = _time.time() + timeout_s
         try:
             while _time.time() < deadline:
-                done = sum(int(p["numInputRows"]) for p in q.recentProgress)
-                if done >= min_rows:
+                if _absorb() >= min_rows:
                     break
                 _time.sleep(0.5)
         finally:
             q.stop()
             q.awaitTermination()
-        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+        return _absorb()
 
 
 class StreamingEnrichment:
@@ -990,6 +1000,21 @@ class StreamingCorpusIngest:
             .parquet(path)
         )
 
+    def _read_state(self, path: str, like: DataFrame) -> DataFrame:
+        """Read a batch-partitioned state sink with an EXPLICIT schema
+        (``like``'s columns + the ingest_batch partition key). A batch
+        whose state frame had zero rows leaves the sink directory present
+        but file-less — schema inference over it would kill the stream
+        with UNABLE_TO_INFER_SCHEMA on every later batch (and every
+        restart); a declared schema makes the empty sink read as an empty
+        frame instead."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            list(like.schema.fields) + [StructField("ingest_batch", LongType())]
+        )
+        return self.spark.read.schema(schema).parquet(path)
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
@@ -1012,7 +1037,7 @@ class StreamingCorpusIngest:
         )
         if os.path.isdir(self.out_dir):
             seen = (
-                self.spark.read.parquet(self.out_dir)
+                self._read_state(self.out_dir, fresh)
                 .filter(F.col("ingest_batch") != batch_id)
                 .select("fp")
             )
@@ -1031,7 +1056,7 @@ class StreamingCorpusIngest:
             bdir = self.out_dir + "_buckets"
             if os.path.isdir(bdir):
                 prior = (
-                    self.spark.read.parquet(bdir)
+                    self._read_state(bdir, bb)
                     .filter(F.col("ingest_batch") != batch_id)
                     .select(F.col("doc_id").alias("p_doc"), "bucket")
                 )
@@ -1068,7 +1093,7 @@ class StreamingCorpusIngest:
             mins = sp.groupBy("h").agg(F.min("doc_id").alias("min_doc"))
             if os.path.isdir(sdir):
                 prior = (
-                    self.spark.read.parquet(sdir)
+                    self._read_state(sdir, mins)
                     .filter(F.col("ingest_batch") != batch_id)
                     .select("h", "min_doc")
                 )

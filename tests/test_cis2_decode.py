@@ -85,6 +85,14 @@ def test_decode_flags_malformed_and_overlong(spark):
     assert _decode(spark, [good])[0]["ok"]
 
 
+def test_decode_empty_and_null_payloads_read_false_not_null(spark):
+    """ok must be exactly False (never NULL) for zero-byte and NULL
+    payloads — ok=NULL rows vanish from BOTH the ok and ~ok audit sets,
+    a silent drop."""
+    decoded = _decode(spark, [b"", None])
+    assert [d["ok"] for d in decoded] == [False, False], decoded
+
+
 def test_decoded_table_and_guarded_rollup_compose(spark):
     """decoded events roll up to exact running supply including amounts
     past int64 — the byte path feeding the A1/A2 aggregation."""

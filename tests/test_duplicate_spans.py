@@ -18,6 +18,12 @@ from concordium_transaction_logger_spark.operators import dedup, textstats
 
 
 def _write_docs(spark, tmp_path, token_lists):
+    # hypothesis reuses one tmp_path across examples: rewriting the corpus
+    # at the same sf_dir must evict the session's per-(session, sf_dir)
+    # index caches (bpe fit, shingle index, ...) or examples see stale fits
+    from concordium_transaction_logger_spark.cache import release_corpus
+
+    release_corpus(spark, str(tmp_path))
     rows = [
         Row(
             doc_id=i,

@@ -419,3 +419,36 @@ def test_real_decode_png_all_filters_and_color_types(spark):
     bad = bytearray(_encode_png(rgb, 2, [0]))
     bad[8 + 8 + 12] = 1  # interlace flag inside IHDR
     assert _decode_png(bytes(bad)) is None
+
+
+def test_malformed_payloads_decode_to_none_not_crash():
+    """Corrupt payloads carrying the right magic bytes must decode to
+    None (the documented contract), not abort the Arrow batch with
+    struct.error/IndexError: a truncated IHDR, a palette index past the
+    PLTE table, truncated JPEG marker segments, a truncated WAV header."""
+    import struct
+
+    from concordium_transaction_logger_spark.operators.multimodal import (
+        _decode_jpeg,
+        _decode_png,
+        _decode_ppm,
+        _decode_wav,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    truncated_ihdr = sig + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 5
+    assert _decode_png(truncated_ihdr) is None
+    # palette image whose pixel index (7) exceeds the 1-entry PLTE
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    plte = b"\x10\x20\x30"
+    idat = _z.compress(b"\x00\x07")
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + b"\x00\x00\x00\x00"
+    bad_palette = sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    assert _decode_png(bad_palette) is None
+    assert _decode_jpeg(b"\xff\xd8\xff\xdb\x00\x43\x00") is None  # truncated DQT
+    assert _decode_jpeg(b"\xff\xd8\xff\xc0\x00\x05\x08\x00") is None  # truncated SOF
+    assert _decode_ppm(b"P6 4 4") is None
+    assert _decode_wav(b"RIFF\x00\x00\x00\x00WAVEfmt") is None

@@ -192,3 +192,31 @@ def test_global_ranked_equals_single_partition_window(spark, rows):
     }
     got = {(r["id"], r["rn"]) for r in global_ranked(df, order).collect()}
     assert got == want
+
+
+def test_global_ranked_interleaved_results_stay_consistent(spark):
+    """A result consumed AFTER a second global_ranked call released its
+    persisted input must still carry a valid global ranking: the prefix
+    offsets are in-plan (broadcast join), never driver literals snapshot
+    from a partitioning that a replay would re-sample."""
+    from pyspark.sql import functions as F
+
+    from concordium_transaction_logger_spark.operators.relational import (
+        global_ranked,
+        release_ranked_cache,
+    )
+
+    df1 = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 100003).alias("k"), F.col("id").alias("v")
+    )
+    df2 = spark.range(0, 3000).select(
+        (F.col("id") * 40503 % 9973).alias("k"), F.col("id").alias("v")
+    )
+    r1 = global_ranked(df1, ["k", "v"])
+    _ = global_ranked(df2, ["k", "v"])  # releases r1's persisted input
+    rows = r1.collect()  # replay of a released plan must not corrupt
+    assert sorted(r.rn for r in rows) == list(range(1, 5001))
+    by_rank = sorted(rows, key=lambda r: r.rn)
+    keys = [(r.k, r.v) for r in by_rank]
+    assert keys == sorted(keys)
+    release_ranked_cache()

@@ -588,6 +588,44 @@ def test_streaming_curation_ingest_gates_before_dedup(spark, sf_dir, dirs):
     assert got_ids <= batch_ok
 
 
+def test_streaming_ingest_survives_an_all_rejected_first_batch(spark, sf_dir, dirs):
+    """A micro-batch whose every document fails the quality gate leaves
+    the corpus/bucket/span state sinks as file-less directories (an empty
+    partitioned write emits no parquet files). Later batches must read
+    those as empty state, not die with UNABLE_TO_INFER_SCHEMA — a crasher
+    that also survives restarts, since the empty directory persists."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = docs.agg(F.max("doc_id")).first()[0]
+    junk = spark.createDataFrame(
+        [(top + 1 + i, "tiny", "en", "web", 4) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # file 1: all rejected by the gate -> empty corpus + empty state sinks
+    junk.coalesce(1).write.mode("append").parquet(dirs["source"])
+    # file 2: real documents, processed as a LATER batch
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        quality_gate=True,
+        near_dup=True,
+        span_dedup=True,
+    ).run_available_now()
+    got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert got, "second batch must have been admitted"
+    assert all(d <= top for d in got)
+
+
 def test_compact_sink_crash_mid_swap_is_recoverable(spark, sf_dir, dirs, monkeypatch):
     """A compaction that dies between the two swap renames leaves the live
     directory missing — the next compact_sink call must restore the
