@@ -209,6 +209,18 @@ def cis2_events(feed: DataFrame) -> DataFrame:
     )
 
 
+def _supply_rollup(mv) :
+    """The shared ON-CONFLICT-arithmetic aggregation (A1/A2): signed sum
+    per (idx, subidx, token_id) at DECIMAL(38,0) headroom, emitted BIGINT.
+    ONE definition for the plain and section-guarded supplies, so a
+    fidelity change can never land in only one of them."""
+    return mv.groupBy("idx", "subidx", "token_id").agg(
+        F.sum(F.col("amount").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_supply")
+    )
+
+
 def cis2_tokens(feed: DataFrame) -> DataFrame:
     """Running total supply per token — the A1/A2 upsert expressed as a
     plain aggregation (the Spark-idiomatic replacement for
@@ -220,15 +232,7 @@ def cis2_tokens(feed: DataFrame) -> DataFrame:
     variant is :func:`cis2_tokens_wide` below (SURVEY §7 hard part 1);
     the streaming twin with the same fidelity is
     ``streaming.pipeline.StatefulSupply``."""
-    return (
-        cis2_events(feed)
-        .groupBy("idx", "subidx", "token_id")
-        .agg(
-            F.sum(F.col("amount").cast("decimal(38,0)"))
-            .cast("long")
-            .alias("total_supply")
-        )
-    )
+    return _supply_rollup(cis2_events(feed))
 
 
 #: Wide-sum geometry: 5 limbs x 18 digits = 90-digit capacity, beyond the
@@ -299,6 +303,16 @@ def wide_sum(df: DataFrame, group_cols: list[str], amount_col: str) -> DataFrame
     def finalize(batches):
         base = 10**WIDE_LIMB_DIGITS
         for pdf in batches:
+            for i in range(WIDE_LIMBS):
+                if pdf[f"limb{i}"].isna().any():
+                    # keep the loud-guard contract: a NULL limb (all-NULL
+                    # amounts in a group, or a per-limb DECIMAL(38,0) sum
+                    # overflowing the documented 10^20-row headroom) must
+                    # name itself, not die as an opaque int(None) TypeError
+                    raise ValueError(
+                        f"wide_sum: NULL limb{i} in group sum — all-NULL "
+                        "amounts or limb-sum overflow past DECIMAL(38,0)"
+                    )
             totals = [
                 str(
                     sum(
@@ -338,14 +352,8 @@ def cis2_tokens_guarded(feed: DataFrame) -> DataFrame:
         F.bool_and(F.col("k") % 97 != 0).alias("ok")
     )
     mv = cis2_events(feed).withColumn("height", F.expr(f"summary DIV {TXS_PER_BLOCK}"))
-    return (
+    return _supply_rollup(
         mv.join(F.broadcast(section_ok.filter(F.col("ok"))), "height")
-        .groupBy("idx", "subidx", "token_id")
-        .agg(
-            F.sum(F.col("amount").cast("decimal(38,0)"))
-            .cast("long")
-            .alias("total_supply")
-        )
     )
 
 

@@ -185,10 +185,10 @@ def near_dup_pairs_blocked(
         )
         keep = simq >= threshold_micro
         if same_block:
-            # both sides hold the same rows: keep each unordered pair once
+            # both sides hold the same rows: keep each unordered pair once.
+            # Cross-block pairs need no id mask: distinct pmod residue
+            # classes can never share a vec_id.
             keep &= aids[:, None] < bids[None, :]
-        else:
-            keep &= aids[:, None] != bids[None, :]
         ai, bi_ = np.nonzero(keep)
         if not len(ai):
             return empty
@@ -324,9 +324,10 @@ def ivf_topk(
         F.col("vnorm").alias("cn"),
         "cell",
     )
-    queries = _quantized(load_table(spark, sf_dir, "embeddings")).filter(
-        F.col("vec_id") < n_queries
-    )
+    # probe side rides the session-persisted index too (it already holds
+    # e per vec_id) — no second parquet scan / re-quantization; only the
+    # per-cell probe scoring below is query-specific work
+    queries = idx.filter(F.col("vec_id") < n_queries).select("vec_id", "e")
     qscored = queries.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "e",
@@ -847,6 +848,10 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     ]
     for _ in range(PQ_ITERS - 1):
         coded = _pq_assign(emb, books).join(emb, "vec_id")
+        # slice each subspace's components BEFORE the second explode:
+        # exploding the full 64-dim vector against every (m, cluster) row
+        # and filtering 3/4 of it away materializes PQ_M x 64 rows per
+        # vector per iteration; the slice keeps it at exactly 64
         comp = (
             coded.select(
                 "e",
@@ -855,10 +860,11 @@ def _pq_train(spark: SparkSession, sf_dir: str):
             .select(
                 "m",
                 "cluster",
-                F.posexplode(F.col("e")).alias("pos", "v"),
+                F.posexplode(
+                    F.expr(f"slice(e, m * {sub} + 1, {sub})")
+                ).alias("spos", "v"),
             )
-            .filter(F.col("pos").between(F.col("m") * sub, (F.col("m") + 1) * sub - 1))
-            .groupBy("m", "cluster", (F.col("pos") - F.col("m") * sub).alias("spos"))
+            .groupBy("m", "cluster", "spos")
             .agg(F.round(F.avg("v"), 0).cast("long").alias("c"))
             .collect()
         )
@@ -926,11 +932,14 @@ def ann_pq_topk(
         dots = np.stack(
             [q[m * sub : (m + 1) * sub] @ mats[m].T for m in range(PQ_M)]
         )  # M x K
-        qtabs[int(r.vec_id)] = (dots, float(np.sqrt((q * q).sum())))
+        # guard a zero-norm query like the candidate side: without it the
+        # division yields inf/nan whose int64 cast is implementation-
+        # defined garbage ranks instead of a harmless ~0 score
+        qtabs[int(r.vec_id)] = (dots, max(float(np.sqrt((q * q).sum())), 1e-12))
 
     def score(batches):
         for pdf in batches:
-            if pdf.empty:
+            if pdf.empty or not qtabs:
                 continue
             codes = np.array(list(pdf["codes"]), dtype=np.int64)  # n x M
             ids = pdf["vec_id"].to_numpy(np.int64)
@@ -1047,9 +1056,9 @@ def ann_lsh_topk_over_layout(
             )
         ).alias("qb"),
     )
-    probe_buckets = sorted(
-        {r["qb"] for r in probe_rows.select("qb").distinct().collect()}
-    )
+    # the set already dedups the tiny n_queries x |masks| collect — no
+    # .distinct() shuffle stage needed on top
+    probe_buckets = sorted({r["qb"] for r in probe_rows.select("qb").collect()})
     cands = (
         spark.read.parquet(path)
         .filter(F.col("lsh_bucket").isin(probe_buckets))
