@@ -188,8 +188,13 @@ def priority_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct when a 2% error is acceptable)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # orders is a FACT table: never force-broadcast it (the hint bypasses
+    # the size threshold and would ship the whole table to every executor
+    # at scale). The fact-fact orderkey join is the one honest shuffle —
+    # the same convention as late_shipment_priority_split; a bucketed
+    # layout on orderkey collapses it to zero exchanges.
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
@@ -211,8 +216,13 @@ def priority_part_breadth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_approx.py`` bounds this one's error against it."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # orders is a FACT table: never force-broadcast it (the hint bypasses
+    # the size threshold and would ship the whole table to every executor
+    # at scale). The fact-fact orderkey join is the one honest shuffle —
+    # the same convention as late_shipment_priority_split; a bucketed
+    # layout on orderkey collapses it to zero exchanges.
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
@@ -1620,7 +1630,13 @@ def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one analytic window per event_type over the TINY rollup — the
     window never touches raw events, so at 100 TB it runs on thousands of
     rows regardless of input size. The first bucket of each type has no
-    trailing history: ratio is NULL there (both engines agree)."""
+    trailing history: ratio is NULL there (both engines agree).
+
+    The trailing frame is a RANGE over hour_bucket (the literal last 24
+    wall-clock hours), NOT a 24-ROW frame: with gap hours a row frame
+    reaches arbitrarily far back, and — decisively — the streaming twin
+    (`StreamingAnomaly`) can only express the time band, so the row form
+    would silently diverge from it exactly when buckets are missing."""
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -1634,7 +1650,7 @@ def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_bucket")
-        .rowsBetween(-24, -1)
+        .rangeBetween(-24, -1)
     )
     trailing = F.avg("n_events").over(w)
     return (

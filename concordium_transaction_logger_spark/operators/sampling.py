@@ -177,8 +177,11 @@ def mixture_plan(spark: SparkSession, sf_dir: str, cap_permille: int = 4000) -> 
     Shape: one partial agg to |langs| rows, the global total re-aggregated
     from the rollup (1 row) and broadcast back — the Q11 concentration
     shape, so the fact table is scanned once and never re-shuffled. The
-    repeat factor is exact integer math (``(target*1000) div have``) and is
-    capped so a vanishing slice can't demand unbounded epochs."""
+    repeat factor is ``round(1000 * target / have)`` computed in IEEE
+    doubles — cross-engine exact because the oracle performs the
+    IDENTICAL double ops (the money-cents precedent, ingest/oracle.py),
+    not because the quotient is integral — and is capped so a vanishing
+    slice can't demand unbounded epochs."""
     docs = load_table(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(
         F.sum(F.size(tokens(F.col("text")))).alias("lang_tokens")
@@ -218,39 +221,16 @@ def curation_verdict(
     how many rules stack — Catalyst fuses the gate, classifier, and split
     expressions into the same scan. This is the argument for declarative
     curation: N pipeline passes collapse into one plan."""
-    from .textstats import classifier_score
+    # gate_reason is THE shared gate expression (textstats) — the batch
+    # gate query, the streaming curation ingest, and this funnel must all
+    # gate identically, so none of them re-states the rules inline
+    from .textstats import classifier_score, gate_reason
 
     docs = load_table(spark, sf_dir, "documents")
-    lower = F.lower(F.col("text"))
-    n = F.length("text")
-    alpha_pm = (
-        F.when(
-            n > 0,
-            F.round(1000.0 * F.length(F.regexp_replace(lower, "[^a-z]", "")) / n, 0),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
-    digit_pm = (
-        F.when(
-            n > 0,
-            F.round(1000.0 * F.length(F.regexp_replace(lower, "[^0-9]", "")) / n, 0),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
-    from .textstats import GATE_MAX_DIGIT_PERMILLE, GATE_MIN_ALPHA_PERMILLE, GATE_MIN_CHARS
-
-    gate_reason = (
-        F.when(n < GATE_MIN_CHARS, F.lit("too_short"))
-        .when(alpha_pm < GATE_MIN_ALPHA_PERMILLE, F.lit("low_alpha"))
-        .when(digit_pm > GATE_MAX_DIGIT_PERMILLE, F.lit("digit_heavy"))
-        .otherwise(F.lit("ok"))
-    )
     base = docs.select(
         "doc_id",
         F.md5("text").alias("fp"),
-        gate_reason.alias("gate_reason"),
+        gate_reason(F.col("text")).alias("gate_reason"),
         classifier_score(F.col("text")).alias("q"),
         _bucket(F.col("doc_id"), salt).alias("bucket"),
     )

@@ -1310,7 +1310,7 @@ WITH hourly AS (
 SELECT event_type, hour_bucket, n_events,
   CAST(ROUND(1000.0 * n_events / AVG(n_events) OVER (
     PARTITION BY event_type ORDER BY hour_bucket
-    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) AS BIGINT) AS ratio_permille
+    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)) AS BIGINT) AS ratio_permille
 FROM hourly
 ORDER BY event_type, hour_bucket
 """,

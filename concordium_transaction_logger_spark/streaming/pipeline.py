@@ -367,7 +367,11 @@ class StreamStreamAttribution:
         self.slack_ms = slack_ms
 
     def _typed(self, events: DataFrame, kind: str, prefix: str) -> DataFrame:
-        delay_s = (self.window_ms + self.slack_ms) // 1000
+        # milliseconds end-to-end: `// 1000`-to-seconds truncation would
+        # silently NARROW the window (window_ms=500 -> INTERVAL 0 — the
+        # join degenerates to ts equality) and shave the disorder slack
+        # this class exists to guarantee
+        delay_ms = self.window_ms + self.slack_ms
         return (
             events.filter(F.col("event_type") == kind)
             .select(
@@ -375,7 +379,7 @@ class StreamStreamAttribution:
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.timestamp_millis(F.expr("ts DIV 1000000")).alias(f"{prefix}_ts"),
             )
-            .withWatermark(f"{prefix}_ts", f"{delay_s} seconds")
+            .withWatermark(f"{prefix}_ts", f"{delay_ms} milliseconds")
         )
 
     def run_available_now(self) -> None:
@@ -386,7 +390,10 @@ class StreamStreamAttribution:
             clicks,
             (F.col("p_user") == F.col("c_user"))
             & (F.col("c_ts") <= F.col("p_ts"))
-            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {self.window_ms // 1000} SECONDS")),
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {self.window_ms} MILLISECONDS")
+            ),
             "inner",
         ).select(
             "p_event_id",
@@ -462,7 +469,7 @@ class WindowedRollup:
             events.withColumn(
                 "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
-            .withWatermark("event_time", f"{self.slack_ms // 1000} seconds")
+            .withWatermark("event_time", f"{self.slack_ms} milliseconds")
             .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
             .agg(
                 F.count("*").alias("n_events"),
@@ -526,6 +533,10 @@ class SessionWindowRollup:
         self.slack_ms = slack_ms
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # batch-keyed dynamic overwrite, not append: foreachBatch is
+        # at-least-once, and a crash between this write and the checkpoint
+        # commit replays the batch — append would duplicate the replayed
+        # finalized sessions (ST2, same idiom as every other sink here)
         (
             batch_df.withColumn(
                 "session_start_ms", F.unix_millis("session_window.start")
@@ -533,7 +544,9 @@ class SessionWindowRollup:
             .withColumn("session_end_ms", F.unix_millis("session_window.end"))
             .drop("session_window")
             .withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
             .parquet(self.out_dir)
         )
 
@@ -541,7 +554,7 @@ class SessionWindowRollup:
         events = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
         agg = (
             events.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
-            .withWatermark("event_time", f"{self.slack_ms // 1000} seconds")
+            .withWatermark("event_time", f"{self.slack_ms} milliseconds")
             .groupBy(F.session_window("event_time", self.GAP), F.col("user_id"))
             .agg(F.count("*").alias("n_events"))
         )
@@ -588,9 +601,15 @@ class StreamingDedup:
         self.max_files_per_trigger = max_files_per_trigger
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("ingest_batch", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(self.out_dir)
+        # batch-keyed dynamic overwrite: an appended replay of a crashed
+        # batch would re-insert the rows this class exists to deduplicate
+        (
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(self.out_dir)
+        )
 
     def run_available_now(self) -> None:
         events = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
@@ -621,10 +640,13 @@ class StreamingAnomaly:
     sink itself, re-read per micro-batch (like the enrichment dimension —
     growth-safe), never a state store. The per-batch history join is a
     time-banded range join on a |types x hours| rollup, so its cost is
-    independent of raw event volume; alerts write with window-keyed
-    dynamic partition overwrite, so a window re-alerting in a later batch
-    (its count grew) overwrites rather than duplicates — idempotent under
-    replay (ST2)."""
+    independent of raw event volume. The sink holds a VERDICT row (with
+    an ``alert`` boolean) for every evaluated window, written with
+    window-keyed dynamic partition overwrite: a window re-evaluated in a
+    later batch — because its own count grew, or because a window in its
+    trailing band changed — overwrites its verdict, so alerts both
+    re-raise and RETRACT as history fills in; idempotent under replay
+    (ST2). Readers filter ``alert``."""
 
     WINDOW_MS = 3_600_000
     TRAIL_MS = 24 * 3_600_000
@@ -649,7 +671,30 @@ class StreamingAnomaly:
             F.col("window_start_ms").alias("h_start"),
             F.col("n_events").alias("h_n"),
         )
-        fresh = batch_df.select("event_type", "window_start_ms", "n_events")
+        fresh0 = batch_df.select("event_type", "window_start_ms", "n_events")
+        # A changed window alters the trailing average of every window in
+        # the 24h AFTER it — those must be re-evaluated too, or an alert
+        # computed against still-incomplete history is never retracted
+        # once the history fills in. The affected set comes from the tiny
+        # rollup sink, banded forward from each changed window.
+        bounds = fresh0.select(
+            F.col("event_type").alias("b_type"),
+            F.col("window_start_ms").alias("b_start"),
+        ).distinct()
+        affected = (
+            hist.join(
+                bounds,
+                (F.col("h_type") == F.col("b_type"))
+                & (F.col("h_start") > F.col("b_start"))
+                & (F.col("h_start") <= F.col("b_start") + self.TRAIL_MS),
+            )
+            .select(
+                F.col("h_type").alias("event_type"),
+                F.col("h_start").alias("window_start_ms"),
+                F.col("h_n").alias("n_events"),
+            )
+        )
+        fresh = fresh0.unionByName(affected).distinct()
         trail = (
             fresh.join(
                 hist,
@@ -664,17 +709,26 @@ class StreamingAnomaly:
         ratio = F.round(1000.0 * F.col("n_events") / F.col("trailing_avg"), 0).cast(
             "long"
         )
-        alerts = trail.select(
+        # EVERY evaluated window is written, alerting or not: the
+        # window-keyed overwrite then retracts a stale alert when fuller
+        # history drops the ratio back under the threshold — an
+        # alerts-only sink could only ever add rows, never withdraw one.
+        verdicts = trail.select(
             "event_type",
             "window_start_ms",
             "n_events",
             ratio.alias("ratio_permille"),
-        ).filter(F.col("ratio_permille") >= self.threshold_permille)
+        ).withColumn(
+            "alert",
+            F.coalesce(
+                F.col("ratio_permille") >= self.threshold_permille, F.lit(False)
+            ),
+        )
         (
-            alerts.write.mode("overwrite")
+            verdicts.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            # full group key: a later batch re-alerting one event_type in a
-            # window must not clobber the window's other alert rows.
+            # full group key: a later batch re-evaluating one event_type in
+            # a window must not clobber the window's other rows.
             .partitionBy("window_start_ms", "event_type")
             .parquet(self.out_dir)
         )
@@ -1007,13 +1061,24 @@ class StreamingCorpusIngest:
         but file-less — schema inference over it would kill the stream
         with UNABLE_TO_INFER_SCHEMA on every later batch (and every
         restart); a declared schema makes the empty sink read as an empty
-        frame instead."""
+        frame instead. A sink that does not exist AT ALL (first batch)
+        also reads as empty, via the exception path — this is the single
+        existence gate, and it goes through Spark's own filesystem layer:
+        an ``os.path.isdir`` check here would return False for s3://-style
+        URIs and silently disable all cross-batch dedup state off the
+        local filesystem."""
+        from pyspark.errors import AnalysisException
         from pyspark.sql.types import LongType, StructField, StructType
 
         schema = StructType(
             list(like.schema.fields) + [StructField("ingest_batch", LongType())]
         )
-        return self.spark.read.schema(schema).parquet(path)
+        try:
+            df = self.spark.read.schema(schema).parquet(path)
+            df.schema  # force path resolution eagerly
+            return df
+        except AnalysisException:  # PATH_NOT_FOUND: no state yet
+            return self.spark.createDataFrame([], schema)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
@@ -1029,19 +1094,28 @@ class StreamingCorpusIngest:
             )
             batch_df = gated.filter(F.col("reason") == "ok").drop("reason")
         w = Window.partitionBy("fp").orderBy("doc_id")
-        fresh = (
-            batch_df.withColumn("fp", _doc_fp())
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+        fped = batch_df.withColumn("fp", _doc_fp()).withColumn(
+            "rn", F.row_number().over(w)
         )
-        if os.path.isdir(self.out_dir):
-            seen = (
-                self._read_state(self.out_dir, fresh)
-                .filter(F.col("ingest_batch") != batch_id)
-                .select("fp")
-            )
-            fresh = fresh.join(seen, "fp", "left_anti")
+        fresh = fped.filter(F.col("rn") == 1).drop("rn")
+        seen = (
+            self._read_state(self.out_dir, fresh)
+            .filter(F.col("ingest_batch") != batch_id)
+            .select("fp")
+        )
+        # exact duplicates land in the reject log too — "no silent drops"
+        # covers the dedup layers, not only the quality gate; the more
+        # specific exact_dup reason takes precedence over near_dup below
+        exact_rejects = (
+            fped.filter(F.col("rn") > 1)
+            .select("doc_id")
+            .unionByName(fresh.join(seen, "fp", "left_semi").select("doc_id"))
+            .distinct()
+        )
+        reject_frames.append(
+            exact_rejects.withColumn("reason", F.lit("exact_dup"))
+        )
+        fresh = fresh.join(seen, "fp", "left_anti")
         bb = None
         if self.near_dup:
             # every gate-passing doc of this batch becomes seen state,
@@ -1054,19 +1128,22 @@ class StreamingCorpusIngest:
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             ).select(F.col("b.doc_id").alias("doc_id"))
             bdir = self.out_dir + "_buckets"
-            if os.path.isdir(bdir):
-                prior = (
-                    self._read_state(bdir, bb)
-                    .filter(F.col("ingest_batch") != batch_id)
-                    .select(F.col("doc_id").alias("p_doc"), "bucket")
-                )
-                collided = collided.unionByName(
-                    bb.join(prior, "bucket")
-                    .filter(F.col("p_doc") < F.col("doc_id"))
-                    .select("doc_id")
-                )
+            prior = (
+                self._read_state(bdir, bb)
+                .filter(F.col("ingest_batch") != batch_id)
+                .select(F.col("doc_id").alias("p_doc"), "bucket")
+            )
+            collided = collided.unionByName(
+                bb.join(prior, "bucket")
+                .filter(F.col("p_doc") < F.col("doc_id"))
+                .select("doc_id")
+            )
             collided = collided.distinct()
-            reject_frames.append(collided.withColumn("reason", F.lit("near_dup")))
+            reject_frames.append(
+                collided.join(exact_rejects, "doc_id", "left_anti").withColumn(
+                    "reason", F.lit("near_dup")
+                )
+            )
             fresh = fresh.join(collided, "doc_id", "left_anti")
             self._write_partitioned(bb, batch_id, bdir)
         sp_state = None
@@ -1091,19 +1168,16 @@ class StreamingCorpusIngest:
             sp_state = sp
             sdir = self.out_dir + "_spans"
             mins = sp.groupBy("h").agg(F.min("doc_id").alias("min_doc"))
-            if os.path.isdir(sdir):
-                prior = (
-                    self._read_state(sdir, mins)
-                    .filter(F.col("ingest_batch") != batch_id)
-                    .select("h", "min_doc")
-                )
-                global_min = (
-                    mins.unionByName(prior)
-                    .groupBy("h")
-                    .agg(F.min("min_doc").alias("min_doc"))
-                )
-            else:
-                global_min = mins
+            prior = (
+                self._read_state(sdir, mins)
+                .filter(F.col("ingest_batch") != batch_id)
+                .select("h", "min_doc")
+            )
+            global_min = (
+                mins.unionByName(prior)
+                .groupBy("h")
+                .agg(F.min("min_doc").alias("min_doc"))
+            )
             dpos = (
                 sp.join(global_min, "h")
                 .filter(F.col("min_doc") < F.col("doc_id"))

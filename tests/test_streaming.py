@@ -512,6 +512,14 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, sf_dir, dirs):
     want = base_ids | {r["doc_id"] for r in novel.collect()} | {top + 200}
     got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
     assert got == want  # re-crawls dropped, novel admitted, twin min-id kept
+    # dropped duplicates are LOGGED, not silently discarded — cross-batch
+    # re-crawls and the intra-batch twin loser all carry exact_dup rows
+    rejects = {
+        (r["doc_id"], r["reason"])
+        for r in spark.read.parquet(dirs["out"] + "_rejects").collect()
+    }
+    dropped = {r["doc_id"] for r in recrawls.collect()} | {top + 201}
+    assert {(d, "exact_dup") for d in dropped} <= rejects
 
     # idempotence: nothing new + lost-checkpoint replay
     ingest.run_available_now()
@@ -703,15 +711,15 @@ def test_streaming_near_dup_admission_matches_batch_survivors(spark, sf_dir, dir
     got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
     want = {r["doc_id"] for r in dedup.dedup_survivors(spark, sf_dir).collect()}
     assert got == want
-    # the losers are in the reject log with the near_dup reason
+    # every loser is in the reject log, attributed to the dedup layer
+    # that caught it: exact twins as exact_dup (the more specific reason
+    # takes precedence), the rest as near_dup
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
-    rejected = {
-        r["doc_id"]
-        for r in spark.read.parquet(dirs["out"] + "_rejects")
-        .filter(F.col("reason") == "near_dup")
-        .collect()
-    }
+    rej_rows = spark.read.parquet(dirs["out"] + "_rejects").collect()
+    rejected = {r["doc_id"] for r in rej_rows}
     assert rejected and rejected == all_ids - want
+    assert {r["reason"] for r in rej_rows} <= {"exact_dup", "near_dup"}
+    assert any(r["reason"] == "near_dup" for r in rej_rows)
     # at least one rejection crossed a batch boundary (keeper in an
     # earlier slice), else the cross-batch state did no work
     assert any(d >= 150 for d in rejected)

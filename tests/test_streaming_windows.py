@@ -112,6 +112,7 @@ def test_streaming_anomaly_matches_batch_expectation(spark, sf_dir, tmp_path):
         map(
             tuple,
             spark.read.parquet(alert_out)
+            .filter("alert")
             .select("event_type", "window_start_ms", "n_events", "ratio_permille")
             .collect(),
         )
@@ -159,6 +160,7 @@ def test_streaming_anomaly_matches_batch_expectation(spark, sf_dir, tmp_path):
         map(
             tuple,
             spark.read.parquet(alert_out)
+            .filter("alert")
             .select("event_type", "window_start_ms", "n_events", "ratio_permille")
             .collect(),
         )
