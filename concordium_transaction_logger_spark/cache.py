@@ -18,13 +18,38 @@ from typing import Any, Callable
 _CACHES: dict[str, dict[tuple[int, str], tuple[Any, Any]]] = {}
 
 
+def _is_stopped(session: Any) -> bool:
+    try:
+        return bool(session.sparkContext._jsc.sc().isStopped())
+    except Exception:
+        return True  # unreachable JVM handle == dead for caching purposes
+
+
+def _sweep_dead() -> None:
+    """Drop entries whose session has been stopped: holding them would pin
+    the dead session's py4j graph (and its persisted blocks' metadata)
+    forever — a long-lived process that recreates sessions would otherwise
+    grow driver memory monotonically, with no way to evict (the identity
+    check requires the original session object)."""
+    for cache in _CACHES.values():
+        for key in [k for k, (sess, _) in cache.items() if _is_stopped(sess)]:
+            sess, value = cache.pop(key)
+            try:
+                if hasattr(value, "unpersist"):
+                    value.unpersist()
+            except Exception:
+                pass  # the backing context is gone; dropping the ref suffices
+
+
 def get_or_build(
     cache_name: str, spark: Any, sf_dir: str, build: Callable[[], Any]
 ) -> Any:
     """Return the cached artifact for (spark, sf_dir), building it once.
 
     ``build`` runs lazily on first use; the cached value is returned only
-    when the stored session is *identically* the caller's session."""
+    when the stored session is *identically* the caller's session. Each
+    call opportunistically sweeps entries belonging to stopped sessions."""
+    _sweep_dead()
     cache = _CACHES.setdefault(cache_name, {})
     key = (id(spark), sf_dir)
     hit = cache.get(key)

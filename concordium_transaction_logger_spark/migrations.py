@@ -128,10 +128,18 @@ class MigrationRunner:
         return os.path.join(self.warehouse, LEDGER)
 
     def _ledger(self) -> DataFrame:
+        # P8 existence probe (migrations.rs:227-241) — through Spark's own
+        # filesystem layer, not os.path.isdir: an isdir probe is False for
+        # every object-store URI (s3a://, abfss://), which would read the
+        # ledger as permanently empty and re-run ALL migrations on every
+        # startup while appending duplicate ledger rows.
+        from pyspark.errors import AnalysisException
+
         path = self._ledger_path()
-        if not os.path.isdir(path):  # P8 existence probe (migrations.rs:227-241)
+        try:
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(path)
+        except AnalysisException:  # PATH_NOT_FOUND: no ledger yet
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
-        return self.spark.read.parquet(path)
 
     def current_version(self) -> int:
         """MAX(version) over the ledger (A4, migrations.rs:249); 0 ≙ Empty."""

@@ -611,6 +611,19 @@ def _perc_fit(
         F.sum(F.when(F.col("y") > 0, 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(F.col("y") < 0, 1).otherwise(0)).alias("n_neg"),
     ).collect()[0]
+    if counts["n_pos"] is None or counts["n_neg"] is None:
+        raise ValueError(
+            "perceptron: empty training label set — check the split/corpus"
+        )
+    if int(counts["n_pos"]) == 0 or int(counts["n_neg"]) == 0:
+        # one class absent => the opposite class weight is 0, every
+        # delta is y*0, and the loop would silently return a frozen
+        # all-zero model that predicts -1 for everything
+        raise ValueError(
+            "perceptron: single-class training labels "
+            f"(n_pos={counts['n_pos']}, n_neg={counts['n_neg']}) — "
+            "nothing to separate"
+        )
     cw = {1: int(counts["n_neg"]), -1: int(counts["n_pos"])}
 
     def margins_under(w: dict, lab: DataFrame) -> DataFrame:
@@ -694,7 +707,7 @@ def perceptron_train(
     try:
         best_w, margins_under = _perc_fit(spark, feats, labels, epochs)
         final = margins_under(best_w, labels)
-        return final.select(
+        out = final.select(
             "doc_id",
             F.col("y").alias("label"),
             "margin",
@@ -704,6 +717,10 @@ def perceptron_train(
             .alias("pred"),
             (F.col("y") * F.col("margin") > 0).alias("correct"),
         ).orderBy("doc_id")
+        # materialize BEFORE the finally releases feats: the returned
+        # frame is lazy, and evaluating it after the unpersist would
+        # recompute the whole feature build for the final scoring pass
+        return out.localCheckpoint()
     finally:
         feats.unpersist()
 
@@ -758,6 +775,9 @@ def perceptron_eval(
                 F.round(1000.0 * F.col("n_correct") / F.col("n_docs")).cast("long"),
             )
             .orderBy("split")
+            # two-row result: checkpoint is free, and it must not lazily
+            # re-run the feature build after feats is unpersisted below
+            .localCheckpoint()
         )
     finally:
         feats.unpersist()

@@ -4,8 +4,9 @@ m0002 bulk insert).
 
 The path executes for real against embedded Derby (bundled with Spark) in
 ``tests/test_jdbc_derby.py`` — batched bulk insert, partitioned read-back,
-and the arithmetic MERGE upsert all run on a live connection. The options
-these helpers set are the load-bearing part:
+the arithmetic MERGE upsert, and the replay-idempotence of both writers
+all run on a live connection. The options these helpers set are the
+load-bearing part:
 
 - reads: ``partitionColumn/lowerBound/upperBound/numPartitions`` split the
   table scan across executors (the JDBC equivalent of file splits), and
@@ -13,8 +14,10 @@ these helpers set are the load-bearing part:
   its own indexes;
 - writes: ``batchsize`` mirrors the reference's 1000-row multi-VALUES
   bulk insert (m0002_acoount_public_key_binding.rs:56,107-117);
-  ``isolationLevel=READ_COMMITTED`` + idempotent batch keys give the K1
-  per-batch transactional contract.
+  exactly-once comes from batch-keyed delete+append (the JDBC analog of
+  the parquet sinks' batch-keyed partition overwrite) plus, for the
+  arithmetic upsert, an applied-batch ledger committed in the SAME
+  transaction as the MERGE.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_BATCH_SIZE = 1000  # m0002:56
 
@@ -40,6 +44,13 @@ def read_jdbc(
     column is the monotone ``id`` (summaries) / ``(account-hash)`` (ati)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JVM as the literal "None" and die
+            # in an opaque NumberFormatException at load()
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound and "
+                "upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
@@ -57,21 +68,31 @@ def jdbc_batch_writer(
     batchsize: int = DEFAULT_BATCH_SIZE,
     **options: str,
 ) -> Callable[[dict[str, DataFrame], int], None]:
-    """Build a foreachBatch-style writer that appends each derived sink
+    """Build a foreachBatch-style writer that lands each derived sink
     table of a micro-batch over JDBC — the streaming pipeline's JDBC twin
     of its parquet writer. ``table_for`` maps sink name -> DB table.
 
-    Exactly-once: pair with an ``ingest_batch`` column and a unique
-    (ingest_batch, id) constraint + ``ON CONFLICT DO NOTHING`` server-side,
-    or route through a staging table and MERGE — the JDBC protocol itself
-    has no idempotent append."""
+    Exactly-once is implemented, not advisory: every row is stamped with
+    its ``ingest_batch`` and a (replayed) batch FIRST deletes its own
+    rows — delete + stamped append is the JDBC analog of the parquet
+    sinks' batch-keyed dynamic partition overwrite, so an at-least-once
+    foreachBatch replay converges to one copy. Requires an
+    ``ingest_batch BIGINT`` column on the target tables (the analog of
+    the parquet partition key)."""
 
     def write(tables: dict[str, DataFrame], batch_id: int) -> None:
         for name, df in tables.items():
+            tbl = table_for(name)
+            run_sql(
+                df.sparkSession,
+                url,
+                f"DELETE FROM {tbl} WHERE ingest_batch = {int(batch_id)}",
+            )
             (
-                df.write.format("jdbc")
+                df.withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.format("jdbc")
                 .option("url", url)
-                .option("dbtable", table_for(name))
+                .option("dbtable", tbl)
                 .option("batchsize", str(batchsize))
                 .options(**options)
                 .mode("append")
@@ -97,9 +118,10 @@ def run_sql(spark: SparkSession, url: str, *statements: str) -> None:
     All statements of one call run in ONE transaction (autocommit off,
     commit at the end, rollback on failure) — the reference's per-block
     transactional contract (K1, main.rs:545-574). This is load-bearing
-    for :func:`merge_supply_upsert`: MERGE and the staging DELETE must be
-    atomic, else a crash between them leaves applied-but-undeleted deltas
-    that a retry would double-count."""
+    for :func:`merge_supply_upsert`: MERGE, the staging DELETE, and the
+    applied-ledger INSERT must be atomic, else a crash between them
+    leaves applied-but-undeleted deltas that a retry would
+    double-count."""
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
@@ -118,27 +140,138 @@ def run_sql(spark: SparkSession, url: str, *statements: str) -> None:
         conn.close()
 
 
+def query_scalar(spark: SparkSession, url: str, sql: str) -> int:
+    """One scalar SELECT on the JDBC target from the driver (control
+    plane: the applied-batch probe)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            rs = st.executeQuery(sql)
+            rs.next()
+            return int(rs.getLong(1))
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def stage_supply_deltas(
+    deltas: DataFrame,
+    url: str,
+    staging: str,
+    batch_id: int,
+    batchsize: int = DEFAULT_BATCH_SIZE,
+    **options: str,
+) -> None:
+    """Append one micro-batch's per-key supply deltas to the staging
+    table, replay-safely: rows are stamped with ``ingest_batch`` and a
+    replayed batch first clears its own rows, so a crash between staging
+    and MERGE never double-stages (requires an ``ingest_batch BIGINT``
+    column on staging)."""
+    run_sql(
+        deltas.sparkSession,
+        url,
+        f"DELETE FROM {staging} WHERE ingest_batch = {int(batch_id)}",
+    )
+    (
+        deltas.withColumn("ingest_batch", F.lit(int(batch_id)))
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode("append")
+        .save()
+    )
+
+
 def merge_supply_upsert(
-    spark: SparkSession, url: str, staging: str, target: str
+    spark: SparkSession,
+    url: str,
+    staging: str,
+    target: str,
+    batch_id: int | None = None,
+    ledger: str | None = None,
 ) -> None:
     """The reference's arithmetic upsert (main.rs:222-251: ``ON CONFLICT
     (idx, subidx, token_id) DO UPDATE SET total_supply = total_supply +
     delta``) as ANSI MERGE from a staging table — the portable spelling
     (Derby/Postgres 15+/Delta all accept it). Call per micro-batch after
-    appending that batch's per-key deltas to ``staging``; the MERGE is
-    O(|staging|) server-side work against the target's primary key.
-    MERGE + staging DELETE commit as one transaction (see
-    :func:`run_sql`), so a crashed call applies neither and a retry
-    replays exactly once."""
-    run_sql(
-        spark,
-        url,
-        f"""
-MERGE INTO {target} t USING {staging} s
+    :func:`stage_supply_deltas`; the MERGE is O(|staging|) server-side
+    work against the target's primary key.
+
+    Source of the MERGE is the per-key AGGREGATED side table
+    ``{staging}_agg``, refilled from staging inside the same transaction:
+    staging may legitimately hold more than one batch's rows for a key
+    after a crash between staging and merge, ANSI MERGE forbids multiple
+    source rows matching one target row, and Derby additionally rejects
+    aggregates anywhere in the MERGE source (even via a view) — so the
+    aggregation must be materialized first. All statements share one
+    transaction, so the refill+merge+drain is atomic.
+
+    Replay idempotence (the full at-least-once story, not just the
+    MERGE+DELETE atomicity): pass ``batch_id`` and an applied-batch
+    ``ledger`` table (``batch_id BIGINT PRIMARY KEY``). The ledger row is
+    inserted IN THE SAME TRANSACTION as the MERGE; a replayed call whose
+    batch_id is already in the ledger only clears its re-staged rows and
+    returns — the deltas were provably applied. Without these arguments
+    the call is the bare transactional MERGE (caller owns replay
+    semantics)."""
+    refill = (
+        f"DELETE FROM {staging}_agg",
+        f"INSERT INTO {staging}_agg SELECT idx, subidx, token_id, "
+        f"SUM(total_supply) FROM {staging} GROUP BY idx, subidx, token_id",
+    )
+    merge = f"""
+MERGE INTO {target} t USING {staging}_agg s
 ON t.idx = s.idx AND t.subidx = s.subidx AND t.token_id = s.token_id
 WHEN MATCHED THEN UPDATE SET t.total_supply = t.total_supply + s.total_supply
 WHEN NOT MATCHED THEN INSERT (idx, subidx, token_id, total_supply)
 VALUES (s.idx, s.subidx, s.token_id, s.total_supply)
-""",
-        f"DELETE FROM {staging}",
+"""
+    drain = (f"DELETE FROM {staging}", f"DELETE FROM {staging}_agg")
+    if batch_id is None or ledger is None:
+        run_sql(spark, url, *refill, merge, *drain)
+        return
+    applied = query_scalar(
+        spark,
+        url,
+        f"SELECT COUNT(*) FROM {ledger} WHERE batch_id = {int(batch_id)}",
+    )
+    if applied:
+        # replay of an already-applied batch: its deltas are in the
+        # target; drop the re-staged copy and do nothing else
+        run_sql(
+            spark, url, f"DELETE FROM {staging} WHERE ingest_batch = {int(batch_id)}"
+        )
+        return
+    run_sql(
+        spark,
+        url,
+        *refill,
+        merge,
+        *drain,
+        f"INSERT INTO {ledger} VALUES ({int(batch_id)})",
+    )
+
+
+def create_supply_schema(
+    spark: SparkSession, url: str, staging: str, target: str, ledger: str
+) -> None:
+    """DDL for the upsert trio: target (PK on the token key), batch-keyed
+    staging + its per-key aggregation view (the MERGE source), and the
+    applied-batch ledger."""
+    run_sql(
+        spark,
+        url,
+        f"CREATE TABLE {target} (idx BIGINT, subidx BIGINT, "
+        "token_id VARCHAR(32), total_supply BIGINT, "
+        "PRIMARY KEY (idx, subidx, token_id))",
+        f"CREATE TABLE {staging} (idx BIGINT, subidx BIGINT, "
+        "token_id VARCHAR(32), total_supply BIGINT, ingest_batch BIGINT)",
+        f"CREATE TABLE {staging}_agg (idx BIGINT, subidx BIGINT, "
+        "token_id VARCHAR(32), total_supply BIGINT)",
+        f"CREATE TABLE {ledger} (batch_id BIGINT PRIMARY KEY)",
     )

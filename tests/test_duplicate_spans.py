@@ -333,9 +333,15 @@ def _py_perceptron(token_lists, n_buckets=64, epochs=8):
     )
 )
 def test_perceptron_train_matches_python_reference(spark, tmp_path, token_lists):
+    from hypothesis import assume
+
     from concordium_transaction_logger_spark.cache import release_corpus
     from concordium_transaction_logger_spark.operators import textstats
 
+    # single-class corpora are a loud ValueError by contract (tested
+    # below), not a trained model — only two-class examples compare
+    labels = {len(" ".join(toks)) >= 100 for toks in token_lists}
+    assume(labels == {True, False})
     sf = _write_docs(spark, tmp_path, token_lists)
     release_corpus(spark, sf)
     try:
@@ -346,6 +352,23 @@ def test_perceptron_train_matches_python_reference(spark, tmp_path, token_lists)
     finally:
         release_corpus(spark, sf)
     assert got == _py_perceptron(token_lists)
+
+
+def test_perceptron_rejects_single_class_labels(spark, tmp_path):
+    import pytest
+
+    from concordium_transaction_logger_spark.cache import release_corpus
+    from concordium_transaction_logger_spark.operators import textstats
+
+    # every doc fails the gate (too short) -> all labels -1: the old code
+    # silently returned a frozen all-zero model predicting -1 everywhere
+    sf = _write_docs(spark, tmp_path, [["alpha"] * 3] * 3)
+    release_corpus(spark, sf)
+    try:
+        with pytest.raises(ValueError, match="single-class"):
+            textstats.perceptron_train(spark, sf).collect()
+    finally:
+        release_corpus(spark, sf)
 
 
 def _py_bpe(token_lists, n_merges=6):

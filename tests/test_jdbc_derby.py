@@ -65,14 +65,15 @@ def test_merge_upsert_accumulates_across_batches(spark, sf_dir, derby_url):
     """M2: two micro-batches of per-key supply deltas staged and MERGEd;
     the target's running totals must equal the one-shot batch aggregation
     — i.e. the server-side ``total_supply = total_supply + delta``
-    arithmetic really executed, twice, against live state."""
-    jdbc.run_sql(
-        spark,
-        derby_url,
-        "CREATE TABLE supply (idx BIGINT, subidx BIGINT, token_id VARCHAR(32), "
-        "total_supply BIGINT, PRIMARY KEY (idx, subidx, token_id))",
-        "CREATE TABLE supply_staging (idx BIGINT, subidx BIGINT, "
-        "token_id VARCHAR(32), total_supply BIGINT)",
+    arithmetic really executed, twice, against live state. Then the
+    at-least-once story: every crash window of the stage->merge pair is
+    replayed and the totals must not move — double-staging before the
+    merge (crash between stage and merge), and re-running stage+merge
+    after the merge committed (crash before the checkpoint) — proving
+    the batch-keyed staging delete and the applied-batch ledger do their
+    jobs."""
+    jdbc.create_supply_schema(
+        spark, derby_url, "supply_staging", "supply", "supply_applied"
     )
     events = load_table(spark, sf_dir, "events")
     n_users = events.agg(F.max("user_id")).first()[0] + 1
@@ -81,28 +82,36 @@ def test_merge_upsert_accumulates_across_batches(spark, sf_dir, derby_url):
         events.filter(F.col("event_id") <= mid),
         events.filter(F.col("event_id") > mid),
     ]
-    for half in halves:
+
+    def deltas_for(half):
         feed = derive.feed_from_events(half, n_users=n_users)
-        deltas = (
+        return (
             derive.cis2_events(feed)
             .groupBy("idx", "subidx", "token_id")
             .agg(F.sum("amount").alias("total_supply"))
         )
-        (
-            deltas.write.format("jdbc")
-            .option("url", derby_url)
-            .option("driver", jdbc.DERBY_DRIVER)
-            .option("dbtable", "supply_staging")
-            .option("batchsize", str(jdbc.DEFAULT_BATCH_SIZE))
-            .mode("append")
-            .save()
+
+    for bid, half in enumerate(halves):
+        d = deltas_for(half)
+        jdbc.stage_supply_deltas(
+            d, derby_url, "supply_staging", bid, driver=jdbc.DERBY_DRIVER
         )
-        jdbc.merge_supply_upsert(spark, derby_url, "supply_staging", "supply")
+        if bid == 1:
+            # crash window 1: batch re-staged before the merge ran —
+            # the batch-keyed delete must drop the first copy
+            jdbc.stage_supply_deltas(
+                d, derby_url, "supply_staging", bid, driver=jdbc.DERBY_DRIVER
+            )
+        jdbc.merge_supply_upsert(
+            spark, derby_url, "supply_staging", "supply",
+            batch_id=bid, ledger="supply_applied",
+        )
 
     got = jdbc.read_jdbc(spark, derby_url, "supply", driver=jdbc.DERBY_DRIVER)
     want = derive.cis2_tokens(derive.block_feed(spark, sf_dir))
     cols = ["idx", "subidx", "token_id", "total_supply"]
-    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    expect = _sorted_rows(want, cols)
+    assert _sorted_rows(got, cols) == expect
     # staging was drained by the merge helper (per-batch contract)
     assert (
         jdbc.read_jdbc(
@@ -110,6 +119,50 @@ def test_merge_upsert_accumulates_across_batches(spark, sf_dir, derby_url):
         ).count()
         == 0
     )
+
+    # crash window 2: the merge committed but the streaming checkpoint
+    # didn't — the WHOLE batch replays (stage + merge). The ledger marks
+    # it applied, so the replay clears its re-staged rows and totals stay.
+    d = deltas_for(halves[1])
+    jdbc.stage_supply_deltas(
+        d, derby_url, "supply_staging", 1, driver=jdbc.DERBY_DRIVER
+    )
+    jdbc.merge_supply_upsert(
+        spark, derby_url, "supply_staging", "supply",
+        batch_id=1, ledger="supply_applied",
+    )
+    got2 = jdbc.read_jdbc(spark, derby_url, "supply", driver=jdbc.DERBY_DRIVER)
+    assert _sorted_rows(got2, cols) == expect
+    assert (
+        jdbc.read_jdbc(
+            spark, derby_url, "supply_staging", driver=jdbc.DERBY_DRIVER
+        ).count()
+        == 0
+    )
+
+
+def test_jdbc_batch_writer_replay_converges(spark, sf_dir, derby_url):
+    """The foreachBatch JDBC writer's exactly-once contract: a replayed
+    micro-batch (at-least-once delivery) deletes its own stamped rows
+    before re-appending, so two deliveries of batch 7 land exactly one
+    copy."""
+    jdbc.run_sql(
+        spark,
+        derby_url,
+        "CREATE TABLE ati_w (id BIGINT, account BIGINT, summary BIGINT, "
+        "ingest_batch BIGINT)",
+    )
+    feed = derive.block_feed(spark, sf_dir)
+    ati = derive.ati(feed).select("id", "account", "summary").limit(50)
+    write = jdbc.jdbc_batch_writer(
+        derby_url, lambda name: "ati_w", driver=jdbc.DERBY_DRIVER
+    )
+    write({"ati": ati}, 7)
+    write({"ati": ati}, 7)  # replay
+    back = jdbc.read_jdbc(spark, derby_url, "ati_w", driver=jdbc.DERBY_DRIVER)
+    cols = ["id", "account", "summary"]
+    assert _sorted_rows(back, cols) == _sorted_rows(ati, cols)
+    assert back.filter(F.col("ingest_batch") == 7).count() == back.count()
 
 
 def test_run_sql_is_one_transaction(spark, derby_url):
