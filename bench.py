@@ -123,43 +123,18 @@ def main() -> None:
         f.write(json.dumps({"value": total, "sf": sf, "queries": timings}) + "\n")
 
     # The driver captures only the LAST 2000 characters of stdout and
-    # parses the final line as JSON — the full 60+-query dict is ~2.5 KB
-    # and gets truncated mid-line (BENCH_r01/r02 "parsed": null). Emit a
-    # headline subset and keep the line comfortably under the window.
-    headline = [
-        "account_txs_desc",
-        "iterate_account",
-        "cis2_supply",
-        "cis2_supply_guarded",
-        "key_bindings_latest",
-        "account_activity",
-        "summary_parse",
-        "pricing_summary",
-        "top_orders_by_revenue",
-        "nation_revenue",
-        "lone_late_supplier",
-        "user_sessions",
-        "doc_exact_dup_groups",
-        "doc_minhash_signatures",
-        "doc_dup_components",
-        "doc_ngram_jaccard_pairs",
-        "doc_winnow_dup_pairs",
-        "ann_cosine_topk",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "embedding_near_dup_pairs_blocked",
-        "embedding_semdedup_pairs",
-        "corpus_curation_verdict",
-        "events_column_profile",
-        "doc_bm25_topk",
-        "hybrid_rrf_topk",
-        "corpus_source_overlap",
-    ]
+    # parses the final line as JSON — the full 70+-query dict is ~2.5 KB
+    # and gets truncated mid-line (BENCH_r01/r02 "parsed": null). Emit the
+    # registry-owned headline subset (validated at import: every headline
+    # name must be a bench=True query, so drift is loud, never a silent
+    # omission) and keep the line comfortably under the window.
+    from concordium_transaction_logger_spark.registry import BENCH_HEADLINE
+
     line = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {k: timings[k] for k in headline if k in timings},
+        "queries": {k: timings[k] for k in BENCH_HEADLINE},
         "sf": sf,
     }
     out = json.dumps(line, separators=(",", ":"))

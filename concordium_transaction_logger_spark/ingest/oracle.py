@@ -67,8 +67,11 @@ cis2_events AS (
 ),
 bindings_all AS (
   SELECT user_id AS address,
-         md5(CAST(user_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)
-             || ':' || CAST(event_id AS VARCHAR)) AS public_key,
+         -- concat_ws, not ||: Spark's concat_ws SKIPS a NULL k (derive
+         -- key_bindings_all) while || would propagate NULL — keep the
+         -- engines in lockstep on rows whose props JSON lacks "k"
+         md5(concat_ws(':', CAST(user_id AS VARCHAR), CAST(k AS VARCHAR),
+                       CAST(event_id AS VARCHAR))) AS public_key,
          k % 3 AS credential_index,
          k % 2 AS key_index,
          (k % 2) = 0 AS is_simple_account,

@@ -100,11 +100,25 @@ def query_account_over_layout(
     ``autoBucketedScan`` is forced off: that heuristic drops the bucketed
     scan when no join/aggregation consumes the distribution — but here
     the point of the bucketed scan IS filter pruning, which it silently
-    forfeits ("Bucketed: false (disabled by query planner)")."""
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    df = spark.table(ati_table).filter(F.col("account") == account)
-    df = df.orderBy(F.col("id").desc() if descending else F.col("id").asc())
-    return df.limit(limit) if limit is not None else df
+    forfeits ("Bucketed: false (disabled by query planner)").
+
+    The conf is scoped, not leaked: the physical plan is pinned eagerly
+    (queryExecution preparations run once and are cached on the returned
+    frame) and the session's prior value restored — otherwise one call
+    would silently change the planner for every later query on the
+    shared session."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        df = spark.table(ati_table).filter(F.col("account") == account)
+        df = df.orderBy(F.col("id").desc() if descending else F.col("id").asc())
+        if limit is not None:
+            df = df.limit(limit)
+        df._jdf.queryExecution().executedPlan()  # pin the plan under the conf
+        return df
+    finally:
+        spark.conf.set(key, prior)
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
@@ -115,9 +129,15 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 def pushed_filters(df: DataFrame) -> str:
     """The PushedFilters section of the formatted plan (empty string if
-    nothing reached the scan)."""
+    nothing reached the scan — a pushdown-free parquet scan prints
+    'PushedFilters: []', which must read as falsy here, not as a line)."""
     plan = explain_str(df)
-    return "\n".join(line for line in plan.splitlines() if "PushedFilters" in line)
+    lines = [
+        line
+        for line in plan.splitlines()
+        if "PushedFilters" in line and line.split("PushedFilters:")[1].strip() != "[]"
+    ]
+    return "\n".join(lines)
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:

@@ -599,6 +599,7 @@ WHERE json_extract_string(summary, '$.tag') IS NOT NULL
 ORDER BY id
 """
         ),
+        bench=True,
     ),
     "cis2_supply_guarded": QueryDef(
         queries.cis2_supply_guarded,
@@ -2831,3 +2832,45 @@ def oracle_sqls():
 
 def bench_queries():
     return {name: qd.spark for name, qd in REGISTRY.items() if qd.bench}
+
+
+#: The bench HEADLINE subset — the per-query timings that fit the
+#: driver's parsed stdout line (full detail goes to BENCH_DETAIL.json).
+#: Owned here so the registry stays the single source of query-set
+#: knowledge; the import-time check below makes membership drift a loud
+#: error instead of a silent omission from the headline.
+BENCH_HEADLINE = (
+    "account_txs_desc",
+    "iterate_account",
+    "cis2_supply",
+    "cis2_supply_guarded",
+    "key_bindings_latest",
+    "account_activity",
+    "summary_parse",
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "nation_revenue",
+    "lone_late_supplier",
+    "user_sessions",
+    "doc_exact_dup_groups",
+    "doc_minhash_signatures",
+    "doc_dup_components",
+    "doc_ngram_jaccard_pairs",
+    "doc_winnow_dup_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup_pairs_blocked",
+    "embedding_semdedup_pairs",
+    "corpus_curation_verdict",
+    "events_column_profile",
+    "doc_bm25_topk",
+    "hybrid_rrf_topk",
+    "corpus_source_overlap",
+)
+for _name in BENCH_HEADLINE:
+    if _name not in REGISTRY or not REGISTRY[_name].bench:
+        raise AssertionError(
+            f"BENCH_HEADLINE entry {_name!r} is not a bench=True registry "
+            "query — headline and bench set have drifted"
+        )
