@@ -8,7 +8,10 @@ bit-for-bit; top-k queries always carry a unique tiebreak column.
 Scale notes per query are inline; the common themes:
 - aggregations rely on partial (map-side) aggregation — shuffle carries
   |groups| rows, not |input|;
-- dimension joins (region/nation/customer/supplier) are broadcast — no
+- TINY dimension joins (region/nation/supplier/part) are force-broadcast;
+  customer is SF-proportional, so it carries NO broadcast hint — AQE still
+  broadcasts it while it fits the threshold, and the join degrades
+  gracefully to shuffle at scale instead of OOMing every executor — no
   shuffle of the fact table;
 - top-k is orderBy+limit => TakeOrderedAndProject (per-partition heap,
   driver merge), never a full sort.
@@ -20,6 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+
+
+def _ntz_epoch_ms(c: Column) -> Column:
+    """Epoch-ms of a TIMESTAMP_NTZ wall-clock anchored EXPLICITLY to UTC —
+    session-timezone independent. ``c.cast('timestamp')`` would interpret
+    the wall-clock in the session zone: on a foreign driver session whose
+    timeZone conf is pinned non-UTC (apply_runtime_confs is best-effort),
+    every derived epoch would shift by the zone offset and diverge from
+    the DuckDB oracle's epoch_ms. Same anchor as
+    ``sources.tables.normalize_events``."""
+    ts = F.make_timestamp(
+        F.year(c), F.month(c), F.dayofmonth(c),
+        F.hour(c), F.minute(c), F.second(c), F.lit("UTC"),
+    )
+    return F.unix_millis(ts)
 
 
 def _cents(col) -> F.Column:
@@ -50,7 +68,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping-priority top-k.
 
-    customer is a broadcast dimension; orders⋈lineitem is the only shuffle;
+    customer auto-broadcasts while small (no hint — it grows with SF);
+    orders⋈lineitem is the only shuffle;
     final top-10 is a TakeOrderedAndProject with unique (revenue, orderkey)
     tiebreak."""
     customer = load_table(spark, sf_dir, "customer")
@@ -64,7 +83,7 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_orderpriority")
@@ -72,7 +91,7 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
                 "revenue_cents"
             ),
-            F.unix_millis(F.max("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            _ntz_epoch_ms(F.max("o_orderdate")).alias("o_orderdate_ms"),
         )
         .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -103,7 +122,7 @@ def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multiway join: local-supplier revenue per nation.
 
-    All dimensions broadcast; the single big join chain
+    Tiny dims force-broadcast, customer by AQE's threshold; the single big join chain
     lineitem⋈orders⋈(customer,supplier,nation) keeps the fact table
     shuffled at most once (on orderkey)."""
     customer = load_table(spark, sf_dir, "customer")
@@ -118,7 +137,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supplier),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -138,7 +157,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue rolled up the full dimension chain region → nation →
     customer → orders → lineitem (the complete TPC-H Q5 geography).
-    All three dimensions broadcast; the fact chain shuffles once on
+    nation/region force-broadcast, customer by AQE's threshold; the fact chain shuffles once on
     orderkey; output is |region × nation| rows."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -149,7 +168,7 @@ def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -182,26 +201,29 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_breadth(spark: SparkSession, sf_dir: str, distinct_agg) -> DataFrame:
+    """Shared body of the part-breadth twins — only the distinct
+    aggregate differs (exact vs HLL), so the join shape and scale
+    commentary exist once. orders is a FACT table: never force-broadcast
+    it (the hint bypasses the size threshold and would ship the whole
+    table to every executor at scale); the fact-fact orderkey join is
+    the one honest shuffle, and a bucketed layout on orderkey collapses
+    it to zero exchanges."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(distinct_agg, F.count("*").alias("n_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def priority_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT part) per order priority — the distinct-agg
     shape (two-phase: dedup shuffle then count; at 100 TB swap in
     approx_count_distinct when a 2% error is acceptable)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    # orders is a FACT table: never force-broadcast it (the hint bypasses
-    # the size threshold and would ship the whole table to every executor
-    # at scale). The fact-fact orderkey join is the one honest shuffle —
-    # the same convention as late_shipment_priority_split; a bucketed
-    # layout on orderkey collapses it to zero exchanges.
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.count("*").alias("n_lines"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return _part_breadth(spark, sf_dir, F.countDistinct("l_partkey").alias("n_parts"))
 
 
 def priority_part_breadth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,21 +236,9 @@ def priority_part_breadth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so there is no cross-engine value oracle — the
     exactness twin ``priority_part_breadth`` is the value-checked one, and
     ``tests/test_approx.py`` bounds this one's error against it."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    # orders is a FACT table: never force-broadcast it (the hint bypasses
-    # the size threshold and would ship the whole table to every executor
-    # at scale). The fact-fact orderkey join is the one honest shuffle —
-    # the same convention as late_shipment_priority_split; a bucketed
-    # layout on orderkey collapses it to zero exchanges.
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
-            F.count("*").alias("n_lines"),
-        )
-        .orderBy("o_orderpriority")
+    return _part_breadth(
+        spark, sf_dir,
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
     )
 
 
@@ -297,17 +307,22 @@ def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _custkeys_in_year(orders: DataFrame, y: int) -> DataFrame:
+    """Custkeys with an order in calendar year ``y`` (half-open interval)
+    — the one definition behind the INTERSECT/EXCEPT/UNION trio, so the
+    window predicate can never silently diverge between them."""
+    return orders.filter(
+        (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+
+
 def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT: customers ordering in both 1996 and 1997 — set ops are
     a §2.12 absence; Spark plans ``intersect`` as a dedup aggregate +
     left-semi hash join (one shuffle keyed by custkey)."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def year(y: int) -> DataFrame:
-        return orders.filter(
-            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
-            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
-        ).select("o_custkey")
+    year = lambda y: _custkeys_in_year(orders, y)  # noqa: E731
 
     return year(1996).intersect(year(1997)).orderBy("o_custkey")
 
@@ -316,12 +331,7 @@ def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct): customers ordering in 1996 but not 1997 —
     planned as a left-anti hash join after dedup."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def year(y: int) -> DataFrame:
-        return orders.filter(
-            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
-            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
-        ).select("o_custkey")
+    year = lambda y: _custkeys_in_year(orders, y)  # noqa: E731
 
     return year(1996).subtract(year(1997)).orderBy("o_custkey")
 
@@ -333,12 +343,7 @@ def active_customers_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed by custkey; both inputs are the same pruned 2-column
     scan, so at 100 TB this is a single pass over the date-pruned slice."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def year(y: int) -> DataFrame:
-        return orders.filter(
-            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
-            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
-        ).select("o_custkey")
+    year = lambda y: _custkeys_in_year(orders, y)  # noqa: E731
 
     return year(1996).union(year(1997)).distinct().orderBy("o_custkey")
 
@@ -360,7 +365,7 @@ def nation_monthly_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     monthly = (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -640,12 +645,12 @@ def big_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+            _ntz_epoch_ms(F.col("o_orderdate")).alias("o_orderdate_ms"),
             _cents(F.col("o_totalprice")).alias("price_cents"),
             "sum_qty",
         )
@@ -768,7 +773,7 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ts_ms"),
+            _ntz_epoch_ms(F.col("o_orderdate")).alias("ts_ms"),
         )
         .withColumn("prev_ms", F.lag("ts_ms").over(w))
         .withColumn("next_ms", F.lead("ts_ms").over(w))
@@ -857,7 +862,10 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(r + F.ceil((rn - big) / q))
         .cast("long")
     )
-    total = spend.agg(F.count("*").alias("_n"))
+    # count over the RANKED frame, not over spend: ranked reads
+    # global_ranked's persisted range-partitioned input, while spend's
+    # lineage would re-scan and re-aggregate the orders fact a second time
+    total = ranked.agg(F.count("*").alias("_n"))
     return (
         ranked.crossJoin(F.broadcast(total))
         .select("o_custkey", "spend_cents", decile.alias("decile"))
@@ -1107,7 +1115,7 @@ def nation_market_share(
             "o_year",
             "nation_cents",
             "total_cents",
-            F.round(1000 * F.col("nation_cents") / F.col("total_cents"), 0)
+            F.round(1000.0 * F.col("nation_cents") / F.col("total_cents"), 0)
             .cast("long")
             .alias("share_permille"),
         )
@@ -1137,7 +1145,7 @@ def promo_revenue_permille(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "promo_cents",
             "total_cents",
-            F.round(1000 * F.col("promo_cents") / F.col("total_cents"), 0)
+            F.round(1000.0 * F.col("promo_cents") / F.col("total_cents"), 0)
             .cast("long")
             .alias("promo_permille"),
         )
@@ -1715,7 +1723,7 @@ def orders_trailing_month_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("od_ms"),
+        _ntz_epoch_ms(F.col("o_orderdate")).alias("od_ms"),
     )
     w = (
         Window.partitionBy("o_custkey")

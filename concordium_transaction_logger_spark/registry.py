@@ -221,15 +221,42 @@ ORDER BY vec_a, vec_b
 )
 
 
+_BPE_HEAD = r"""
+, bwf AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS f
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+r0 AS MATERIALIZED (
+  SELECT tok, f, regexp_replace(tok, '(.)', '[\1]', 'g') AS rep FROM bwf
+)"""
+
+
+def _bpe_step(k: int) -> str:
+    return f""",
+p{k} AS MATERIALIZED (
+  SELECT s[i] AS l, s[i+1] AS r, SUM(f) AS cnt
+  FROM (SELECT f, string_split(substr(rep, 2, length(rep) - 2), '][') AS s
+        FROM r{k-1}),
+       unnest(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY l, r
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+r{k} AS MATERIALIZED (
+  SELECT tok, f,
+         replace(rep, '[' || (SELECT l FROM b{k}) || '][' || (SELECT r FROM b{k}) || ']',
+                      '[' || (SELECT l FROM b{k}) || (SELECT r FROM b{k}) || ']') AS rep
+  FROM r{k-1}
+)"""
+
+
 def _bpe_apply_sql() -> str:
     """Generated oracle for textstats.bpe_apply: the same unrolled merge
     chain as _bpe_sql, finishing with per-doc piece/char counts under the
     final symbol table."""
     e = textstats.BPE_MERGES
-    steps = _bpe_sql()
-    # reuse everything up to the final UNION-ALL select of _bpe_sql
-    head = steps[: steps.index("\nSELECT CAST(1 AS BIGINT)")]
-    return head + f"""
+    return wrap(_bpe_ctes()) + f"""
 , bnp AS MATERIALIZED (
   SELECT tok,
          CAST(length(rep) - length(replace(rep, '[', '')) AS BIGINT) AS np
@@ -252,32 +279,7 @@ def _bpe_sql() -> str:
     merge steps over the word/frequency table; symbol strings are
     bracketed so merge application is exact literal replace()."""
     e = textstats.BPE_MERGES
-    parts = [r"""
-, bwf AS MATERIALIZED (
-  SELECT tok, COUNT(*) AS f
-  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
-),
-r0 AS MATERIALIZED (
-  SELECT tok, f, regexp_replace(tok, '(.)', '[\1]', 'g') AS rep FROM bwf
-)"""]
-    for k in range(1, e + 1):
-        parts.append(f""",
-p{k} AS MATERIALIZED (
-  SELECT s[i] AS l, s[i+1] AS r, SUM(f) AS cnt
-  FROM (SELECT f, string_split(substr(rep, 2, length(rep) - 2), '][') AS s
-        FROM r{k-1}),
-       unnest(generate_series(1, len(s) - 1)) AS u(i)
-  GROUP BY l, r
-),
-b{k} AS MATERIALIZED (
-  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
-),
-r{k} AS MATERIALIZED (
-  SELECT tok, f,
-         replace(rep, '[' || (SELECT l FROM b{k}) || '][' || (SELECT r FROM b{k}) || ']',
-                      '[' || (SELECT l FROM b{k}) || (SELECT r FROM b{k}) || ']') AS rep
-  FROM r{k-1}
-)""")
+    parts = [_bpe_ctes()]
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS step, l AS left, r AS right, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
         for k in range(1, e + 1)
@@ -287,6 +289,19 @@ r{k} AS MATERIALIZED (
 ORDER BY step
 """)
     return wrap("".join(parts))
+
+
+def _bpe_ctes() -> str:
+    """The unrolled BPE merge-chain CTEs alone (no final select) — the
+    shared head both _bpe_sql and _bpe_apply_sql build on, exposed as its
+    own piece instead of string-slicing one function's output inside the
+    other (a format tweak to the final select must never corrupt or kill
+    the sibling oracle at import time)."""
+    e = textstats.BPE_MERGES
+    parts = [_BPE_HEAD]
+    for k in range(1, e + 1):
+        parts.append(_bpe_step(k))
+    return "".join(parts)
 
 
 def _perceptron_eval_sql() -> str:

@@ -119,3 +119,38 @@ def test_wide_sum_refuses_over_capacity_amounts(spark):
     df = spark.createDataFrame([(1, "1" + "0" * 95)], "grp int, amt string")
     with pytest.raises(Exception, match="capacity"):
         wide_sum(df, ["grp"], "amt").collect()
+
+
+def test_ntz_epoch_anchoring_is_session_tz_independent(spark):
+    """_ntz_epoch_ms must not move when the session timezone does: a
+    foreign driver session can pin a non-UTC zone that apply_runtime_confs
+    cannot override, and the naive cast('timestamp') interprets the NTZ
+    wall-clock in that zone — the divergence this helper exists to
+    prevent."""
+    from pyspark.sql import functions as F
+
+    from concordium_transaction_logger_spark.operators import relational
+
+    df = spark.createDataFrame([("2024-06-01 12:00:00",)], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_ms = df.select(
+            relational._ntz_epoch_ms(F.col("ts")).alias("ms")
+        ).first().ms
+        cast_utc = df.select(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms")
+        ).first().ms
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_ms = df.select(
+            relational._ntz_epoch_ms(F.col("ts")).alias("ms")
+        ).first().ms
+        cast_ny = df.select(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms")
+        ).first().ms
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+    assert utc_ms == ny_ms == cast_utc  # anchored, and == the UTC cast
+    assert cast_ny != cast_utc  # the naive cast DOES shift — the fixed bug
