@@ -599,6 +599,24 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_DIM = 64
 
+#: SemDeDup's scale dial: the default cluster count grows with the corpus
+#: so the blocked pair space Σ|cluster|² ≈ N·target stays LINEAR in N
+#: (fixed k would be N²/k — quadratic; measured in SCALE_SLOPES.json).
+#: 250 keeps the per-task |cluster|² matmul ≈ 62k sims — comfortably
+#: inside one Arrow batch — and reproduces the historical k=8 geometry on
+#: the ≤2k-vector test corpora, so the oracle stays bit-identical there.
+SEMDEDUP_TARGET_CLUSTER = 250
+
+
+def semdedup_default_k(spark: SparkSession, sf_dir: str) -> int:
+    """k = max(KMEANS_K, ceil(N / SEMDEDUP_TARGET_CLUSTER)) — the
+    corpus-size-derived cluster count the DuckDB oracle computes with the
+    same formula (scalar subquery over qvec), so both engines pick the
+    identical geometry at any SF. The count() is parquet-footer metadata,
+    not a scan."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return max(KMEANS_K, -(-n // SEMDEDUP_TARGET_CLUSTER))
+
 
 def _kmeans_assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Nearest-centroid assignment as an Arrow-batched numpy kernel.
@@ -722,12 +740,21 @@ def kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_pairs(
-    spark: SparkSession, sf_dir: str, threshold_micro: int = 400_000, k: int = KMEANS_K
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_micro: int = 400_000,
+    k: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked near-duplicate pairs: score only
     pairs that share a k-means cluster (Abbas et al. 2023's blocking), so
     the pair space is sum(|cluster|²) instead of |corpus|² — THE scale
     path for embedding dedup at 100 TB, where all-pairs is impossible.
+
+    ``k`` defaults to :func:`semdedup_default_k` (k ∝ N, target cluster
+    size :data:`SEMDEDUP_TARGET_CLUSTER`) — NOT a fixed constant, because
+    fixed k makes Σ|cluster|² quadratic as the corpus grows past the
+    cluster capacity (SCALE_SLOPES.json: fixed k=8 slope ~2 at 10×,
+    default slope ~linear). Pass an explicit k only to pin a geometry.
 
     Reads the session's materialized k-means assignment and scores each
     cluster independently inside ``applyInPandas`` — one |cluster|²
@@ -740,6 +767,8 @@ def semdedup_pairs(
     import numpy as np
     import pandas as pd
 
+    if k is None:
+        k = semdedup_default_k(spark, sf_dir)
     idx = kmeans_index(spark, sf_dir, k=k).select("vec_id", "cluster", "e")
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -2489,11 +2489,19 @@ ORDER BY query_id, rank
         _NEAR_DUP_SQL,
         bench=True,
     ),
+    # Oracle computes the SAME corpus-size-derived k as
+    # similarity.semdedup_default_k (max(KMEANS_K, ceil(N/250)) as a
+    # scalar subquery), so the two engines agree on the geometry at any
+    # SF — the fixed-k=8 literal would silently diverge past 2k vectors.
     "embedding_semdedup_pairs": QueryDef(
         lambda spark, sf: similarity.semdedup_pairs(spark, sf, 400_000),
         wrap(
-            """
-, c0 AS (SELECT vec_id AS cid, e AS ce FROM qvec WHERE vec_id < 8),
+            f"""
+, kk AS (SELECT GREATEST({similarity.KMEANS_K},
+                         (COUNT(*) + {similarity.SEMDEDUP_TARGET_CLUSTER - 1})
+                           // {similarity.SEMDEDUP_TARGET_CLUSTER}) AS k
+         FROM qvec),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM qvec WHERE vec_id < (SELECT k FROM kk)),
 d1 AS (
   SELECT q.vec_id, q.e, c.cid,
     list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
@@ -2733,22 +2741,31 @@ ORDER BY label, dim
 # pytest alone. Everything past slot 50 stays oracle-verified by
 # tests/test_oracle_parity.py.
 #
-# ROTATION (round 4 onward): ~10-13 of the non-pinned slots swap each
-# round so the ~75 past-slot-50 queries cycle through driver
-# verification across rounds instead of riding local DuckDB forever.
-# Rotated IN for round 4: doc_minhash_jaccard_estimate,
-# doc_dedup_survivors, doc_ngram_novelty, embedding_kmeans_profile,
-# embedding_near_dup_pairs, doc_tfdf_top_terms, doc_lang_confusion,
-# doc_quality_gate, pricing_summary, user_sessions,
-# customer_spend_deciles, media_validation, cis2_supply_wide_overflow
-# (new pin). Rotated OUT (r03-green, still covered by
-# test_oracle_parity): doc_simhash, doc_minhash_signatures,
-# corpus_dedup_stats, ann_cosine_topk_int8, ann_ivf_assign,
-# doc_dup_verdict, doc_token_stats, doc_bpe_token_stats,
-# doc_repetition_profile, doc_winnow_fingerprints, doc_train_split,
-# doc_stratified_sample, media_frame_sample. Late round-4 swaps:
-# doc_bm25_topk and corpus_source_overlap take the r03-green slots of
-# doc_winnow_dup_pairs and doc_split_contamination.
+# ROTATION (round 4 onward): the non-pinned slots swap each round so the
+# ~90 past-slot-50 queries cycle through driver verification across
+# rounds instead of riding local DuckDB forever.
+# Round 5 rotated IN 24 never-driver-checked names (doc_fingerprints,
+# doc_simhash_dup_pairs, doc_stop_shingles, embedding_label_centroids,
+# embedding_lang_label_stats, hybrid_rrf_topk, doc_perceptron_eval,
+# corpus_bpe_apply, doc_dsir_weights, doc_bigram_repetition,
+# doc_source_profile, doc_split_counts, media_byte_histogram,
+# media_resize, events_column_profile, event_funnel, weekly_retention,
+# event_type_hourly, event_hourly_anomaly, lone_late_supplier,
+# nation_market_share, top_orders_per_customer,
+# orders_trailing_month_count, promo_revenue_permille), keeping 7
+# holdovers (one anchor per family + the ops whose defaults changed this
+# round). Rotated OUT (r04-green): doc_minhash_band_pairs,
+# doc_dup_components, doc_ngram_jaccard_pairs,
+# doc_minhash_jaccard_estimate, doc_ngram_novelty, doc_duplicate_spans,
+# doc_dedup_clean_text, ann_lsh_topk, ann_ivf_topk,
+# embedding_near_dup_pairs(_blocked), doc_perceptron_train,
+# doc_tfdf_top_terms, doc_lang_confusion, doc_quality_gate,
+# doc_unigram_surprisal, corpus_bpe_merges, doc_shuffle_shards,
+# doc_pack_sequences, corpus_source_overlap, asof_purchase_last_click,
+# media_validation, pricing_summary, user_sessions,
+# customer_spend_deciles. Never-driver-checked remaining after r5: 17
+# (incl. the two rows-only entries ann_pq_topk /
+# events_column_profile_approx, which cannot hold an oracle slot).
 # ----------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # reference read surface (SURVEY §2.3-§2.8) — pinned
@@ -2771,56 +2788,50 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # deduplication family (doc_exact_dup_groups rotated out after its r03
-    # green row to make room for the new span-dedup ops; still
-    # value-checked locally every pytest run)
-    "doc_minhash_band_pairs",
-    "doc_dup_components",
-    "doc_ngram_jaccard_pairs",
-    "doc_minhash_jaccard_estimate",
+    # ---- round-5 rotation: 24 never-driver-checked entries take the
+    # slots of r04-green rows (all rotated-out names stay value-checked
+    # every pytest run by test_oracle_parity). Holdovers (7): one anchor
+    # per family plus the two ops whose defaults changed this round
+    # (embedding_semdedup_pairs scale-safe k, corpus re-checks).
+    # deduplication / span family
     "doc_dedup_survivors",
-    "doc_ngram_novelty",
-    "doc_duplicate_spans",
-    "doc_dedup_clean_text",
     "doc_span_admission",
+    "doc_fingerprints",
+    "doc_simhash_dup_pairs",
+    "doc_stop_shingles",
     # similarity / embedding family
     "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup_pairs_blocked",
-    # embedding_semdedup_pairs rotated out after its r03 green row
     "embedding_kmeans_profile",
-    "embedding_near_dup_pairs",
-    # text-analysis family (doc_quality / doc_lang_id rotated out after
-    # their r03 green rows — same local-parity backstop;
-    # doc_winnow_dup_pairs' r03-green slot goes to the new lexical
-    # retrieval op)
+    "embedding_semdedup_pairs",
+    "embedding_label_centroids",
+    "embedding_lang_label_stats",
+    # retrieval
     "doc_bm25_topk",
-    # doc_quality_classifier rotated out after its r03 green row; the
-    # in-engine trainer takes the slot
-    "doc_perceptron_train",
-    "doc_tfdf_top_terms",
-    "doc_lang_confusion",
-    "doc_quality_gate",
-    "doc_unigram_surprisal",
-    # error_followup_burst's slot (r03 green) goes to the BPE trainer
-    "corpus_bpe_merges",
-    # sampling / curation family (corpus_mixture_plan rotated out after its
-    # r03 green row; the new pre-training shuffle takes the slot)
-    "doc_shuffle_shards",
-    "doc_pack_sequences",
-    # doc_split_contamination's r03-green slot goes to the new
-    # cross-source overlap matrix
-    "corpus_source_overlap",
+    "hybrid_rrf_topk",
+    # text-analysis family
+    "doc_perceptron_eval",
+    "corpus_bpe_apply",
+    "doc_dsir_weights",
+    "doc_bigram_repetition",
+    "doc_source_profile",
+    "doc_split_counts",
+    # curation
     "corpus_curation_verdict",
-    # temporal joins
-    "asof_purchase_last_click",
     # multimodal plumbing
-    "media_validation",
-    # relational / TPC-H / window family (zero driver rows through r3)
-    "pricing_summary",
-    "user_sessions",
-    "customer_spend_deciles",
+    "media_byte_histogram",
+    "media_resize",
+    # events / streaming-shape analytics
+    "events_column_profile",
+    "event_funnel",
+    "weekly_retention",
+    "event_type_hourly",
+    "event_hourly_anomaly",
+    # relational / TPC-H / window family
+    "lone_late_supplier",
+    "nation_market_share",
+    "top_orders_per_customer",
+    "orders_trailing_month_count",
+    "promo_revenue_permille",
 ]
 
 # Star-contraction components twin: identical output contract and oracle

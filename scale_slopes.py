@@ -31,9 +31,11 @@ Corpus construction (deterministic, structure-preserving):
   whose duplicate density grows with breadth.)
 - all other tables symlink to the base sf dir.
 
-SemDeDup is measured twice: at the oracle-pinned fixed k=8 (pair space
-Σ|cluster|² ≈ N²/k — quadratic at fixed k) and at k ∝ N (constant
-cluster size — the production dial, expected ~linear).
+SemDeDup is measured twice: at an explicitly pinned fixed k=8 (pair
+space Σ|cluster|² ≈ N²/k — quadratic at fixed k, kept as the cautionary
+contrast) and at the DEFAULT (k derived from corpus size, constant
+target cluster — expected ~linear; since round 5 the default IS the
+scaled path, `similarity.semdedup_default_k`).
 
 A full untimed warm pass over a scratch corpus runs first so
 whole-stage-codegen compilation is not billed to the 1x column.
@@ -172,10 +174,10 @@ def main() -> None:
             "ann_lsh": similarity.ann_lsh_topk,
             "ann_ivf": similarity.ivf_topk,
             "ann_pq": similarity.ann_pq_topk,
-            "semdedup_fixed_k": similarity.semdedup_pairs,
-            "semdedup_scaled_k": lambda s, d: similarity.semdedup_pairs(
-                s, d, k=similarity.KMEANS_K * m
+            "semdedup_fixed_k": lambda s, d: similarity.semdedup_pairs(
+                s, d, k=similarity.KMEANS_K
             ),
+            "semdedup_default": similarity.semdedup_pairs,
             "near_dup_blocked_exact": similarity.near_dup_pairs_blocked,
             # retrieval family: BM25's query terms live in replica 0 only,
             # so df stays constant while the scanned corpus grows — the

@@ -202,3 +202,73 @@ def test_lsh_layout_probe_prunes_partitions(spark, sf_dir, tmp_path):
     want = [tuple(r) for r in similarity.ann_lsh_topk(spark, sf_dir).collect()]
     got = [tuple(r) for r in df.collect()]
     assert got == want and got
+
+
+def test_semdedup_default_k_scales_and_matches_oracle(spark, sf_dir, tmp_path):
+    """The round-5 scale fix: semdedup's DEFAULT k is derived from corpus
+    size (k = max(KMEANS_K, ceil(N/SEMDEDUP_TARGET_CLUSTER))) instead of a
+    fixed 8, and the DuckDB oracle computes the identical formula as a
+    scalar subquery — so both engines pick the same geometry at ANY
+    corpus size, not just the test SFs where the formula happens to give
+    8. Builds a 3000-vector corpus (k must resolve to 12) and runs the
+    registry entry's Spark fn and oracle side-by-side on it."""
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from concordium_transaction_logger_spark.cache import release_corpus
+    from concordium_transaction_logger_spark.registry import REGISTRY
+    from concordium_transaction_logger_spark.sources.tables import TABLES
+
+    cdir = str(tmp_path / "bigvec")
+    os.makedirs(cdir)
+    for name in TABLES:
+        if name == "embeddings":
+            continue
+        os.symlink(
+            os.path.join(sf_dir, f"{name}.parquet"),
+            os.path.join(cdir, f"{name}.parquet"),
+        )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    parts = [emb]
+    for r in range(1, 6):  # 6 x 500 = 3000 vectors
+        rot = r % 64
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * 100_000).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", rot + 1, 64 - rot),
+                    F.slice("embedding", 1, rot),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(4).write.parquet(os.path.join(cdir, "embeddings.parquet"))
+
+    assert similarity.semdedup_default_k(spark, cdir) == 12
+
+    qd = REGISTRY["embedding_semdedup_pairs"]
+    try:
+        sdf = qd.spark(spark, cdir)
+        got = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        release_corpus(spark, cdir)
+
+    con = duckdb.connect()
+    try:
+        for name in TABLES:
+            con.sql(
+                f"CREATE VIEW {name} AS SELECT * "
+                f"FROM read_parquet('{cdir}/{name}.parquet/*.parquet')"
+                if name == "embeddings"
+                else f"CREATE VIEW {name} AS SELECT * "
+                f"FROM read_parquet('{cdir}/{name}.parquet')"
+            )
+        want = sorted(tuple(r) for r in con.sql(qd.oracle).fetchall())
+    finally:
+        con.close()
+    assert got and got == want
