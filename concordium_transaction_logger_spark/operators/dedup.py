@@ -382,7 +382,22 @@ def dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
     # — the pair graph is Σ df² per bucket, which is exactly the blowup
     # hot buckets suffer at 100 TB. Round = two partial-aggregated
     # shuffles: min label per bucket, then min bucket-label per doc.
-    buckets = band_buckets(spark, sf_dir)
+    return components_over_buckets(
+        band_buckets(spark, sf_dir),
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        max_iter=max_iter,
+    )
+
+
+def components_over_buckets(
+    buckets: DataFrame, all_docs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Hash-min connected components over an arbitrary (doc_id, bucket)
+    bipartite frame — the shared core of :func:`dup_components` (which
+    feeds it the memoized whole-corpus band index) and the streaming
+    reconciler (``StreamingCorpusIngest.reconcile``, which feeds it the
+    buckets of the seen corpus). ``all_docs`` supplies the singleton
+    universe (docs with no bucket keep component_id = doc_id, size 1)."""
     labels = (
         buckets.select("doc_id")
         .distinct()
@@ -410,8 +425,7 @@ def dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
         if changed == 0:
             break
     singletons = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
+        all_docs.select("doc_id")
         .join(labels.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", F.col("doc_id").alias("label"))
     )
@@ -974,10 +988,21 @@ def span_admission(
     Scale shape: identical to :func:`duplicate_spans` — scan-side window
     hashing, ONE count/min window over the hash key, doc-partitioned
     island merge, linear output."""
-    from pyspark.sql.window import Window
-
     para = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(para, "doc_id")
+    return span_admission_frame(docs, span_l, max_dup_permille)
+
+
+def span_admission_frame(
+    docs: DataFrame,
+    span_l: int = SPAN_L,
+    max_dup_permille: int = SPAN_MAX_DUP_PERMILLE,
+) -> DataFrame:
+    """:func:`span_admission` over an arbitrary ``(doc_id, text)`` frame —
+    the shared core the streaming reconciler re-runs over the seen corpus
+    so its span verdict is expression-identical to the batch one."""
+    from pyspark.sql.window import Window
+
     t = F.col("t")
     tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     spans = doc_span_occurrences(docs, span_l)

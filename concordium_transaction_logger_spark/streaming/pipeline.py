@@ -1011,8 +1011,9 @@ class StreamingCorpusIngest:
     because "earlier" (smaller doc_id) is then batch-boundary-free
     (asserted in ``test_streaming.py``); if the feed delivers out of id
     order, a document whose smaller-id twin arrives later is admitted —
-    a one-pass streaming decision cannot see the future — and the batch
-    job is the reconciler, the same contract as the near-dup layer.
+    a one-pass streaming decision cannot see the future — and
+    :meth:`reconcile` is the reconciler, the same contract as the
+    near-dup layer.
 
     Admission semantics: the greedy prefix rule — admit d iff no
     earlier-seen document shares a bucket with d. On an id-ordered full
@@ -1020,8 +1021,8 @@ class StreamingCorpusIngest:
     min-id) whenever every non-keeper has a direct bucket-mate with a
     smaller id; a component connected ONLY through a later-arriving
     bridge doc admits the pre-bridge members (a one-pass streaming
-    decision cannot see the future) — the batch job is the reconciler
-    for that rare shape, the equivalence is asserted on the test corpora."""
+    decision cannot see the future) — :meth:`reconcile` closes that shape
+    too, the equivalence is asserted on the test corpora."""
 
     def __init__(
         self,
@@ -1086,6 +1087,7 @@ class StreamingCorpusIngest:
         from ..operators.dedup import doc_band_buckets
         from ..operators.textstats import gate_reason
 
+        orig_batch = batch_df
         reject_frames = []
         if self.quality_gate:
             gated = batch_df.withColumn("reason", gate_reason(F.col("text")))
@@ -1219,17 +1221,175 @@ class StreamingCorpusIngest:
         try:
             self._write_partitioned(fresh, batch_id, self.out_dir)
             if reject_frames:
-                rejects = reject_frames[0]
+                reasons = reject_frames[0]
                 for rf in reject_frames[1:]:
-                    rejects = rejects.unionByName(rf)
+                    reasons = reasons.unionByName(rf)
+                # one reject row per doc (most specific layer wins:
+                # gate < exact_dup < near_dup < span_dup in arrival
+                # order of the layers above), carrying the FULL document
+                # row — the reject log is the quarantine the reconciler
+                # resurrects from, not just an audit of ids.
+                prec = (
+                    F.when(F.col("reason") == "exact_dup", 1)
+                    .when(F.col("reason") == "near_dup", 2)
+                    .when(F.col("reason") == "span_dup", 3)
+                    .otherwise(0)
+                )
+                w_r = Window.partitionBy("doc_id").orderBy(prec.asc())
+                reasons = (
+                    reasons.withColumn("prk", F.row_number().over(w_r))
+                    .filter(F.col("prk") == 1)
+                    .drop("prk")
+                )
                 self._write_partitioned(
-                    rejects, batch_id, self.out_dir + "_rejects"
+                    orig_batch.join(reasons, "doc_id"),
+                    batch_id,
+                    self.out_dir + "_rejects",
                 )
         finally:
             if bb is not None:
                 bb.unpersist()
             if sp_state is not None:
                 sp_state.unpersist()
+
+    #: reject reasons the reconciler may overturn — the dedup layers'
+    #: verdicts are arrival-order-dependent; quality-gate reasons are
+    #: row-local and order-free, so those rejects are never resurrected.
+    _DEDUP_REASONS = ("exact_dup", "near_dup", "span_dup")
+
+    def reconcile(self) -> DataFrame:
+        """Re-run the BATCH verdict over everything the stream has seen
+        and rewrite the sinks to it — the out-of-order reconciler the
+        one-pass admission defers to (class docstring): a duplicate whose
+        keeper arrived in a LATER batch was admitted greedily (a stream
+        cannot see the future); this overturns it, retracting the
+        wrongly-admitted doc and resurrecting the true keeper from the
+        reject quarantine (the rejects sink stores full rows for exactly
+        this reason).
+
+        The verdict is the composition of the batch twins, each computed
+        with the SAME shared expressions over the seen gate-passing
+        corpus (admitted ∪ dedup-rejected):
+
+        - exact: keeper = min doc_id per fingerprint
+          (``dedup.exact_dup_groups`` rule);
+        - near-dup (when enabled): keeper = component min over the
+          MinHash band graph (``dedup.components_over_buckets`` — the
+          ``dedup_survivors`` rule, which also fixes the greedy
+          admission's late-bridge-component divergence);
+        - span (when enabled): admit iff ``dedup.span_admission_frame``
+          says admit (min-doc-per-window over the whole seen corpus).
+
+        Quality-gate rejects are order-independent and stay rejected.
+        Returns the actions frame (doc_id, action ∈ retract|late_admit,
+        reason) — empty when the stream happened to deliver in id order.
+        Run it after the stream drains (availableNow), like a compaction
+        step: a later lost-checkpoint full replay re-applies the greedy
+        verdict per batch and needs a fresh reconcile after it.
+
+        Scale shape: one fingerprint aggregate, one component propagation
+        over the candidate sliver, one span window pass — the same plans
+        as the batch operators, reading the sink instead of the source;
+        no pair space, no driver-side data path."""
+        from ..operators.dedup import (
+            components_over_buckets,
+            doc_band_buckets,
+            span_admission_frame,
+        )
+
+        src = self.spark.read.parquet(self.source_dir)
+        doc_cols = src.columns
+        admitted_like = src.withColumn("fp", _doc_fp())
+        rejects_like = src.withColumn("reason", F.lit(""))
+        admitted = self._read_state(self.out_dir, admitted_like)
+        rejects = self._read_state(self.out_dir + "_rejects", rejects_like)
+
+        quarantine = rejects.filter(F.col("reason").isin(*self._DEDUP_REASONS))
+        corpus = (
+            admitted.select(*doc_cols, "ingest_batch")
+            .unionByName(quarantine.select(*doc_cols, "ingest_batch"))
+            .withColumn("fp", _doc_fp())
+        )
+
+        fp_min = corpus.groupBy("fp").agg(F.min("doc_id").alias("fp_keeper"))
+        verdict = corpus.join(fp_min, "fp").withColumn(
+            "exact_ok", F.col("doc_id") == F.col("fp_keeper")
+        )
+        if self.near_dup:
+            comp = components_over_buckets(
+                doc_band_buckets(corpus), corpus.select("doc_id")
+            ).select("doc_id", "component_id")
+            verdict = verdict.join(comp, "doc_id").withColumn(
+                "near_ok", F.col("doc_id") == F.col("component_id")
+            )
+        else:
+            verdict = verdict.withColumn("near_ok", F.lit(True))
+        if self.span_dedup:
+            sv = span_admission_frame(corpus).select(
+                "doc_id", (F.col("verdict") == "admit").alias("span_ok")
+            )
+            verdict = verdict.join(sv, "doc_id")
+        else:
+            verdict = verdict.withColumn("span_ok", F.lit(True))
+        verdict = verdict.withColumn(
+            "admit", F.col("exact_ok") & F.col("near_ok") & F.col("span_ok")
+        ).withColumn(
+            "new_reason",
+            F.when(~F.col("exact_ok"), F.lit("exact_dup"))
+            .when(~F.col("near_ok"), F.lit("near_dup"))
+            .when(~F.col("span_ok"), F.lit("span_dup")),
+        )
+
+        new_admitted = (
+            verdict.filter(F.col("admit"))
+            .select(*doc_cols, "fp", "ingest_batch")
+            .localCheckpoint()
+        )
+        new_rejects = (
+            verdict.filter(~F.col("admit"))
+            .select(*doc_cols, F.col("new_reason").alias("reason"), "ingest_batch")
+            .unionByName(
+                rejects.filter(~F.col("reason").isin(*self._DEDUP_REASONS)).select(
+                    *doc_cols, "reason", "ingest_batch"
+                )
+            )
+            .localCheckpoint()
+        )
+        was_admitted = admitted.select("doc_id")
+        now_admitted = new_admitted.select("doc_id")
+        actions = (
+            was_admitted.join(now_admitted, "doc_id", "left_anti")
+            .join(
+                verdict.select("doc_id", "new_reason"), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                F.lit("retract").alias("action"),
+                F.col("new_reason").alias("reason"),
+            )
+            .unionByName(
+                now_admitted.join(was_admitted, "doc_id", "left_anti").select(
+                    "doc_id",
+                    F.lit("late_admit").alias("action"),
+                    F.lit("reconciled").alias("reason"),
+                )
+            )
+            .localCheckpoint()
+        )
+        # full static overwrite (NOT dynamic): the reconciled verdict
+        # replaces every batch partition, including ones whose every row
+        # was overturned
+        for df, path in (
+            (new_admitted, self.out_dir),
+            (new_rejects, self.out_dir + "_rejects"),
+        ):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("ingest_batch")
+                .parquet(path)
+            )
+        return actions
 
     def run_available_now(self) -> None:
         schema = self.spark.read.parquet(self.source_dir).schema

@@ -962,3 +962,121 @@ def test_streaming_span_admission_out_of_order_is_permissive_only(spark, sf_dir,
     )
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert rejected <= (all_ids - batch_admit)
+
+
+def test_reconcile_converges_disordered_near_dup_to_batch_survivors(
+    spark, sf_dir, dirs
+):
+    """THE reconciler contract (round-5): deliver the corpus in REVERSED
+    id order with maxFilesPerTrigger=1, plus an exact twin of a small-id
+    keeper injected into the FIRST (highest) slice — so the greedy
+    one-pass admission both over-admits near-dups (the late keeper can't
+    retro-reject its earlier-arrived mates) AND wrongly rejects the true
+    exact keeper when it finally arrives (its fingerprint is already
+    seen). ``reconcile()`` must re-run the batch verdict over the seen
+    corpus — retracting the wrong admits and resurrecting the true keeper
+    from the reject quarantine — until the admitted set EQUALS batch
+    ``dedup_survivors``. A second reconcile is a fixpoint (no actions)."""
+    from concordium_transaction_logger_spark.operators import dedup
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {r["doc_id"] for r in dedup.dedup_survivors(spark, sf_dir).collect()}
+    top = docs.agg(F.max("doc_id")).first()[0]
+    keeper = min(d for d in want if d < 150)
+    twin = docs.filter(F.col("doc_id") == keeper).select(
+        F.lit(top + 1).cast("long").alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    # the twin shares the keeper's buckets, so components (and the
+    # survivor set) are unchanged by the injection — keeper stays min
+    slices = [
+        docs.filter(F.col("doc_id") >= 350).unionByName(twin),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 350)),
+        docs.filter(F.col("doc_id") < 150),
+    ]
+    for sl in slices:
+        sl.coalesce(1).write.mode("append").parquet(dirs["source"])
+    ingest = StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        near_dup=True,
+    )
+    ingest.run_available_now()
+
+    got_stream = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert got_stream != want, "disorder must actually fool the greedy pass"
+    assert top + 1 in got_stream and keeper not in got_stream
+
+    actions = ingest.reconcile().collect()
+    retracted = {r["doc_id"] for r in actions if r["action"] == "retract"}
+    resurrected = {r["doc_id"] for r in actions if r["action"] == "late_admit"}
+    assert retracted and resurrected
+    assert retracted == got_stream - want
+    assert resurrected == want - got_stream
+    assert keeper in resurrected and top + 1 in retracted
+
+    got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert got == want
+    # the reject log covers exactly the losers, dedup-attributed
+    rej_rows = spark.read.parquet(dirs["out"] + "_rejects").collect()
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()} | {top + 1}
+    assert {r["doc_id"] for r in rej_rows} == all_ids - want
+    assert {r["reason"] for r in rej_rows} <= {"exact_dup", "near_dup"}
+    # resurrected docs carry their full original row (quarantine, not ids)
+    texts = {r["doc_id"]: r["text"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert all(texts[d] == orig[d] for d in resurrected)
+
+    assert ingest.reconcile().count() == 0, "reconcile must be a fixpoint"
+    assert {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()} == want
+
+
+def test_reconcile_converges_disordered_span_admission_to_batch_verdict(
+    spark, sf_dir, dirs
+):
+    """Span-layer reconciliation: reversed-order delivery admits docs
+    whose covering spans belong to smaller-id docs that arrive later;
+    ``reconcile()`` re-runs ``span_admission_frame`` (plus the exact
+    keeper rule) over the seen corpus and converges the sink to the batch
+    ``span_admission`` admit set."""
+    from concordium_transaction_logger_spark.operators import dedup
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for lo, hi in ((350, 10**9), (150, 350), (0, 150)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(dirs["source"])
+    ingest = StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        span_dedup=True,
+    )
+    ingest.run_available_now()
+
+    want = {
+        r["doc_id"]
+        for r in dedup.span_admission(spark, sf_dir).collect()
+        if r["verdict"] == "admit"
+    }
+    got_stream = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert got_stream != want, "disorder must actually fool the greedy pass"
+
+    actions = ingest.reconcile()
+    assert actions.count() > 0
+    got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert got == want
+    assert ingest.reconcile().count() == 0, "reconcile must be a fixpoint"
