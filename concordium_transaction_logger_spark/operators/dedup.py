@@ -714,41 +714,51 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree more than once in the static plan, but it reads the persisted
     session shingle index and AQE dedupes the exchanges at runtime
     (measured: 7 reused query stages in the adaptive executed plan). The
-    64-source ceiling is asserted loudly (`assert_true`); past it the
-    mask becomes an array of words (same plan, segmented bit_or) — the
-    documented dial, alongside the stop-shingle anti-join for
-    boilerplate skew. The string shingle (not the 64-bit hash) keys the
-    groupBy so the count is collision-exact against the oracle; at
-    100 TB the ``shh`` form is the documented swap."""
+    mask is SEGMENTED: ceil(|sources|/64) longs, one bit_or aggregate
+    per word — ≤64 sources keeps the single-long buffer of old, 128
+    sources costs one extra long per shingle of aggregate state (tested
+    at 128); the word count comes from one tiny distinct-count job
+    driver-side, control flow not data flow. The honest ceiling moves to
+    the mask WIDTH: past ~4096 sources (64 words of aggregate state per
+    shingle) the (source, shingle)-distinct count path wins, and that
+    boundary is asserted loudly. The string shingle (not the 64-bit
+    hash) keys the groupBy so the count is collision-exact against the
+    oracle; at 100 TB the ``shh`` form is the documented swap."""
     from pyspark.sql.window import Window
 
     sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     w = Window.orderBy("source")  # |sources| rows — single tiny partition
-    srcidx = (
-        src.select("source")
-        .distinct()
-        .select(
-            "source", (F.row_number().over(w) - 1).cast("int").alias("idx")
-        )
-        .withColumn(
-            "idx",
-            F.when(
-                F.assert_true(
-                    F.col("idx") < 64, "source_overlap: >64 sources; segment the mask"
-                ).isNull(),
-                F.col("idx"),
-            ),
-        )
+    srcidx = src.select("source").distinct().select(
+        "source", (F.row_number().over(w) - 1).cast("int").alias("idx")
     )
+    n_src = srcidx.count()  # tiny: |sources| rows, sets the mask width
+    if n_src > 4096:
+        raise ValueError(
+            f"source_overlap: {n_src} sources would need {-(-n_src // 64)} "
+            "mask words of aggregate state per shingle — switch to the "
+            "(source, shingle)-distinct count path at this cardinality"
+        )
+    n_words = max(1, -(-n_src // 64))
     docmap = src.join(F.broadcast(srcidx), "source").select("doc_id", "idx")
+    word_aggs = [
+        F.bit_or(
+            F.when(
+                (F.col("idx") >= 64 * wd) & (F.col("idx") < 64 * (wd + 1)),
+                F.expr(f"shiftleft(1L, idx - {64 * wd})"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"m{wd}")
+        for wd in range(n_words)
+    ]
     masks = (
         sh.join(F.broadcast(docmap), "doc_id")
         .groupBy("sh")
-        .agg(F.bit_or(F.expr("shiftleft(1L, idx)")).alias("mask"))
+        .agg(*word_aggs)
+        .select(F.array(*[f"m{wd}" for wd in range(n_words)]).alias("marr"))
     )
     bits = F.expr(
-        "filter(sequence(0, 63), i -> ((mask >> i) & 1) = 1)"
+        f"filter(sequence(0, {64 * n_words - 1}),"
+        " i -> ((element_at(marr, CAST(i DIV 64 AS INT) + 1) >> (i % 64)) & 1) = 1)"
     ).alias("bits")
     mc = masks.select(bits)
     sizes = (

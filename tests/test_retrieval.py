@@ -114,25 +114,69 @@ def test_hybrid_rrf_fuses_both_modalities(spark, sf_dir):
     assert keys == sorted(keys)
 
 
-def test_source_overlap_raises_loudly_past_64_sources(spark, tmp_path):
-    import pytest
+def test_source_overlap_handles_128_sources(spark, tmp_path):
+    """The round-5 segmented mask: 128 sources -> 2 mask words. Each
+    source contributes one doc; sources i and i+1 share one shingle via
+    an overlapping phrase, and pairs straddling the 64-bit word boundary
+    (63, 64) must be found like any other — checked against a brute
+    python reference on the same shingle definition."""
     from pyspark.sql import Row
 
     docs = spark.createDataFrame(
         [
             Row(
                 doc_id=i,
-                text="alpha beta gamma delta eps zeta",
+                # 4 tokens shared with the next source + a unique tail
+                text=f"common {i} phrase tail unique{i} only{i} text{i}"
+                f" common {i + 1} phrase tail",
                 lang="en",
                 source=f"s{i:03d}",
-                n_chars=30,
+                n_chars=60,
             )
-            for i in range(70)
+            for i in range(128)
         ]
     )
     docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    with pytest.raises(Exception, match="64 sources|assert"):
-        dedup.source_overlap(spark, str(tmp_path)).collect()
+    got = {
+        (r.src_a, r.src_b): (r.inter_shingles, r.n_a, r.n_b, r.jaccard_permille)
+        for r in dedup.source_overlap(spark, str(tmp_path)).collect()
+    }
+    sh = dedup.shingle_index(spark, str(tmp_path)).select("doc_id", "sh")
+    by_src: dict[str, set] = {}
+    for r in sh.collect():
+        by_src.setdefault(f"s{r.doc_id:03d}", set()).add(r.sh)
+    expect = {}
+    names = sorted(by_src)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            inter = len(by_src[a] & by_src[b])
+            if inter:
+                union = len(by_src[a]) + len(by_src[b]) - inter
+                expect[(a, b)] = (
+                    inter, len(by_src[a]), len(by_src[b]),
+                    (1000 * inter) // union,
+                )
+    assert got == expect
+    assert ("s063", "s064") in got, "word-boundary pair must be found"
+
+
+def test_source_overlap_raises_loudly_past_4096_sources(spark, tmp_path):
+    """The honest ceiling moved from 64 (now segmented) to the mask
+    width itself: past 4096 sources the guard names the swap."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(4100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta").alias("text"),
+        F.lit("en").alias("lang"),
+        F.format_string("s%04d", "id").alias("source"),
+        F.lit(22).alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(ValueError, match="distinct count path"):
+        dedup.source_overlap(spark, str(tmp_path))
 
 
 def test_source_overlap_matches_python_reference(spark, sf_dir):
