@@ -866,13 +866,28 @@ def tail_follow(spark: SparkSession, out_dir: str, from_id: int) -> DataFrame:
     )
 
 
+def _resolve_sink_path(out_dir: str, name: str) -> str:
+    """Resolve a sink table to its current data directory: a compacted
+    table is version-manifest-resolved (``<name>.MANIFEST`` names the
+    live ``<name>.vN`` directory); an uncompacted one is the plain
+    streaming-written ``<name>`` directory. The manifest read is the
+    reader's single metadata round-trip — the same resolve step a
+    Delta/Iceberg reader performs against its log."""
+    path = os.path.join(out_dir, name)
+    manifest = path + ".MANIFEST"
+    if os.path.isfile(manifest):
+        with open(manifest) as f:
+            return path + "." + f.read().strip()
+    return path
+
+
 def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, name))
+    return spark.read.parquet(_resolve_sink_path(out_dir, name))
 
 
 def compact_sink(
     spark: SparkSession, out_dir: str, name: str, target_files: int = 1
-) -> None:
+) -> str:
     """Small-file compaction for a streaming sink table.
 
     Per-batch `foreachBatch` appends accumulate one file set per
@@ -885,30 +900,57 @@ def compact_sink(
     be replayed — the reference's analog is Postgres VACUUM, not a
     semantic operation).
 
-    Swap protocol: rewrite to ``.compact``, rename live → ``.bak``,
-    rename ``.compact`` → live, delete ``.bak``. A concurrent reader's
-    exposure window is two directory renames (microseconds), not the old
-    ``rmtree`` + rename (the table missing for the whole delete); POSIX
-    cannot swap two directories in one syscall — a metadata-pointer table
-    format (Delta/Iceberg) is the true-atomic deployment shape. A crash
-    mid-swap is recoverable: the next call restores the ``.bak`` if the
-    live directory is gone and clears leftovers before compacting."""
+    Swap protocol (manifest-pointer, zero exposure window): the
+    compacted copy is written to a fresh ``<name>.vN`` version
+    directory, then a one-line manifest file naming it is swapped in
+    with an atomic ``os.rename`` — readers (:func:`read_sink`) resolve
+    the manifest BEFORE scanning, so at every instant they see either
+    the old version or the new one, never a missing table (the round-4
+    protocol renamed the live directory itself, leaving a two-rename
+    window where the table did not exist). The previous version
+    directory is RETAINED until the next compaction so an in-flight
+    reader that resolved the old pointer finishes its scan on intact
+    files; any older versions are GC'd. A crash anywhere leaves either
+    the old manifest (new dir is unreferenced garbage the next run
+    collects) or the new one (old dirs await GC) — both replay to
+    convergence. This is the local-filesystem instance of the
+    Delta/Iceberg metadata-pointer shape; deploying on an object store
+    swaps the manifest rename for the store's atomic put-if-absent.
+    Returns the live data directory after the swap."""
     import shutil
 
     path = os.path.join(out_dir, name)
-    tmp = path + ".compact"
-    bak = path + ".bak"
-    # recover from a previous compaction that died mid-swap
-    if os.path.isdir(bak) and not os.path.isdir(path):
-        os.rename(bak, path)
-    for leftover in (tmp, bak):
-        if os.path.isdir(leftover):
-            shutil.rmtree(leftover)
-    df = spark.read.parquet(path).coalesce(target_files)
-    df.write.mode("overwrite").parquet(tmp)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
+    base = os.path.basename(path)
+    parent = os.path.dirname(path)
+    manifest = path + ".MANIFEST"
+    cur = _resolve_sink_path(out_dir, name)
+    versions = [
+        int(d[len(base) + 2 :])
+        for d in os.listdir(parent)
+        if d.startswith(base + ".v") and d[len(base) + 2 :].isdigit()
+    ]
+    new_dir = f"{path}.v{max(versions, default=0) + 1}"
+    spark.read.parquet(cur).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(new_dir)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(os.path.basename(new_dir)[len(base) + 1 :])
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, manifest)  # THE swap: atomic on POSIX
+    # GC: keep the new version and the one just compacted from; the
+    # plain pre-manifest directory survives only while it IS the source
+    keep = {new_dir, cur}
+    for d in os.listdir(parent):
+        full = os.path.join(parent, d)
+        if full in keep or not os.path.isdir(full):
+            continue
+        if d.startswith(base + ".v") and d[len(base) + 2 :].isdigit():
+            shutil.rmtree(full)
+        elif d == base:
+            shutil.rmtree(full)
+    return new_dir
 
 
 def supply_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -242,14 +242,18 @@ def test_compact_sink_preserves_rows(spark, sf_dir, dirs):
         spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users, max_files_per_trigger=1
     ).run_available_now()
 
+    from concordium_transaction_logger_spark.streaming.pipeline import read_sink
+
     path = os.path.join(dirs["out"], "summaries")
     before_rows = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
     before_files = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     assert before_files > 2, "multiple batches should leave multiple file sets"
 
-    compact_sink(spark, dirs["out"], "summaries", target_files=1)
-    after_rows = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
-    after_files = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    live = compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    after_rows = sorted(
+        r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    )
+    after_files = len(glob.glob(os.path.join(live, "**", "*.parquet"), recursive=True))
     assert after_rows == before_rows
     assert after_files == 1
 
@@ -634,13 +638,16 @@ def test_streaming_ingest_survives_an_all_rejected_first_batch(spark, sf_dir, di
     assert all(d <= top for d in got)
 
 
-def test_compact_sink_crash_mid_swap_is_recoverable(spark, sf_dir, dirs, monkeypatch):
-    """A compaction that dies between the two swap renames leaves the live
-    directory missing — the next compact_sink call must restore the
-    ``.bak`` and complete, with rows preserved exactly. Also: the reader
-    exposure window is the two renames only; the rewrite itself happens
-    off to the side, so the table stays readable while the compacted copy
-    is being written."""
+def test_compact_sink_manifest_swap_never_hides_the_table(
+    spark, sf_dir, dirs, monkeypatch
+):
+    """The round-5 manifest-pointer protocol: a reader resolving at ANY
+    instant sees either the old version or the new one, never a missing
+    table. Concretely: (a) a crash exactly at the pointer swap leaves the
+    old version live and unharmed; (b) after a successful swap, a reader
+    that resolved the OLD pointer before compaction still completes its
+    scan (the previous version is retained); (c) the next compaction GCs
+    superseded versions; rows are preserved exactly throughout."""
     import os as _os
 
     from concordium_transaction_logger_spark.streaming import pipeline as pl
@@ -658,26 +665,47 @@ def test_compact_sink_crash_mid_swap_is_recoverable(spark, sf_dir, dirs, monkeyp
     path = os.path.join(dirs["out"], "summaries")
     want = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
 
+    # a reader that resolves the PRE-compaction pointer
+    old_df = pl.read_sink(spark, dirs["out"], "summaries").select("id")
+
+    # (a) crash exactly at the atomic pointer swap
     real_rename = _os.rename
-    calls = {"n": 0}
 
     def dying_rename(src, dst):
-        calls["n"] += 1
-        if calls["n"] == 2:  # die after live -> .bak, before .compact -> live
-            raise RuntimeError("simulated crash mid-swap")
+        if dst.endswith(".MANIFEST"):
+            raise RuntimeError("simulated crash at pointer swap")
         return real_rename(src, dst)
 
     monkeypatch.setattr(pl.os, "rename", dying_rename)
-    with pytest.raises(RuntimeError, match="mid-swap"):
+    with pytest.raises(RuntimeError, match="pointer swap"):
         pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
-    assert not _os.path.isdir(path), "crash window: live dir renamed away"
-    assert _os.path.isdir(path + ".bak")
-
-    monkeypatch.setattr(pl.os, "rename", real_rename)
-    pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
-    got = sorted(r.id for r in spark.read.parquet(path).select("id").collect())
+    # the table never went missing: no manifest, plain dir intact
+    assert not _os.path.isfile(path + ".MANIFEST")
+    got = sorted(
+        r.id for r in pl.read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    )
     assert got == want
-    assert not _os.path.isdir(path + ".bak") and not _os.path.isdir(path + ".compact")
+
+    # (b) successful compaction: new pointer live, old reader unharmed
+    monkeypatch.setattr(pl.os, "rename", real_rename)
+    live = pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    assert _os.path.isdir(live) and _os.path.isfile(path + ".MANIFEST")
+    assert sorted(
+        r.id for r in pl.read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    ) == want
+    assert sorted(r.id for r in old_df.collect()) == want, (
+        "in-flight reader on the old pointer must finish its scan"
+    )
+    assert _os.path.isdir(path), "previous version retained for in-flight readers"
+
+    # (c) next compaction GCs the superseded plain dir and crash orphans
+    live2 = pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    assert live2 != live
+    assert not _os.path.isdir(path), "superseded plain dir GC'd"
+    assert _os.path.isdir(live), "immediately-previous version retained"
+    assert sorted(
+        r.id for r in pl.read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    ) == want
 
 
 def test_streaming_near_dup_admission_matches_batch_survivors(spark, sf_dir, dirs):
