@@ -151,3 +151,169 @@ def decoded_cis2_events(logs, payload_col: str = "payload"):
         d["amount"].alias("amount"),
         d["ok"].alias("ok"),
     )
+
+
+#: Full u256 needs ceil(256 / 7) = 37 ULEB128 groups — the wide decoder's
+#: capacity (anything longer is not a valid CIS-2 amount).
+WIDE_ULEB_BYTES = 37
+
+_WIDE_LIMBS = 5
+_WIDE_LIMB_DIGITS = 18  # = derive.WIDE_LIMBS / WIDE_LIMB_DIGITS geometry
+
+
+def _pow128_limbs() -> list[list[int]]:
+    """``128^j`` for every ULEB group position ``j < WIDE_ULEB_BYTES``,
+    decomposed into little-endian 10^18-base limbs — exact Python int
+    arithmetic at plan-build time. Each limb is < 10^18 so the whole
+    table rides into the plan as ONE array<array<long>> ``Literal``
+    (evaluation-free at runtime; a CreateArray expression here would
+    re-allocate 185 objects per lambda invocation — measured as a heap
+    blowup on small executors); limbs cast to DECIMAL(38,0) only at the
+    multiply, so no product exceeds 127·10^18."""
+    base = 10**_WIDE_LIMB_DIGITS
+    return [
+        [(128**j // base**i) % base for i in range(_WIDE_LIMBS)]
+        for j in range(WIDE_ULEB_BYTES)
+    ]
+
+
+def decode_cis2_log_wide(payload: Column) -> Column:
+    """Full-u256 decode — the wide limb path the narrow decoder's
+    capacity flag routes to: same ``struct(event_type, token_id_hex,
+    amount, ok)`` contract as :func:`decode_cis2_log`, but ``amount`` is
+    exact up to :data:`WIDE_ULEB_BYTES` ULEB groups (2^259 > u256) as a
+    canonical decimal STRING ready for ``derive.wide_sum``.
+
+    Multi-precision trick with zero multi-precision runtime arithmetic:
+    group j contributes ``(b_j & 0x7f) * 128^j``, and the 128^j factors
+    are constants — so they ride in as LITERAL limb decompositions
+    (:func:`_pow128_limb_literal`) and each limb accumulates
+    ``Σ_j b_j * pow_limb[j][i]`` with every term ≤ 127·10^18 and the
+    37-term sum ≤ 4.7·10^21, comfortably inside DECIMAL(38,0); one
+    carry-propagation chain at the end normalizes the five limbs. All
+    expressions stay in whole-stage codegen — same posture as the narrow
+    decoder, just wider."""
+    dec = "decimal(38,0)"
+    h = F.upper(F.hex(payload))
+    nbytes = (F.length(h) / 2).cast("int")
+    tag = _byte(h, F.lit(0))
+
+    event_type = F.lit("unknown")
+    for t, name in _TAG_NAMES.items():
+        event_type = F.when(tag == t, F.lit(name)).otherwise(event_type)
+
+    has_amount = tag.isin(TAG_TRANSFER, TAG_MINT, TAG_BURN)
+    token_len = _byte(h, F.lit(1))
+    token_id_hex = F.when(
+        has_amount & token_len.isNotNull(),
+        F.lower(h.substr(F.lit(5), token_len * 2)),
+    )
+    amount_start = token_len + 2
+
+    pows = F.lit(_pow128_limbs())
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(WIDE_ULEB_BYTES - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("j"), _byte(h, amount_start + j).alias("b")
+        ),
+    )
+    zero = F.lit(0).cast(dec)
+    acc0 = F.struct(
+        *[zero.alias(f"l{i}") for i in range(_WIDE_LIMBS)],
+        F.lit(True).alias("reading"),
+        F.lit(False).alias("terminated"),
+    )
+
+    def step(acc, g):
+        b = g["b"]
+        live = acc["reading"] & b.isNotNull()
+        prow = F.element_at(pows, g["j"] + 1)
+        return F.struct(
+            *[
+                (
+                    acc[f"l{i}"]
+                    + F.when(
+                        live,
+                        (b % 128).cast(dec) * F.element_at(prow, i + 1).cast(dec),
+                    ).otherwise(zero)
+                ).alias(f"l{i}")
+                for i in range(_WIDE_LIMBS)
+            ],
+            (live & (b >= 128)).alias("reading"),
+            (acc["terminated"] | (live & (b < 128))).alias("terminated"),
+        )
+
+    folded = F.aggregate(groups, acc0, step)
+
+    # Everything downstream references the fold result MANY times (five
+    # limbs through a carry chain that nests the previous total twice per
+    # limb, plus the ok/terminated flags) — naively that duplicates the
+    # whole ArrayAggregate subtree per reference, an exponentially-sized
+    # expression tree that OOMs task instantiation. Binding the fold to a
+    # lambda variable via a one-element transform() evaluates it ONCE and
+    # makes every reference a leaf.
+    def finish(fd):
+        # carry-normalize the deferred-carry limbs (carries ≤ 4700 here)
+        limb_base = F.lit(10**_WIDE_LIMB_DIGITS).cast(dec)
+        carry = zero
+        norm = []
+        for i in range(_WIDE_LIMBS):
+            tot = fd[f"l{i}"] + carry
+            r = (tot % limb_base).cast(dec)
+            norm.append(r)
+            carry = ((tot - r) / limb_base).cast(dec)
+        digits = F.concat(
+            *[
+                F.lpad(norm[i].cast("string"), _WIDE_LIMB_DIGITS, "0")
+                for i in reversed(range(_WIDE_LIMBS))
+            ]
+        )
+        stripped = F.regexp_replace(digits, "^0+", "")
+        rendered = F.when(stripped == "", F.lit("0")).otherwise(stripped)
+        ok_amount = (
+            token_len.isNotNull()
+            & (token_len + 2 <= nbytes)
+            & fd["terminated"]
+            & ~fd["reading"]  # all groups consumed, continuation still set
+        )
+        ok = F.coalesce(
+            F.when(has_amount, ok_amount).otherwise(
+                tag.isin(TAG_UPDATE_OPERATOR, TAG_TOKEN_METADATA)
+            ),
+            F.lit(False),
+        )
+        return F.struct(
+            event_type.alias("event_type"),
+            token_id_hex.alias("token_id_hex"),
+            F.when(has_amount & ok_amount, rendered).alias("amount"),
+            ok.alias("ok"),
+        )
+
+    return F.element_at(F.transform(F.array(folded), finish), 1)
+
+
+def wide_supply_from_logs(logs, payload_col: str = "payload"):
+    """The composed >112-bit route end-to-end: raw CIS-2 log bytes →
+    :func:`decode_cis2_log_wide` (u256-exact amount strings) → mint/burn
+    sign orientation → ``derive.wide_sum`` limb aggregation — NUMERIC(80,0)
+    supply fidelity from wire format to rollup (the path the reference
+    gets from Postgres NUMERIC, m0001-initial.sql:39). One scan-side
+    decode, one |tokens|-row shuffle; nothing wider than DECIMAL(38,0)
+    ever materializes per-row."""
+    from ..ingest.derive import wide_sum
+
+    d = decode_cis2_log_wide(F.col(payload_col))
+    decoded = logs.select(
+        d["event_type"].alias("event_type"),
+        d["token_id_hex"].alias("token_id_hex"),
+        d["amount"].alias("amount"),
+        d["ok"].alias("ok"),
+    ).filter(F.col("ok") & F.col("event_type").isin("mint", "burn"))
+    signed = F.when(
+        F.col("event_type") == "burn", F.concat(F.lit("-"), F.col("amount"))
+    ).otherwise(F.col("amount"))
+    return wide_sum(
+        decoded.select("token_id_hex", signed.alias("amt")),
+        ["token_id_hex"],
+        "amt",
+    )

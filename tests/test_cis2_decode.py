@@ -116,3 +116,96 @@ def test_decoded_table_and_guarded_rollup_compose(spark):
     # whole-stage codegen: the decode is JVM expressions, no Python node
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_wide_decoder_recovers_full_u256_amounts(spark):
+    """The wide limb path the narrow decoder's capacity flag routes to:
+    amounts up to 2^256 - 1 decode to exact decimal strings (literal
+    128^j limb decompositions — no runtime arithmetic beyond
+    DECIMAL(38,0)), while the narrow decoder flags the same payloads
+    ok=false instead of truncating."""
+    from concordium_transaction_logger_spark.functions.cis2 import (
+        decode_cis2_log_wide,
+    )
+
+    rng = random.Random(7)
+    amounts = [
+        0,
+        127,
+        128,
+        (1 << 63) + 7,
+        (1 << 112) - 1,          # narrow capacity boundary: both decode
+        1 << 112,                # first beyond-narrow value
+        (1 << 255) + 12345,
+        (1 << 256) - 1,          # max u256
+    ] + [rng.randrange(1 << 112, 1 << 256) for _ in range(20)]
+    payloads = [encode_event(TAG_MINT, b"\x42", a) for a in amounts]
+
+    df = spark.createDataFrame(
+        [Row(i=i, payload=p) for i, p in enumerate(payloads)]
+    )
+    rows = df.select(
+        "i",
+        decode_cis2_log_wide(F.col("payload")).alias("w"),
+        decode_cis2_log(F.col("payload")).alias("n"),
+    ).collect()
+    for r in sorted(rows, key=lambda r: r["i"]):
+        a = amounts[r["i"]]
+        assert r["w"]["ok"], a
+        assert r["w"]["event_type"] == "mint"
+        assert r["w"]["token_id_hex"] == "42"
+        assert r["w"]["amount"] == str(a), (a, r["w"]["amount"])
+        narrow_ok = a < (1 << 112)
+        assert bool(r["n"]["ok"]) == narrow_ok, a
+
+    # malformed stays flagged in the wide decoder too
+    bad = encode_event(TAG_MINT, b"", (1 << 256) - 1)
+    bad = bad[:-1] + bytes([bad[-1] | 0x80])  # continuation never ends
+    d = (
+        spark.createDataFrame([Row(payload=bad)])
+        .select(decode_cis2_log_wide(F.col("payload")).alias("w"))
+        .first()["w"]
+    )
+    assert not d["ok"]
+
+
+def test_wide_supply_from_logs_is_u256_exact_end_to_end(spark):
+    """Raw log bytes -> u256 decode -> signed wide_sum rollup equals a
+    pure-Python big-int reference, including totals far beyond
+    DECIMAL(38,0) and a negative net supply."""
+    from concordium_transaction_logger_spark.functions.cis2 import (
+        TAG_UPDATE_OPERATOR,
+        wide_supply_from_logs,
+    )
+
+    rng = random.Random(11)
+    events = []  # (token, tag, amount)
+    for token in (b"\x01", b"\x02", b"\x03"):
+        for _ in range(6):
+            events.append((token, TAG_MINT, rng.randrange(0, 1 << 250)))
+        for _ in range(3):
+            events.append((token, TAG_BURN, rng.randrange(0, 1 << 251)))
+    payloads = [encode_event(t, tok, a) for tok, t, a in events]
+    # noise the rollup must ignore: non-amount event + malformed payload
+    payloads.append(bytes([TAG_UPDATE_OPERATOR, 0, 1]))
+    payloads.append(bytes([TAG_MINT]))
+
+    got = {
+        r["token_id_hex"]: r["total_supply"]
+        for r in wide_supply_from_logs(
+            spark.createDataFrame([Row(payload=p) for p in payloads])
+        ).collect()
+    }
+    want: dict[str, int] = {}
+    for tok, t, a in events:
+        want[tok.hex()] = want.get(tok.hex(), 0) + (a if t == TAG_MINT else -a)
+    assert got == {k: str(v) for k, v in want.items()}
+    assert any(v < 0 for v in want.values()) or True  # sign path exercised below
+    # force a guaranteed-negative token
+    neg = [encode_event(TAG_BURN, b"\x09", (1 << 200) + 5)]
+    gotn = (
+        wide_supply_from_logs(
+            spark.createDataFrame([Row(payload=p) for p in neg])
+        ).first()
+    )
+    assert gotn["total_supply"] == str(-((1 << 200) + 5))
