@@ -19,10 +19,17 @@ _CACHES: dict[str, dict[tuple[int, str], tuple[Any, Any]]] = {}
 
 
 def _is_stopped(session: Any) -> bool:
+    """Dead ONLY on an affirmative isStopped() == True. A probe failure
+    (no ``sparkContext._jsc`` — e.g. a Spark Connect session) must read
+    as alive: classifying it dead would silently evict every cache entry
+    on every call, disabling all session indexes for that session type.
+    The cost of the lenient default is bounded — a genuinely-stopped
+    session whose probe errors keeps its entries until process exit,
+    which is where a classic session's entries would die anyway."""
     try:
-        return bool(session.sparkContext._jsc.sc().isStopped())
+        return session.sparkContext._jsc.sc().isStopped() is True
     except Exception:
-        return True  # unreachable JVM handle == dead for caching purposes
+        return False
 
 
 def _sweep_dead() -> None:
@@ -30,9 +37,19 @@ def _sweep_dead() -> None:
     the dead session's py4j graph (and its persisted blocks' metadata)
     forever — a long-lived process that recreates sessions would otherwise
     grow driver memory monotonically, with no way to evict (the identity
-    check requires the original session object)."""
+    check requires the original session object). Liveness is memoized per
+    session FOR THIS SWEEP — one py4j round-trip per distinct session,
+    not per cached entry (sweeps run on every get_or_build)."""
+    status: dict[int, bool] = {}
+
+    def stopped(sess: Any) -> bool:
+        i = id(sess)
+        if i not in status:
+            status[i] = _is_stopped(sess)
+        return status[i]
+
     for cache in _CACHES.values():
-        for key in [k for k, (sess, _) in cache.items() if _is_stopped(sess)]:
+        for key in [k for k, (sess, _) in cache.items() if stopped(sess)]:
             sess, value = cache.pop(key)
             try:
                 if hasattr(value, "unpersist"):

@@ -115,7 +115,19 @@ def query_account_over_layout(
         df = df.orderBy(F.col("id").desc() if descending else F.col("id").asc())
         if limit is not None:
             df = df.limit(limit)
-        df._jdf.queryExecution().executedPlan()  # pin the plan under the conf
+        pinned = df._jdf.queryExecution().executedPlan()  # pin under the conf
+        # The eager pin holds ONLY because this scan+filter+limit plan has
+        # no exchange/subquery, so AQE leaves it non-adaptive. If the
+        # shape ever gains an exchange, AQE's re-optimization would
+        # re-read the (restored) session conf at final-plan time and
+        # silently drop the bucketed scan despite the pin — fail loudly
+        # instead of serving a silently-degraded plan.
+        if "AdaptiveSparkPlan" in pinned.nodeName():
+            raise AssertionError(
+                "query_account_over_layout: plan became adaptive — the "
+                "scoped autoBucketedScan pin no longer holds; re-scope the "
+                "conf around execution, not planning"
+            )
         return df
     finally:
         spark.conf.set(key, prior)

@@ -142,7 +142,8 @@ def run_sql(spark: SparkSession, url: str, *statements: str) -> None:
 
 def query_scalar(spark: SparkSession, url: str, sql: str) -> int:
     """One scalar SELECT on the JDBC target from the driver (control
-    plane: the applied-batch probe)."""
+    plane: row-count probes in tests/ops tooling; no longer on the
+    replay path — the ledger INSERT's PK is the dedup point there)."""
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
@@ -213,12 +214,16 @@ def merge_supply_upsert(
 
     Replay idempotence (the full at-least-once story, not just the
     MERGE+DELETE atomicity): pass ``batch_id`` and an applied-batch
-    ``ledger`` table (``batch_id BIGINT PRIMARY KEY``). The ledger row is
-    inserted IN THE SAME TRANSACTION as the MERGE; a replayed call whose
-    batch_id is already in the ledger only clears its re-staged rows and
-    returns — the deltas were provably applied. Without these arguments
-    the call is the bare transactional MERGE (caller owns replay
-    semantics)."""
+    ``ledger`` table (``batch_id BIGINT PRIMARY KEY``). The ledger INSERT
+    is the FIRST statement of the same transaction as the MERGE and IS
+    the dedup point: a replayed (or concurrent — two deliveries serialize
+    on the PK) call hits the primary-key violation, the transaction rolls
+    back having applied nothing, and the call only clears its re-staged
+    rows — the deltas were provably applied by the committed twin. (A
+    SELECT-probe-then-merge spelling would leave a window where two
+    concurrent deliveries both read 'not applied' and double-apply.)
+    Without these arguments the call is the bare transactional MERGE
+    (caller owns replay semantics)."""
     refill = (
         f"DELETE FROM {staging}_agg",
         f"INSERT INTO {staging}_agg SELECT idx, subidx, token_id, "
@@ -235,26 +240,31 @@ VALUES (s.idx, s.subidx, s.token_id, s.total_supply)
     if batch_id is None or ledger is None:
         run_sql(spark, url, *refill, merge, *drain)
         return
-    applied = query_scalar(
-        spark,
-        url,
-        f"SELECT COUNT(*) FROM {ledger} WHERE batch_id = {int(batch_id)}",
-    )
-    if applied:
-        # replay of an already-applied batch: its deltas are in the
-        # target; drop the re-staged copy and do nothing else
+    try:
+        run_sql(
+            spark,
+            url,
+            f"INSERT INTO {ledger} VALUES ({int(batch_id)})",
+            *refill,
+            merge,
+            *drain,
+        )
+    except Exception as ex:
+        if not _is_duplicate_key(ex):
+            raise
+        # replay of an already-applied batch: the ledger PK refused the
+        # insert and the whole transaction rolled back — the deltas are
+        # in the target; drop the re-staged copy and do nothing else
         run_sql(
             spark, url, f"DELETE FROM {staging} WHERE ingest_batch = {int(batch_id)}"
         )
-        return
-    run_sql(
-        spark,
-        url,
-        *refill,
-        merge,
-        *drain,
-        f"INSERT INTO {ledger} VALUES ({int(batch_id)})",
-    )
+
+
+def _is_duplicate_key(ex: Exception) -> bool:
+    """Recognize a unique/PK violation across JDBC backends: SQLState
+    23505 (Derby, Postgres) or the message spelling."""
+    s = str(ex)
+    return "23505" in s or "duplicate key" in s.lower()
 
 
 def create_supply_schema(

@@ -694,7 +694,18 @@ class StreamingAnomaly:
                 F.col("h_n").alias("n_events"),
             )
         )
-        fresh = fresh0.unionByName(affected).distinct()
+        # Collapse to ONE row per (event_type, window): distinct() alone
+        # dedups on the full row, so a live tail where the rollup
+        # overwrote a window between the source-file capture and the hist
+        # re-read would land two conflicting n_events rows in one
+        # partition. The hist re-read is the fresher snapshot — prefer
+        # its count (max = hist's monotonically-grown count when both
+        # rows exist, the batch row when hist hasn't caught up).
+        fresh = (
+            fresh0.unionByName(affected)
+            .groupBy("event_type", "window_start_ms")
+            .agg(F.max("n_events").alias("n_events"))
+        )
         trail = (
             fresh.join(
                 hist,
