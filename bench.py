@@ -97,6 +97,12 @@ def main() -> None:
     # as a phantom per-query regression; see SCALE.md "bench variance").
     similarity.kmeans_index(spark, sf_dir).count()
     similarity.pq_index(spark, sf_dir).count()
+    # The winnowing fingerprint set joined the index family in r5 — the
+    # md5-per-k-gram pass was the winnow queries' dominant recomputed cost
+    # (scale slope 0.73 un-amortized vs 0.20 for index-backed jaccard).
+    from concordium_transaction_logger_spark.operators import textstats
+
+    textstats.winnow_index(spark, sf_dir).count()
 
     # TWO timed passes, report the per-query MIN: single-shot totals swing
     # ±20% with host load (BENCH_HISTORY, SCALE.md "bench variance" — the

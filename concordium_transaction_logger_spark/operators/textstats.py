@@ -148,6 +148,45 @@ WINNOW_K = 3
 WINNOW_W = 4
 
 
+def winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing fingerprint set (doc_id, fp) as a session-cached
+    index artifact — the md5-per-k-gram pass over every document body is
+    the dominant linear cost of the winnow family, so it is paid once per
+    (session, corpus) like the shingle/minhash indexes (``dedup.py``),
+    not per consumer query (the un-amortized recompute was the winnow
+    family's whole scale-slope: 0.73 vs 0.20 for the index-backed
+    jaccard path, SCALE.md)."""
+    from ..cache import get_or_build
+
+    def build() -> DataFrame:
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        t = F.col("t")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (WINNOW_K - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(t, i + off) for off in range(WINNOW_K)]
+                )
+            ),
+        )
+        tok = (
+            docs.select("doc_id", tokens(F.col("text")).alias("t"))
+            .filter(F.size(t) >= WINNOW_K + WINNOW_W - 1)
+            .select("doc_id", grams.alias("h"))
+        )
+        h = F.col("h")
+        mins = F.transform(
+            F.sequence(F.lit(1), F.size(h) - (WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(h, i, WINNOW_W)),
+        )
+        return (
+            tok.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+            .persist()
+        )
+
+    return get_or_build("winnow_index", spark, sf_dir, build)
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (Schleimer et al.,
     SIGMOD'03): hash every token k-gram, slide a w-window over the hash
@@ -155,29 +194,9 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's fingerprint set (robust to local edits, unlike the whole-doc
     hash). All array expressions, no shuffle until the final explode;
     md5's lexicographic min stands in for the rolling hash so the DuckDB
-    oracle is bit-identical."""
-    docs = _spread(load_table(spark, sf_dir, "documents"))
-    t = F.col("t")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (WINNOW_K - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(WINNOW_K)])
-        ),
-    )
-    tok = (
-        docs.select("doc_id", tokens(F.col("text")).alias("t"))
-        .filter(F.size(t) >= WINNOW_K + WINNOW_W - 1)
-        .select("doc_id", grams.alias("h"))
-    )
-    h = F.col("h")
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size(h) - (WINNOW_W - 1)),
-        lambda i: F.array_min(F.slice(h, i, WINNOW_W)),
-    )
-    return (
-        tok.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
-        .orderBy("doc_id", "fp")
-    )
+    oracle is bit-identical. Backed by the session-cached
+    :func:`winnow_index`."""
+    return winnow_index(spark, sf_dir).orderBy("doc_id", "fp")
 
 
 #: Quality-gate thresholds (per-mille / absolute) — the accept/reject
@@ -470,7 +489,7 @@ def winnow_dup_pairs(
     via a broadcast anti-join before pair generation (they signal
     boilerplate, not shared authored content). ``max_df=None`` restores
     the exact uncapped join for bounded corpora."""
-    fp = winnow_fingerprints(spark, sf_dir)
+    fp = winnow_index(spark, sf_dir)
     if max_df is not None:
         stop = (
             fp.groupBy("fp")

@@ -206,6 +206,7 @@ def main() -> None:
         similarity.kmeans_index(spark, cdir).count()
         similarity.kmeans_index(spark, cdir, k=similarity.KMEANS_K * m).count()
         similarity.pq_index(spark, cdir).count()
+        textstats.winnow_index(spark, cdir).count()
         return time.perf_counter() - t0
 
     results: dict[str, dict] = {"base_sf": BASE_SF, "mults": list(MULTS), "times": {}}
