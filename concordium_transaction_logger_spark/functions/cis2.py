@@ -157,8 +157,15 @@ def decoded_cis2_events(logs, payload_col: str = "payload"):
 #: capacity (anything longer is not a valid CIS-2 amount).
 WIDE_ULEB_BYTES = 37
 
-_WIDE_LIMBS = 5
-_WIDE_LIMB_DIGITS = 18  # = derive.WIDE_LIMBS / WIDE_LIMB_DIGITS geometry
+# The decoder renders amounts in exactly derive.wide_sum's limb geometry
+# (a diverging copy would silently break the capacity guard downstream).
+from ..ingest.derive import WIDE_LIMB_DIGITS as _WIDE_LIMB_DIGITS  # noqa: E402
+from ..ingest.derive import WIDE_LIMBS as _WIDE_LIMBS  # noqa: E402
+
+#: 2^256 - 1 as 78 decimal digits: 37 ULEB groups can carry up to 259
+#: bits, so a terminated, length-valid encoding may still exceed u256 —
+#: the reference's u256 parser rejects those, and so does ``ok_amount``.
+_U256_MAX = str(2**256 - 1)
 
 
 def _pow128_limbs() -> list[list[int]]:
@@ -181,8 +188,11 @@ def decode_cis2_log_wide(payload: Column) -> Column:
     """Full-u256 decode — the wide limb path the narrow decoder's
     capacity flag routes to: same ``struct(event_type, token_id_hex,
     amount, ok)`` contract as :func:`decode_cis2_log`, but ``amount`` is
-    exact up to :data:`WIDE_ULEB_BYTES` ULEB groups (2^259 > u256) as a
-    canonical decimal STRING ready for ``derive.wide_sum``.
+    exact for any u256 as a canonical decimal STRING ready for
+    ``derive.wide_sum``. 37 ULEB groups can encode up to 2^259-1, so a
+    well-terminated encoding may still exceed u256 — those rows (and
+    anything longer than 37 groups) are flagged ``ok=false``, matching
+    the reference parser's strict u256 bound.
 
     Multi-precision trick with zero multi-precision runtime arithmetic:
     group j contributes ``(b_j & 0x7f) * 128^j``, and the 128^j factors
@@ -269,25 +279,44 @@ def decode_cis2_log_wide(payload: Column) -> Column:
             ]
         )
         stripped = F.regexp_replace(digits, "^0+", "")
-        rendered = F.when(stripped == "", F.lit("0")).otherwise(stripped)
-        ok_amount = (
-            token_len.isNotNull()
-            & (token_len + 2 <= nbytes)
-            & fd["terminated"]
-            & ~fd["reading"]  # all groups consumed, continuation still set
+        # Bind the rendered digits through a SECOND lambda stage: the
+        # u256 range check and the amount column each reference the
+        # digit string several times, and every naive reference would
+        # duplicate the whole carry-chain subtree (the same
+        # task-instantiation OOM the fold binding above prevents).
+        pre = F.struct(
+            F.when(stripped == "", F.lit("0")).otherwise(stripped).alias("rendered"),
+            fd["terminated"].alias("terminated"),
+            fd["reading"].alias("reading"),
         )
-        ok = F.coalesce(
-            F.when(has_amount, ok_amount).otherwise(
-                tag.isin(TAG_UPDATE_OPERATOR, TAG_TOKEN_METADATA)
-            ),
-            F.lit(False),
-        )
-        return F.struct(
-            event_type.alias("event_type"),
-            token_id_hex.alias("token_id_hex"),
-            F.when(has_amount & ok_amount, rendered).alias("amount"),
-            ok.alias("ok"),
-        )
+
+        def final(pv):
+            rendered = pv["rendered"]
+            in_u256 = (F.length(rendered) < len(_U256_MAX)) | (
+                (F.length(rendered) == len(_U256_MAX))
+                & (rendered <= F.lit(_U256_MAX))
+            )  # equal-length digit strings compare numerically
+            ok_amount = (
+                token_len.isNotNull()
+                & (token_len + 2 <= nbytes)
+                & pv["terminated"]
+                & ~pv["reading"]  # all groups consumed, continuation set
+                & in_u256  # 37 groups hold 259 bits; >= 2^256 isn't u256
+            )
+            ok = F.coalesce(
+                F.when(has_amount, ok_amount).otherwise(
+                    tag.isin(TAG_UPDATE_OPERATOR, TAG_TOKEN_METADATA)
+                ),
+                F.lit(False),
+            )
+            return F.struct(
+                event_type.alias("event_type"),
+                token_id_hex.alias("token_id_hex"),
+                F.when(has_amount & ok_amount, rendered).alias("amount"),
+                ok.alias("ok"),
+            )
+
+        return F.element_at(F.transform(F.array(pre), final), 1)
 
     return F.element_at(F.transform(F.array(folded), finish), 1)
 

@@ -112,16 +112,31 @@ def query_account_over_layout(
     spark.conf.set(key, "false")
     try:
         df = spark.table(ati_table).filter(F.col("account") == account)
-        df = df.orderBy(F.col("id").desc() if descending else F.col("id").asc())
+        order = F.col("id").desc() if descending else F.col("id").asc()
         if limit is not None:
-            df = df.limit(limit)
+            df = df.orderBy(order).limit(limit)
+        else:
+            # No limit: a global orderBy would plan a range Exchange,
+            # which AQE wraps — and AQE's final-plan re-optimization
+            # re-reads the (restored) session conf and drops the
+            # bucketed scan. But the equality predicate prunes to ONE
+            # bucket, and a bucketed scan emits one partition per
+            # bucket, so every matching row is in a single partition —
+            # a partition-local sort IS the total order, with no
+            # exchange (the exact shape of the reference's sorted
+            # (account, id) index scan). The adaptivity guard below
+            # protects the single-partition assumption: if the bucketed
+            # scan were silently dropped, the plan would gain an
+            # exchange and trip it.
+            df = df.sortWithinPartitions(order)
         pinned = df._jdf.queryExecution().executedPlan()  # pin under the conf
-        # The eager pin holds ONLY because this scan+filter+limit plan has
-        # no exchange/subquery, so AQE leaves it non-adaptive. If the
-        # shape ever gains an exchange, AQE's re-optimization would
-        # re-read the (restored) session conf at final-plan time and
-        # silently drop the bucketed scan despite the pin — fail loudly
-        # instead of serving a silently-degraded plan.
+        # The eager pin holds ONLY because these scan+filter+sort[+limit]
+        # plans have no exchange/subquery, so AQE leaves them
+        # non-adaptive. If the shape ever gains an exchange, AQE's
+        # re-optimization would re-read the (restored) session conf at
+        # final-plan time and could silently drop the bucketed scan
+        # despite the pin — fail loudly instead of serving a
+        # silently-degraded plan.
         if "AdaptiveSparkPlan" in pinned.nodeName():
             raise AssertionError(
                 "query_account_over_layout: plan became adaptive — the "

@@ -868,32 +868,82 @@ def tail_follow(spark: SparkSession, out_dir: str, from_id: int) -> DataFrame:
     """ST9 tail-read (examples/monitor-postgres.rs:57-91): the reference
     hand-rolls a poll-ascending-from-last-id loop; Structured Streaming
     gives it natively — a streaming read over the sink table with the
-    monotone ``id`` as the offset column."""
-    schema = spark.read.parquet(os.path.join(out_dir, "summaries")).schema
+    monotone ``id`` as the offset column.
+
+    Streams the PLAIN batch-keyed directory — the live append target
+    even after compactions (see :func:`compact_sink`). Compacted history
+    lives in the manifest's version directory and is not re-emitted; by
+    the compaction contract it sits at or below any follower's
+    ``from_id`` (compaction runs behind the consumers' high-water mark).
+    The directory is created if absent (a fully-compacted quiet sink)
+    so the follower starts before the next append instead of erroring."""
+    path = os.path.join(out_dir, "summaries")
+    vdir, _ = _sink_state(out_dir, "summaries")
+    schema_src = path if _live_batches(path) else vdir
+    if schema_src is None:
+        raise ValueError(f"tail_follow: no sink table at {path}")
+    schema = spark.read.parquet(schema_src).schema
+    os.makedirs(path, exist_ok=True)
     return (
         spark.readStream.schema(schema)
-        .parquet(os.path.join(out_dir, "summaries"))
+        .parquet(path)
         .filter(F.col("id") > from_id)
     )
 
 
-def _resolve_sink_path(out_dir: str, name: str) -> str:
-    """Resolve a sink table to its current data directory: a compacted
-    table is version-manifest-resolved (``<name>.MANIFEST`` names the
-    live ``<name>.vN`` directory); an uncompacted one is the plain
-    streaming-written ``<name>`` directory. The manifest read is the
-    reader's single metadata round-trip — the same resolve step a
-    Delta/Iceberg reader performs against its log."""
+def _sink_state(out_dir: str, name: str) -> tuple[str | None, int]:
+    """Resolve a sink table's manifest to ``(version_dir, hwm)``: a
+    compacted table's ``<name>.MANIFEST`` names the live ``<name>.vN``
+    directory AND the highest ``ingest_batch`` it incorporates (the
+    high-water mark). An uncompacted table has no manifest —
+    ``(None, -1)``. The manifest read is the reader's single metadata
+    round-trip — the same resolve step a Delta/Iceberg reader performs
+    against its log."""
     path = os.path.join(out_dir, name)
     manifest = path + ".MANIFEST"
     if os.path.isfile(manifest):
         with open(manifest) as f:
-            return path + "." + f.read().strip()
-    return path
+            parts = f.read().split()
+        return path + "." + parts[0], int(parts[1])
+    return None, -1
+
+
+def _live_batches(path: str) -> list[int]:
+    """The ``ingest_batch=K`` partition keys currently present in a plain
+    batch-keyed sink directory (empty when the directory is absent)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith("ingest_batch=") and d[len("ingest_batch=") :].isdigit():
+            out.append(int(d[len("ingest_batch=") :]))
+    return sorted(out)
 
 
 def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(_resolve_sink_path(out_dir, name))
+    """The sink table's current view: the manifest's version directory
+    unioned with plain-directory batches ABOVE the manifest's high-water
+    mark — streaming writers keep appending batch-keyed partitions to the
+    plain directory after a compaction, and those rows must stay visible
+    (they are folded into the next version by the next compaction). The
+    hwm filter makes the view exact across every crash window: a plain
+    partition at or below the hwm is already in the version directory
+    (or is an idempotent replay of one) and is never double-counted."""
+    path = os.path.join(out_dir, name)
+    vdir, hwm = _sink_state(out_dir, name)
+    if vdir is None:
+        return spark.read.parquet(path)
+    df = spark.read.parquet(vdir).withColumn(
+        "ingest_batch", F.col("ingest_batch").cast("long")
+    )
+    if any(b > hwm for b in _live_batches(path)):
+        live = (
+            spark.read.parquet(path)
+            .withColumn("ingest_batch", F.col("ingest_batch").cast("long"))
+            .filter(F.col("ingest_batch") > hwm)
+        )
+        df = df.unionByName(live.select(df.columns))
+    return df
 
 
 def compact_sink(
@@ -911,56 +961,107 @@ def compact_sink(
     be replayed — the reference's analog is Postgres VACUUM, not a
     semantic operation).
 
-    Swap protocol (manifest-pointer, zero exposure window): the
-    compacted copy is written to a fresh ``<name>.vN`` version
-    directory, then a one-line manifest file naming it is swapped in
-    with an atomic ``os.rename`` — readers (:func:`read_sink`) resolve
-    the manifest BEFORE scanning, so at every instant they see either
-    the old version or the new one, never a missing table (the round-4
+    Swap protocol (manifest-pointer + batch high-water mark, zero
+    exposure window): the compacted copy is written to a fresh
+    ``<name>.vN`` version directory, then a manifest naming it AND the
+    highest ``ingest_batch`` it incorporates is swapped in with an
+    atomic ``os.rename`` — readers (:func:`read_sink`) resolve the
+    manifest BEFORE scanning, so at every instant they see either the
+    old view or the new one, never a missing table (the round-4
     protocol renamed the live directory itself, leaving a two-rename
-    window where the table did not exist). The previous version
-    directory is RETAINED until the next compaction so an in-flight
+    window where the table did not exist). The plain directory stays
+    the LIVE append target throughout: streaming writers keep writing
+    batch-keyed partitions there, readers union partitions above the
+    manifest hwm, and each compaction folds them into the next version
+    — so a stream resumed after a compaction loses nothing (without the
+    hwm, post-compaction appends would be invisible and then GC'd).
+    The previous version directory and the plain partitions it left
+    visible are RETAINED until the next compaction so an in-flight
     reader that resolved the old pointer finishes its scan on intact
-    files; any older versions are GC'd. A crash anywhere leaves either
-    the old manifest (new dir is unreferenced garbage the next run
-    collects) or the new one (old dirs await GC) — both replay to
-    convergence. This is the local-filesystem instance of the
-    Delta/Iceberg metadata-pointer shape; deploying on an object store
-    swaps the manifest rename for the store's atomic put-if-absent.
-    Returns the live data directory after the swap."""
+    files; older versions and plain partitions at or below the OLD hwm
+    (invisible under both pointers) are GC'd. A crash anywhere leaves
+    either the old manifest (new dir is unreferenced garbage the next
+    run collects) or the new one (old dirs await GC) — both replay to
+    convergence, and the hwm filter keeps every intermediate view exact.
+    This is the local-filesystem instance of the Delta/Iceberg
+    metadata-pointer shape; deploying on an object store swaps the
+    manifest rename for the store's atomic put-if-absent.
+    Returns the live version directory after the swap."""
     import shutil
 
     path = os.path.join(out_dir, name)
     base = os.path.basename(path)
     parent = os.path.dirname(path)
     manifest = path + ".MANIFEST"
-    cur = _resolve_sink_path(out_dir, name)
+    vdir, old_hwm = _sink_state(out_dir, name)
+    # Snapshot the plain-dir batch list BEFORE reading: partitions that
+    # appear mid-rewrite stay above the new hwm and remain visible via
+    # the readers' live union until the next compaction folds them in.
+    fresh = [b for b in _live_batches(path) if b > old_hwm]
+    new_hwm = max(fresh, default=old_hwm)
+    parts = []
+    if vdir is not None:
+        parts.append(
+            spark.read.parquet(vdir).withColumn(
+                "ingest_batch", F.col("ingest_batch").cast("long")
+            )
+        )
+    if fresh:
+        parts.append(
+            spark.read.parquet(path)
+            .withColumn("ingest_batch", F.col("ingest_batch").cast("long"))
+            .filter(F.col("ingest_batch").isin(fresh))
+        )
+    if not parts:
+        raise ValueError(f"compact_sink: no data for sink table {path}")
+    src = parts[0]
+    for p in parts[1:]:
+        src = src.unionByName(p.select(src.columns))
+    if "ingest_batch" not in src.columns:
+        raise ValueError(
+            "compact_sink requires a batch-keyed sink table "
+            "(ingest_batch partition column)"
+        )
     versions = [
         int(d[len(base) + 2 :])
         for d in os.listdir(parent)
         if d.startswith(base + ".v") and d[len(base) + 2 :].isdigit()
     ]
     new_dir = f"{path}.v{max(versions, default=0) + 1}"
-    spark.read.parquet(cur).coalesce(target_files).write.mode(
-        "overwrite"
-    ).parquet(new_dir)
+    src.coalesce(target_files).write.mode("overwrite").parquet(new_dir)
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
-        f.write(os.path.basename(new_dir)[len(base) + 1 :])
+        f.write(f"{os.path.basename(new_dir)[len(base) + 1:]}\n{new_hwm}")
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, manifest)  # THE swap: atomic on POSIX
-    # GC: keep the new version and the one just compacted from; the
-    # plain pre-manifest directory survives only while it IS the source
-    keep = {new_dir, cur}
+    # GC, one generation behind: superseded version dirs other than the
+    # one just compacted from, and plain partitions invisible under BOTH
+    # the old and new pointer (<= old_hwm). Partitions in
+    # (old_hwm, new_hwm] stay for in-flight old-pointer readers.
+    keep = {new_dir, vdir} if vdir is not None else {new_dir}
     for d in os.listdir(parent):
         full = os.path.join(parent, d)
         if full in keep or not os.path.isdir(full):
             continue
         if d.startswith(base + ".v") and d[len(base) + 2 :].isdigit():
             shutil.rmtree(full)
-        elif d == base:
-            shutil.rmtree(full)
+    if vdir is not None and os.path.isdir(path):
+        for b in _live_batches(path):
+            if b <= old_hwm:
+                shutil.rmtree(os.path.join(path, f"ingest_batch={b}"))
+        # drop write markers and the dir itself once no partitions
+        # remain — never rmtree the plain dir: a concurrent writer may
+        # be creating a partition, and rmdir fails loudly instead of
+        # deleting it.
+        if not _live_batches(path):
+            for leftover in os.listdir(path):
+                if leftover.startswith(("_", ".")):
+                    os.remove(os.path.join(path, leftover))
+            try:
+                os.rmdir(path)
+            except OSError:
+                pass  # a writer beat us to it; partitions stay live
     return new_dir
 
 
@@ -1362,6 +1463,21 @@ class StreamingCorpusIngest:
             admitted.select(*doc_cols, "ingest_batch")
             .unionByName(quarantine.select(*doc_cols, "ingest_batch"))
             .withColumn("fp", _doc_fp())
+        )
+        # One row per doc_id: an at-least-once source can deliver the
+        # same document in several batches — the stream admits the first
+        # and quarantines the copies as exact_dup, so the union holds
+        # BOTH. Without this, every copy satisfies doc_id == fp_keeper
+        # and the reconciler would re-admit the duplicates the stream
+        # correctly rejected. Keep the earliest delivery (deterministic:
+        # copies are identical rows; fp breaks any same-batch tie).
+        from pyspark.sql.window import Window
+
+        w_dedup = Window.partitionBy("doc_id").orderBy("ingest_batch", "fp")
+        corpus = (
+            corpus.withColumn("copy_rk", F.row_number().over(w_dedup))
+            .filter(F.col("copy_rk") == 1)
+            .drop("copy_rk")
         )
 
         fp_min = corpus.groupBy("fp").agg(F.min("doc_id").alias("fp_keeper"))

@@ -98,6 +98,25 @@ def test_account_point_query_prunes_to_one_bucket(spark, sf_dir):
             .limit(20)
         )
         assert sorted(map(tuple, df.collect())) == sorted(map(tuple, want.collect()))
+
+        # limit=None (the declared default): full sorted account history.
+        # A global orderBy would plan an exchange and go adaptive (which
+        # the pin guard rejects); the single pruned bucket makes a
+        # partition-local sort the total order — assert the plan stays
+        # non-adaptive, still prunes, and returns the rows IN id order.
+        full = layout.query_account_over_layout(spark, "ati_prune_test", 7)
+        fplan = layout.explain_str(full)
+        assert "AdaptiveSparkPlan" not in fplan, fplan
+        assert "SelectedBucketsCount: 1 out of 8" in fplan, fplan
+        got_ids = [r["id"] for r in full.collect()]
+        want_ids = [
+            r["id"]
+            for r in derive.ati(feed)
+            .filter(F.col("account") == 7)
+            .orderBy(F.col("id").desc())
+            .collect()
+        ]
+        assert got_ids == want_ids, "partition-local sort must be the total order"
     finally:
         spark.sql("DROP TABLE IF EXISTS ati_prune_test")
 

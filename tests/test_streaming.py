@@ -708,6 +708,104 @@ def test_compact_sink_manifest_swap_never_hides_the_table(
     ) == want
 
 
+def test_compact_sink_keeps_post_compaction_appends(spark, sf_dir, dirs):
+    """A stream resumed AFTER a compaction keeps appending batch-keyed
+    partitions to the plain directory — those rows must stay visible to
+    ``read_sink`` (manifest hwm + live union), be folded into the next
+    version, and never be GC'd before folding (the round-5 review found
+    the first manifest protocol silently hid and then deleted them)."""
+    import os as _os
+
+    from concordium_transaction_logger_spark.streaming import pipeline as pl
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    events.filter(F.col("event_id") < 400).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users
+    ).run_available_now()
+    first = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
+
+    pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+
+    # the stream resumes on the same checkpoint and appends new batches
+    events.filter(F.col("event_id") >= 400).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users
+    ).run_available_now()
+
+    want = {
+        r.id for r in derive.summaries(derive.block_feed(spark, sf_dir)).select("id").collect()
+    }
+    got = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
+    assert got == want, "post-compaction appends must stay visible"
+    assert got > first
+
+    # the next compactions fold the appends in and eventually GC the
+    # folded plain partitions — rows preserved exactly throughout
+    for _ in range(2):
+        pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+        got = {
+            r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()
+        }
+        assert got == want
+    path = _os.path.join(dirs["out"], "summaries")
+    assert not _os.path.isdir(path) or not any(
+        d.startswith("ingest_batch=") for d in _os.listdir(path)
+    ), "fully-folded plain partitions GC'd"
+
+
+def test_tail_follow_works_across_compactions(spark, sf_dir, dirs):
+    """ST9 tail-read on a compacted sink: after compactions have folded
+    (and GC'd) every plain partition, a follower must still attach —
+    schema comes from the manifest version — and see rows the resumed
+    stream appends next."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        compact_sink,
+        tail_follow,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    events.filter(F.col("event_id") < 600).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users
+    ).run_available_now()
+    high = max(
+        r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    )
+    # two compactions: the second GCs every folded plain partition
+    compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    compact_sink(spark, dirs["out"], "summaries", target_files=1)
+
+    stream = tail_follow(spark, dirs["out"], from_id=high)
+
+    # stream resumes: new summaries append to the (recreated) plain dir
+    events.filter(F.col("event_id") >= 600).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users
+    ).run_available_now()
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tail_compacted")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT id FROM tail_compacted").collect()
+    assert rows and all(r.id > high for r in rows)
+    assert len(rows) == events.filter(F.col("event_id") >= 600).count()
+
+
 def test_streaming_near_dup_admission_matches_batch_survivors(spark, sf_dir, dirs):
     """near_dup=True: after a full multi-batch id-ordered replay, the
     admitted corpus equals the batch ``dedup_survivors`` keeper set — a
@@ -1108,3 +1206,36 @@ def test_reconcile_converges_disordered_span_admission_to_batch_verdict(
     got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
     assert got == want
     assert ingest.reconcile().count() == 0, "reconcile must be a fixpoint"
+
+
+def test_reconcile_is_stable_under_at_least_once_redelivery(spark, sf_dir, dirs):
+    """An at-least-once source redelivers the SAME rows (same doc_id,
+    same text) in a later batch: the stream admits the first copy and
+    quarantines the redeliveries as exact_dup. ``reconcile()`` must NOT
+    resurrect them — its corpus view is one row per doc_id, so the
+    admitted snapshot stays duplicate-free and reconcile is a no-op
+    (the round-5 review found the first reconciler re-admitted every
+    quarantined copy, undoing the stream's correct dedup)."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    redelivered = docs.filter(F.col("doc_id") < 40)
+    for sl in (docs, redelivered):
+        sl.coalesce(1).write.mode("append").parquet(dirs["source"])
+    ingest = StreamingCorpusIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    )
+    ingest.run_available_now()
+
+    before = sorted(
+        r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()
+    )
+    assert len(before) == len(set(before)), "stream admission is duplicate-free"
+
+    assert ingest.reconcile().count() == 0, "redelivery alone needs no actions"
+    after = sorted(r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect())
+    assert after == before, "reconcile must not re-admit redelivered copies"
+    assert ingest.reconcile().count() == 0, "fixpoint"
