@@ -510,6 +510,23 @@ def winnow_dup_pairs(
     )
 
 
+def winnow_stop_fps(
+    spark: SparkSession, sf_dir: str, max_df: int = WINNOW_MAX_DF
+) -> DataFrame:
+    """The fingerprints the winnow df-cap drops, with their document
+    frequencies — the no-silent-caps audit artifact (SCALE.md), the
+    winnow twin of ``dedup.stop_shingles``: whatever
+    :func:`winnow_dup_pairs`' capped default excludes is enumerable and
+    auditable, never silently discarded."""
+    return (
+        winnow_index(spark, sf_dir)
+        .groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .orderBy("fp")
+    )
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-eval shape: the language-ID confusion matrix — per
     (labeled lang, predicted lang) counts and within-label share

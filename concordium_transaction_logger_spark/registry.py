@@ -1630,6 +1630,28 @@ ORDER BY doc_a, doc_b
         ),
         bench=True,
     ),
+    # No-silent-caps audit twin of doc_stop_shingles for the winnow cap.
+    "doc_winnow_stop_fps": QueryDef(
+        textstats.winnow_stop_fps,
+        wrap(
+            f"""
+, wgrams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 2),
+                        i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS h
+  FROM toks WHERE len(t) >= 6
+),
+wfp0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(h) - 3), i -> list_min(h[i:i+3])))) AS fp
+  FROM wgrams
+)
+SELECT fp, COUNT(*) AS df FROM wfp0 GROUP BY fp
+HAVING COUNT(*) > {textstats.WINNOW_MAX_DF} ORDER BY fp
+"""
+        ),
+    ),
     # ------------------------------------------------------------------
     # Training-data pipeline: deduplication
     # ------------------------------------------------------------------

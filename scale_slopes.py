@@ -38,9 +38,12 @@ target cluster — expected ~linear; since round 5 the default IS the
 scaled path, `similarity.semdedup_default_k`).
 
 A full untimed warm pass over a scratch corpus runs first so
-whole-stage-codegen compilation is not billed to the 1x column.
+whole-stage-codegen compilation is not billed to the 1x column. Each
+cell is the MIN of two back-to-back passes (same rationale as bench.py:
+host-load noise in a single 1x or 10x cell corrupts a log-log slope far
+more than it shifts a mean).
 
-Usage: python scale_slopes.py   (writes SCALE_SLOPES.json, ~10 min)
+Usage: python scale_slopes.py   (writes SCALE_SLOPES.json, ~15 min)
 """
 
 from __future__ import annotations
@@ -75,6 +78,11 @@ BOILERPLATE = (
 #: df-uncapped jaccard on the boilerplate corpus: Σ df² pair space —
 #: measured only while the hot-shingle pair count stays tractable.
 EXACT_BOILER_CAP = 3
+
+#: Families whose operator memoizes its own trained artifact per
+#: (session, corpus) — a second timed pass would hit the cache and the
+#: min would record the lookup, not the work. These get ONE pass.
+SINGLE_PASS = {"bpe_train"}
 
 
 def build_corpus(spark, mult: int, out_dir: str, boilerplate: bool = False) -> None:
@@ -244,22 +252,34 @@ def main() -> None:
                 build_indexes(cdir, m), 3
             )
             for fam, fn in families(m).items():
-                t0 = time.perf_counter()
-                n = len(fn(spark, cdir).toPandas())
-                results["times"].setdefault(fam, {})[m] = round(
-                    time.perf_counter() - t0, 3
-                )
+                # min of two back-to-back passes, like bench.py: single
+                # shots swing with host load and a polluted 1x (or 10x)
+                # cell corrupts the slope far more than the mean shifts.
+                # EXCEPT operators that memoize their own trained
+                # artifact per (session, corpus) — their second pass is
+                # a cache hit and the min would time the lookup, not
+                # the training.
+                passes = 1 if fam in SINGLE_PASS else 2
+                best, n = None, 0
+                for _ in range(passes):
+                    t0 = time.perf_counter()
+                    n = len(fn(spark, cdir).toPandas())
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                results["times"].setdefault(fam, {})[m] = round(best, 3)
                 print(f"x{m} {fam}: {results['times'][fam][m]}s ({n} rows)", flush=True)
 
             bdir = os.path.join(root, f"x{m}_boiler")
             build_corpus(spark, m, bdir, boilerplate=True)
             dedup.shingle_index(spark, bdir).count()
             for fam, fn in boiler_families(m).items():
-                t0 = time.perf_counter()
-                n = len(fn(spark, bdir).toPandas())
-                results["times"].setdefault(fam, {})[m] = round(
-                    time.perf_counter() - t0, 3
-                )
+                best, n = None, 0
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = len(fn(spark, bdir).toPandas())
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                results["times"].setdefault(fam, {})[m] = round(best, 3)
                 print(f"x{m} {fam}: {results['times'][fam][m]}s ({n} rows)", flush=True)
             release_corpus(spark, cdir)
             release_corpus(spark, bdir)
