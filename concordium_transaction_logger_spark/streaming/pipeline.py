@@ -986,6 +986,16 @@ def compact_sink(
     This is the local-filesystem instance of the Delta/Iceberg
     metadata-pointer shape; deploying on an object store swaps the
     manifest rename for the store's atomic put-if-absent.
+
+    Contract corollary (the "compacted batch must never be replayed"
+    rule, made precise): replayed batch ids at or below the hwm are
+    treated as the idempotent copies they normally are — correct for a
+    same-data replay, which converges. A LOST-CHECKPOINT replay that
+    restarts batch ids from zero while ALSO ingesting source files the
+    compacted run never saw would land genuinely-new rows at hidden
+    ids; such a replay must target a fresh sink + checkpoint (the
+    replay-convergence tests' pattern), exactly as a Postgres restore
+    replays its WAL into a fresh basebackup rather than across a VACUUM.
     Returns the live version directory after the swap."""
     import shutil
 
