@@ -143,6 +143,18 @@ def query_account_over_layout(
                 "scoped autoBucketedScan pin no longer holds; re-scope the "
                 "conf around execution, not planning"
             )
+        # The adaptivity check alone cannot catch a DROPPED bucketed
+        # scan (a local sort adds no exchange), and for limit=None the
+        # single-pruned-bucket property is what makes the partition-local
+        # sort a total order — assert the scan itself, loudly.
+        if "SelectedBucketsCount: 1 out of" not in pinned.toString():
+            raise AssertionError(
+                "query_account_over_layout: the pinned plan lost the "
+                "bucket-pruned scan (bucketing disabled on the session, or "
+                "the table was written unbucketed) — the point query would "
+                "full-scan, and without a limit the partition-local sort "
+                "would no longer be a total order"
+            )
         return df
     finally:
         spark.conf.set(key, prior)

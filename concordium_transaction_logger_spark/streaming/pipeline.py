@@ -904,7 +904,12 @@ def _sink_state(out_dir: str, name: str) -> tuple[str | None, int]:
     if os.path.isfile(manifest):
         with open(manifest) as f:
             parts = f.read().split()
-        return path + "." + parts[0], int(parts[1])
+        # A single-field manifest (no hwm) is the pre-hwm protocol's
+        # format, under which the version dir WAS the whole table —
+        # read it as hwm = +inf so plain partitions stay hidden (the
+        # old readers' view) instead of double-counting folded rows.
+        hwm = int(parts[1]) if len(parts) > 1 else 1 << 62
+        return path + "." + parts[0], hwm
     return None, -1
 
 
@@ -920,6 +925,51 @@ def _live_batches(path: str) -> list[int]:
     return sorted(out)
 
 
+def _batch_keyed(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Read one sink data directory and normalize the ``ingest_batch``
+    key to long (partition discovery types it int; compacted versions
+    store it as a data column) — failing with a clear contract error on
+    a sink that is not batch-keyed (the manifest protocol's folding,
+    GC, and read views are all keyed on ``ingest_batch``)."""
+    df = spark.read.parquet(data_dir)
+    if "ingest_batch" not in df.columns:
+        raise ValueError(
+            f"sink table at {data_dir} is not batch-keyed (no ingest_batch "
+            "column): the compaction manifest protocol requires the "
+            "batch-partitioned sink layout"
+        )
+    return df.withColumn("ingest_batch", F.col("ingest_batch").cast("long"))
+
+
+def _sink_view(
+    spark: SparkSession, out_dir: str, name: str, live: list[int]
+) -> DataFrame:
+    """The merge view every manifest consumer shares: the version
+    directory (if any) unioned with exactly the plain-directory batches
+    in ``live``. read_sink passes every batch above the hwm;
+    compact_sink passes its pre-snapshotted fold list — one
+    definition, so the reader's view and the compacted output can
+    never diverge."""
+    path = os.path.join(out_dir, name)
+    vdir, _ = _sink_state(out_dir, name)
+    parts = []
+    if vdir is not None:
+        parts.append(_batch_keyed(spark, vdir))
+    if live:
+        parts.append(
+            _batch_keyed(spark, path).filter(F.col("ingest_batch").isin(live))
+        )
+    if not parts:
+        # no manifest and no batch partitions: either a plain
+        # never-compacted read (let Spark read it, erroring naturally
+        # on a missing dir) or a non-batch-keyed table (clear error)
+        return _batch_keyed(spark, path)
+    view = parts[0]
+    for p in parts[1:]:
+        view = view.unionByName(p.select(view.columns))
+    return view
+
+
 def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     """The sink table's current view: the manifest's version directory
     unioned with plain-directory batches ABOVE the manifest's high-water
@@ -933,17 +983,9 @@ def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     vdir, hwm = _sink_state(out_dir, name)
     if vdir is None:
         return spark.read.parquet(path)
-    df = spark.read.parquet(vdir).withColumn(
-        "ingest_batch", F.col("ingest_batch").cast("long")
+    return _sink_view(
+        spark, out_dir, name, [b for b in _live_batches(path) if b > hwm]
     )
-    if any(b > hwm for b in _live_batches(path)):
-        live = (
-            spark.read.parquet(path)
-            .withColumn("ingest_batch", F.col("ingest_batch").cast("long"))
-            .filter(F.col("ingest_batch") > hwm)
-        )
-        df = df.unionByName(live.select(df.columns))
-    return df
 
 
 def compact_sink(
@@ -1009,29 +1051,20 @@ def compact_sink(
     # the readers' live union until the next compaction folds them in.
     fresh = [b for b in _live_batches(path) if b > old_hwm]
     new_hwm = max(fresh, default=old_hwm)
-    parts = []
-    if vdir is not None:
-        parts.append(
-            spark.read.parquet(vdir).withColumn(
-                "ingest_batch", F.col("ingest_batch").cast("long")
-            )
-        )
-    if fresh:
-        parts.append(
-            spark.read.parquet(path)
-            .withColumn("ingest_batch", F.col("ingest_batch").cast("long"))
-            .filter(F.col("ingest_batch").isin(fresh))
-        )
-    if not parts:
-        raise ValueError(f"compact_sink: no data for sink table {path}")
-    src = parts[0]
-    for p in parts[1:]:
-        src = src.unionByName(p.select(src.columns))
-    if "ingest_batch" not in src.columns:
+    if vdir is None and not fresh:
+        # nothing foldable: a missing table reads as missing; a
+        # populated directory without ingest_batch partitions gets the
+        # batch-keyed contract error from _batch_keyed — and never a
+        # silent fold (a version written with hwm=-1 would leave the
+        # plain rows visible TWICE, once folded and once live)
+        if not os.path.isdir(path):
+            raise ValueError(f"compact_sink: no sink table at {path}")
+        _batch_keyed(spark, path)
         raise ValueError(
-            "compact_sink requires a batch-keyed sink table "
-            "(ingest_batch partition column)"
+            f"compact_sink: {path} has no ingest_batch partitions to fold"
         )
+    # the same merge view read_sink serves, pinned to the snapshot list
+    src = _sink_view(spark, out_dir, name, fresh)
     versions = [
         int(d[len(base) + 2 :])
         for d in os.listdir(parent)
@@ -1066,8 +1099,12 @@ def compact_sink(
         # deleting it.
         if not _live_batches(path):
             for leftover in os.listdir(path):
-                if leftover.startswith(("_", ".")):
-                    os.remove(os.path.join(path, leftover))
+                full = os.path.join(path, leftover)
+                # files only: a _temporary/ staging DIRECTORY belongs
+                # to a crashed or concurrent writer — leave it, and let
+                # rmdir refuse loudly below
+                if leftover.startswith(("_", ".")) and os.path.isfile(full):
+                    os.remove(full)
             try:
                 os.rmdir(path)
             except OSError:

@@ -5,6 +5,7 @@ and the salted-aggregation equivalence."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from concordium_transaction_logger_spark.ingest import derive
@@ -117,6 +118,18 @@ def test_account_point_query_prunes_to_one_bucket(spark, sf_dir):
             .collect()
         ]
         assert got_ids == want_ids, "partition-local sort must be the total order"
+
+        # the guard fails LOUDLY when the bucketed scan is lost (the
+        # no-limit path's ordering correctness depends on it; a local
+        # sort adds no exchange, so adaptivity alone can't catch this)
+        bkey = "spark.sql.sources.bucketing.enabled"
+        bprior = spark.conf.get(bkey, "true")
+        spark.conf.set(bkey, "false")
+        try:
+            with pytest.raises(AssertionError, match="bucket-pruned scan"):
+                layout.query_account_over_layout(spark, "ati_prune_test", 7)
+        finally:
+            spark.conf.set(bkey, bprior)
     finally:
         spark.sql("DROP TABLE IF EXISTS ati_prune_test")
 

@@ -758,6 +758,17 @@ def test_compact_sink_keeps_post_compaction_appends(spark, sf_dir, dirs):
         d.startswith("ingest_batch=") for d in _os.listdir(path)
     ), "fully-folded plain partitions GC'd"
 
+    # a legacy single-field manifest (pre-hwm format: version name only)
+    # must still resolve — read as hwm=+inf, i.e. the version dir IS the
+    # whole table, exactly the old readers' view
+    manifest = path + ".MANIFEST"
+    with open(manifest) as f:
+        vname = f.read().split()[0]
+    with open(manifest, "w") as f:
+        f.write(vname)
+    got = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
+    assert got == want, "legacy manifest format must stay readable"
+
 
 def test_tail_follow_works_across_compactions(spark, sf_dir, dirs):
     """ST9 tail-read on a compacted sink: after compactions have folded
