@@ -510,6 +510,55 @@ def winnow_dup_pairs(
     )
 
 
+#: PII surface patterns (Dolma/FineWeb-style curation taggers), ordered —
+#: redaction applies them IN THIS ORDER, so an email whose local part is
+#: digit-dashed is redacted as an email, not later as a phone. Patterns
+#: are deliberately lookaround-free and class-explicit so Java regex
+#: (Spark) and RE2 (DuckDB) match identically; both engines scan
+#: leftmost non-overlapping.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+    ("phone", r"\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII surface counts — the tagging half of the standard
+    curation PII step (count first, decide policy, then redact): one
+    ``regexp_count`` per pattern over the RAW text, each independent (an
+    email with a digit-dashed local part counts as both email and phone
+    here; :func:`pii_redact` resolves the overlap by order). Pure
+    row-local JVM expressions over one scan — zero shuffles, the same
+    100 TB shape as the quality gate."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    out = docs.select("doc_id", *counts)
+    total = sum((F.col(f"n_{name}") for name, _, _ in PII_PATTERNS), F.lit(0))
+    return out.withColumn("n_pii", total.cast("long")).orderBy("doc_id")
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction half: each PII pattern replaced by its typed marker,
+    applied in :data:`PII_PATTERNS` order (earlier redactions shield
+    their spans from later patterns — markers contain no digits or
+    ``@``). Returns the redacted text plus a changed flag; row-local
+    ``regexp_replace`` chain, zero shuffles, whole-stage codegen."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    clean = F.col("text")
+    for _, pat, marker in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, marker)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (clean != F.col("text")).alias("changed"),
+    ).orderBy("doc_id")
+
+
 def winnow_stop_fps(
     spark: SparkSession, sf_dir: str, max_df: int = WINNOW_MAX_DF
 ) -> DataFrame:

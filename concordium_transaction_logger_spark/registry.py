@@ -68,6 +68,19 @@ ORDER BY a.id {'DESC' if descending else 'ASC'} {lim}
     )
 
 
+def _nested_pii_replace(col: str) -> str:
+    """DuckDB spelling of the ordered PII redaction chain: one global
+    regexp_replace per pattern, nested in textstats.PII_PATTERNS order
+    (innermost first), with the pattern literals interpolated from the
+    same constants the Spark operator compiles."""
+    from .operators import textstats
+
+    expr = col
+    for _, pat, marker in textstats.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{marker}', 'g')"
+    return expr
+
+
 def _simhash_core() -> str:
     """The per-doc simhash SELECT, shared by the signature query and the
     banded-pairs oracle."""
@@ -1629,6 +1642,37 @@ ORDER BY doc_a, doc_b
 """
         ),
         bench=True,
+    ),
+    # PII tagging + redaction (Dolma/FineWeb-style curation step). The
+    # SQL interpolates the SAME pattern literals the Spark op compiles
+    # (textstats.PII_PATTERNS), so the two engines can never drift on
+    # the pattern text; the patterns themselves are lookaround-free so
+    # Java regex and RE2 agree on every match.
+    "doc_pii_stats": QueryDef(
+        textstats.pii_stats,
+        wrap(
+            "SELECT doc_id, "
+            + ", ".join(
+                f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+                f" AS n_{name}"
+                for name, pat, _ in textstats.PII_PATTERNS
+            )
+            + ", CAST("
+            + " + ".join(
+                f"len(regexp_extract_all(text, '{pat}'))"
+                for _, pat, _ in textstats.PII_PATTERNS
+            )
+            + " AS BIGINT) AS n_pii FROM documents ORDER BY doc_id"
+        ),
+    ),
+    "doc_pii_redact": QueryDef(
+        textstats.pii_redact,
+        wrap(
+            "SELECT doc_id, clean_text, clean_text != text AS changed FROM ("
+            "SELECT doc_id, text, "
+            + _nested_pii_replace("text")
+            + " AS clean_text FROM documents) ORDER BY doc_id"
+        ),
     ),
     # No-silent-caps audit twin of doc_stop_shingles for the winnow cap.
     "doc_winnow_stop_fps": QueryDef(
