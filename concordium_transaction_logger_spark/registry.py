@@ -1664,6 +1664,7 @@ ORDER BY doc_a, doc_b
             )
             + " AS BIGINT) AS n_pii FROM documents ORDER BY doc_id"
         ),
+        bench=True,
     ),
     "doc_pii_redact": QueryDef(
         textstats.pii_redact,
