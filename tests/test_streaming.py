@@ -763,11 +763,27 @@ def test_compact_sink_keeps_post_compaction_appends(spark, sf_dir, dirs):
     # whole table, exactly the old readers' view
     manifest = path + ".MANIFEST"
     with open(manifest) as f:
-        vname = f.read().split()[0]
+        vname, hwm = f.read().split()
     with open(manifest, "w") as f:
         f.write(vname)
     got = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
     assert got == want, "legacy manifest format must stay readable"
+    with open(manifest, "w") as f:
+        f.write(f"{vname}\n{hwm}")
+
+    # a crashed/concurrent writer's _temporary staging DIRECTORY in the
+    # plain dir must not crash the cleanup (files-only marker sweep) —
+    # and must survive it
+    _os.makedirs(path, exist_ok=True)
+    _os.makedirs(_os.path.join(path, "_temporary"), exist_ok=True)
+    from concordium_transaction_logger_spark.streaming import pipeline as pl2
+
+    pl2.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    assert _os.path.isdir(_os.path.join(path, "_temporary")), (
+        "a writer's staging dir is never deleted by compaction"
+    )
+    got = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
+    assert got == want
 
 
 def test_tail_follow_works_across_compactions(spark, sf_dir, dirs):
