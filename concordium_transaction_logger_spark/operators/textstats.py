@@ -529,9 +529,12 @@ def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation PII step (count first, decide policy, then redact): one
     ``regexp_count`` per pattern over the RAW text, each independent (an
     email with a digit-dashed local part counts as both email and phone
-    here; :func:`pii_redact` resolves the overlap by order). Pure
-    row-local JVM expressions over one scan — zero shuffles, the same
-    100 TB shape as the quality gate."""
+    here; :func:`pii_redact` resolves the overlap by order). Row-local
+    JVM expressions over one pruned (doc_id, text) scan; the only
+    exchanges are the few-large-files CPU-spread repartition
+    (``_spread`` — redundant at real corpus scale, where the scan's own
+    partitioning parallelizes) and the deterministic-output sort of the
+    narrow counts frame — the same shape as the quality gate."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
     counts = [
         F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
@@ -546,8 +549,9 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The redaction half: each PII pattern replaced by its typed marker,
     applied in :data:`PII_PATTERNS` order (earlier redactions shield
     their spans from later patterns — markers contain no digits or
-    ``@``). Returns the redacted text plus a changed flag; row-local
-    ``regexp_replace`` chain, zero shuffles, whole-stage codegen."""
+    ``@``). Returns the redacted text plus a changed flag; a row-local
+    ``regexp_replace`` chain in whole-stage codegen, with the same two
+    auxiliary exchanges as :func:`pii_stats` (spread + output sort)."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
     clean = F.col("text")
     for _, pat, marker in PII_PATTERNS:

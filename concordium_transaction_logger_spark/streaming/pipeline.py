@@ -908,9 +908,16 @@ def _sink_state(out_dir: str, name: str) -> tuple[str | None, int]:
         # format, under which the version dir WAS the whole table —
         # read it as hwm = +inf so plain partitions stay hidden (the
         # old readers' view) instead of double-counting folded rows.
-        hwm = int(parts[1]) if len(parts) > 1 else 1 << 62
+        # compact_sink treats the sentinel as read-only and migrates to
+        # a finite hwm (persisting it would hide future appends forever).
+        hwm = int(parts[1]) if len(parts) > 1 else _LEGACY_HWM
         return path + "." + parts[0], hwm
     return None, -1
+
+
+#: Sentinel hwm a legacy (single-field) manifest resolves to: larger
+#: than any real micro-batch id, never persisted back.
+_LEGACY_HWM = 1 << 62
 
 
 def _live_batches(path: str) -> list[int]:
@@ -942,28 +949,27 @@ def _batch_keyed(spark: SparkSession, data_dir: str) -> DataFrame:
 
 
 def _sink_view(
-    spark: SparkSession, out_dir: str, name: str, live: list[int]
+    spark: SparkSession,
+    path: str,
+    vdir: str | None,
+    live_pred: "F.Column | None",
 ) -> DataFrame:
     """The merge view every manifest consumer shares: the version
-    directory (if any) unioned with exactly the plain-directory batches
-    in ``live``. read_sink passes every batch above the hwm;
-    compact_sink passes its pre-snapshotted fold list — one
-    definition, so the reader's view and the compacted output can
-    never diverge."""
-    path = os.path.join(out_dir, name)
-    vdir, _ = _sink_state(out_dir, name)
+    directory (if given) unioned with the plain-directory batches
+    selected by ``live_pred`` (None = skip the plain side). The caller
+    passes the vdir it ALREADY resolved — resolving again here would
+    race a concurrent pointer swap and double-count the batches the new
+    version just folded. read_sink selects with a scalar ``> hwm``
+    (one comparison however many partitions accumulate); compact_sink
+    pins its pre-snapshotted fold list — one merge definition, so the
+    reader's view and the compacted output can never diverge."""
     parts = []
     if vdir is not None:
         parts.append(_batch_keyed(spark, vdir))
-    if live:
-        parts.append(
-            _batch_keyed(spark, path).filter(F.col("ingest_batch").isin(live))
-        )
+    if live_pred is not None:
+        parts.append(_batch_keyed(spark, path).filter(live_pred))
     if not parts:
-        # no manifest and no batch partitions: either a plain
-        # never-compacted read (let Spark read it, erroring naturally
-        # on a missing dir) or a non-batch-keyed table (clear error)
-        return _batch_keyed(spark, path)
+        raise ValueError(f"_sink_view: nothing to read for sink table {path}")
     view = parts[0]
     for p in parts[1:]:
         view = view.unionByName(p.select(view.columns))
@@ -983,9 +989,12 @@ def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     vdir, hwm = _sink_state(out_dir, name)
     if vdir is None:
         return spark.read.parquet(path)
-    return _sink_view(
-        spark, out_dir, name, [b for b in _live_batches(path) if b > hwm]
+    pred = (
+        (F.col("ingest_batch") > hwm)
+        if any(b > hwm for b in _live_batches(path))
+        else None
     )
+    return _sink_view(spark, path, vdir, pred)
 
 
 def compact_sink(
@@ -1046,25 +1055,38 @@ def compact_sink(
     parent = os.path.dirname(path)
     manifest = path + ".MANIFEST"
     vdir, old_hwm = _sink_state(out_dir, name)
+    # Legacy single-field manifest: its sentinel hwm is a READ device
+    # only (hide the plain dir, the old protocol's view). Persisting it
+    # would hide — and next round GC-delete — every future append, so
+    # the migration compaction folds ALL plain partitions (under the
+    # legacy protocol the plain dir was deleted at compaction, so
+    # whatever is present postdates the fold) and writes a finite hwm.
+    legacy = old_hwm >= _LEGACY_HWM
+    fold_from = -1 if legacy else old_hwm
     # Snapshot the plain-dir batch list BEFORE reading: partitions that
     # appear mid-rewrite stay above the new hwm and remain visible via
     # the readers' live union until the next compaction folds them in.
-    fresh = [b for b in _live_batches(path) if b > old_hwm]
-    new_hwm = max(fresh, default=old_hwm)
+    fresh = [b for b in _live_batches(path) if b > fold_from]
+    new_hwm = max(fresh, default=fold_from)
     if vdir is None and not fresh:
-        # nothing foldable: a missing table reads as missing; a
-        # populated directory without ingest_batch partitions gets the
-        # batch-keyed contract error from _batch_keyed — and never a
-        # silent fold (a version written with hwm=-1 would leave the
-        # plain rows visible TWICE, once folded and once live)
-        if not os.path.isdir(path):
-            raise ValueError(f"compact_sink: no sink table at {path}")
+        # nothing foldable — and never a silent fold (a version written
+        # with hwm=-1 would leave plain rows visible TWICE, folded and
+        # live). A missing or empty table reads as such; a populated
+        # directory without ingest_batch partitions gets the
+        # batch-keyed contract error from _batch_keyed.
+        if not os.path.isdir(path) or not os.listdir(path):
+            raise ValueError(f"compact_sink: no sink table data at {path}")
         _batch_keyed(spark, path)
         raise ValueError(
             f"compact_sink: {path} has no ingest_batch partitions to fold"
         )
     # the same merge view read_sink serves, pinned to the snapshot list
-    src = _sink_view(spark, out_dir, name, fresh)
+    src = _sink_view(
+        spark,
+        path,
+        vdir,
+        F.col("ingest_batch").isin(fresh) if fresh else None,
+    )
     versions = [
         int(d[len(base) + 2 :])
         for d in os.listdir(parent)
@@ -1090,8 +1112,11 @@ def compact_sink(
         if d.startswith(base + ".v") and d[len(base) + 2 :].isdigit():
             shutil.rmtree(full)
     if vdir is not None and os.path.isdir(path):
+        # fold_from, not old_hwm: a legacy sentinel must never select
+        # partitions for deletion (this migration round just folded
+        # them; the NEXT compaction GCs with the finite hwm)
         for b in _live_batches(path):
-            if b <= old_hwm:
+            if b <= fold_from:
                 shutil.rmtree(os.path.join(path, f"ingest_batch={b}"))
         # drop write markers and the dir itself once no partitions
         # remain — never rmtree the plain dir: a concurrent writer may

@@ -763,13 +763,23 @@ def test_compact_sink_keeps_post_compaction_appends(spark, sf_dir, dirs):
     # whole table, exactly the old readers' view
     manifest = path + ".MANIFEST"
     with open(manifest) as f:
-        vname, hwm = f.read().split()
+        vname = f.read().split()[0]
     with open(manifest, "w") as f:
         f.write(vname)
     got = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
     assert got == want, "legacy manifest format must stay readable"
-    with open(manifest, "w") as f:
-        f.write(f"{vname}\n{hwm}")
+
+    # compacting a legacy sink MIGRATES it: the next manifest carries a
+    # finite hwm (persisting the read sentinel would hide — then
+    # GC-delete — every future append), rows preserved exactly
+    from concordium_transaction_logger_spark.streaming import pipeline as plm
+
+    plm.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    with open(manifest) as f:
+        fields = f.read().split()
+    assert len(fields) == 2 and int(fields[1]) < plm._LEGACY_HWM, fields
+    got = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
+    assert got == want, "legacy migration preserves rows"
 
     # a crashed/concurrent writer's _temporary staging DIRECTORY in the
     # plain dir must not crash the cleanup (files-only marker sweep) —
