@@ -2855,26 +2855,30 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # ---- round-5 rotation: 24 never-driver-checked entries take the
+    # ---- round-5 rotation: 27 never-driver-checked entries take the
     # slots of r04-green rows (all rotated-out names stay value-checked
-    # every pytest run by test_oracle_parity). Holdovers (7): one anchor
-    # per family plus the two ops whose defaults changed this round
-    # (embedding_semdedup_pairs scale-safe k, corpus re-checks).
+    # every pytest run by test_oracle_parity; ann_cosine_topk /
+    # doc_bm25_topk / embedding_kmeans_profile additionally stay
+    # transitively exercised by hybrid_rrf_topk and the semdedup/kmeans
+    # index path). Holdovers (4): one anchor per dedup/curation family
+    # plus the op whose default changed this round
+    # (embedding_semdedup_pairs scale-safe k).
     # deduplication / span family
     "doc_dedup_survivors",
     "doc_span_admission",
     "doc_fingerprints",
     "doc_simhash_dup_pairs",
     "doc_stop_shingles",
+    "doc_winnow_stop_fps",
     # similarity / embedding family
-    "ann_cosine_topk",
-    "embedding_kmeans_profile",
     "embedding_semdedup_pairs",
     "embedding_label_centroids",
     "embedding_lang_label_stats",
-    # retrieval
-    "doc_bm25_topk",
+    # retrieval (hybrid composes the BM25 and ANN modalities)
     "hybrid_rrf_topk",
+    # PII curation step (new in round 5)
+    "doc_pii_stats",
+    "doc_pii_redact",
     # text-analysis family
     "doc_perceptron_eval",
     "corpus_bpe_apply",
