@@ -2811,20 +2811,25 @@ ORDER BY label, dim
 # ROTATION (round 4 onward): the non-pinned slots swap each round so the
 # ~90 past-slot-50 queries cycle through driver verification across
 # rounds instead of riding local DuckDB forever.
-# Round 5 rotated IN 24 never-driver-checked names (doc_fingerprints,
-# doc_simhash_dup_pairs, doc_stop_shingles, embedding_label_centroids,
-# embedding_lang_label_stats, hybrid_rrf_topk, doc_perceptron_eval,
+# Round 5 rotated IN 27 never-driver-checked names (doc_fingerprints,
+# doc_simhash_dup_pairs, doc_stop_shingles, doc_winnow_stop_fps,
+# embedding_label_centroids, embedding_lang_label_stats,
+# hybrid_rrf_topk, doc_pii_stats, doc_pii_redact, doc_perceptron_eval,
 # corpus_bpe_apply, doc_dsir_weights, doc_bigram_repetition,
 # doc_source_profile, doc_split_counts, media_byte_histogram,
 # media_resize, events_column_profile, event_funnel, weekly_retention,
 # event_type_hourly, event_hourly_anomaly, lone_late_supplier,
 # nation_market_share, top_orders_per_customer,
-# orders_trailing_month_count, promo_revenue_permille), keeping 7
-# holdovers (one anchor per family + the ops whose defaults changed this
-# round). Rotated OUT (r04-green): doc_minhash_band_pairs,
-# doc_dup_components, doc_ngram_jaccard_pairs,
-# doc_minhash_jaccard_estimate, doc_ngram_novelty, doc_duplicate_spans,
-# doc_dedup_clean_text, ann_lsh_topk, ann_ivf_topk,
+# orders_trailing_month_count, promo_revenue_permille), keeping 4
+# holdovers (doc_dedup_survivors, doc_span_admission,
+# embedding_semdedup_pairs — the scale-safe-k default changed this
+# round — and corpus_curation_verdict). Rotated OUT (all r04-green or
+# transitively exercised): doc_minhash_band_pairs, doc_dup_components,
+# doc_ngram_jaccard_pairs, doc_minhash_jaccard_estimate,
+# doc_ngram_novelty, doc_duplicate_spans, doc_dedup_clean_text,
+# ann_cosine_topk / ann_lsh_topk / ann_ivf_topk (hybrid_rrf_topk
+# composes the ANN modality), doc_bm25_topk (ditto, lexical),
+# embedding_kmeans_profile (the semdedup slot rides the same index),
 # embedding_near_dup_pairs(_blocked), doc_perceptron_train,
 # doc_tfdf_top_terms, doc_lang_confusion, doc_quality_gate,
 # doc_unigram_surprisal, corpus_bpe_merges, doc_shuffle_shards,
@@ -2832,7 +2837,8 @@ ORDER BY label, dim
 # media_validation, pricing_summary, user_sessions,
 # customer_spend_deciles. Never-driver-checked remaining after r5: 17
 # (incl. the two rows-only entries ann_pq_topk /
-# events_column_profile_approx, which cannot hold an oracle slot).
+# events_column_profile_approx, which cannot hold an oracle slot) —
+# rotate them in r6.
 # ----------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # reference read surface (SURVEY §2.3-§2.8) — pinned

@@ -1057,12 +1057,21 @@ def compact_sink(
     vdir, old_hwm = _sink_state(out_dir, name)
     # Legacy single-field manifest: its sentinel hwm is a READ device
     # only (hide the plain dir, the old protocol's view). Persisting it
-    # would hide — and next round GC-delete — every future append, so
-    # the migration compaction folds ALL plain partitions (under the
-    # legacy protocol the plain dir was deleted at compaction, so
-    # whatever is present postdates the fold) and writes a finite hwm.
+    # would hide — and next round GC-delete — every future append. The
+    # true hwm is recoverable: the version dir stores ingest_batch as a
+    # data column, so its max IS the highest folded batch — one-row agg
+    # over the compacted files. Folding from there (not from -1) keeps
+    # the normal protocol's replay protection: a crash-window re-append
+    # of an already-folded batch id stays hidden instead of landing
+    # twice in the migrated version.
     legacy = old_hwm >= _LEGACY_HWM
-    fold_from = -1 if legacy else old_hwm
+    if legacy:
+        folded_max = _batch_keyed(spark, vdir).agg(
+            F.max("ingest_batch")
+        ).first()[0]
+        fold_from = -1 if folded_max is None else int(folded_max)
+    else:
+        fold_from = old_hwm
     # Snapshot the plain-dir batch list BEFORE reading: partitions that
     # appear mid-rewrite stay above the new hwm and remain visible via
     # the readers' live union until the next compaction folds them in.

@@ -769,26 +769,46 @@ def test_compact_sink_keeps_post_compaction_appends(spark, sf_dir, dirs):
     got = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
     assert got == want, "legacy manifest format must stay readable"
 
-    # compacting a legacy sink MIGRATES it: the next manifest carries a
-    # finite hwm (persisting the read sentinel would hide — then
-    # GC-delete — every future append), rows preserved exactly
-    from concordium_transaction_logger_spark.streaming import pipeline as plm
+    # Stage the two plain-dir shapes a legacy sink can hold: a
+    # crash-window RE-APPEND of the highest already-folded batch (its
+    # rows are in the version dir — folding it again would double
+    # them), and a genuinely-new post-compaction batch.
+    ver = read_sink(spark, dirs["out"], "summaries")
+    folded_max = ver.agg(F.max("ingest_batch")).first()[0]
+    base_cols = [c for c in ver.columns if c != "ingest_batch"]
+    top_batch = ver.filter(F.col("ingest_batch") == folded_max).select(*base_cols)
+    top_batch.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, f"ingest_batch={folded_max}")
+    )
+    fresh_rows = top_batch.withColumn("id", F.col("id") + 10_000_000)
+    fresh_rows.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, f"ingest_batch={folded_max + 1}")
+    )
+    fresh_ids = {r.id for r in fresh_rows.select("id").collect()}
+    # under the legacy manifest both stay hidden (old readers' view)
+    got = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
+    assert got == want
 
-    plm.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    # compacting a legacy sink MIGRATES it: the true hwm is recovered
+    # from the version dir's own ingest_batch column, so the re-append
+    # stays hidden (no double rows), the new batch is folded, and the
+    # next manifest carries a finite hwm (persisting the read sentinel
+    # would hide — then GC-delete — every future append)
+    pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
     with open(manifest) as f:
         fields = f.read().split()
-    assert len(fields) == 2 and int(fields[1]) < plm._LEGACY_HWM, fields
-    got = {r.id for r in read_sink(spark, dirs["out"], "summaries").select("id").collect()}
-    assert got == want, "legacy migration preserves rows"
+    assert len(fields) == 2 and int(fields[1]) == folded_max + 1, fields
+    rows = read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    assert len(rows) == len({r.id for r in rows}), "no doubled replay rows"
+    assert {r.id for r in rows} == want | fresh_ids, "migration folds new, hides replay"
+    want = want | fresh_ids
 
     # a crashed/concurrent writer's _temporary staging DIRECTORY in the
     # plain dir must not crash the cleanup (files-only marker sweep) —
     # and must survive it
     _os.makedirs(path, exist_ok=True)
     _os.makedirs(_os.path.join(path, "_temporary"), exist_ok=True)
-    from concordium_transaction_logger_spark.streaming import pipeline as pl2
-
-    pl2.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
     assert _os.path.isdir(_os.path.join(path, "_temporary")), (
         "a writer's staging dir is never deleted by compaction"
     )
