@@ -563,6 +563,40 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def source_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure: total pattern hits, affected-document
+    count, and affected share in per-mille — the provenance-level view a
+    curation policy acts on (drop a source, route it through
+    :func:`pii_redact`, or pass it). One |sources|-row partial-agg
+    shuffle over :func:`pii_stats`' narrow counts frame; the per-doc
+    regex work is the same single scan."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "source",
+        sum(
+            (F.regexp_count(F.col("text"), F.lit(pat)) for _, pat, _ in PII_PATTERNS),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_pii"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pii").alias("total_pii"),
+            F.sum((F.col("n_pii") > 0).cast("long")).alias("docs_with_pii"),
+        )
+        .withColumn(
+            "pii_doc_permille",
+            F.round(1000.0 * F.col("docs_with_pii") / F.col("n_docs"), 0).cast(
+                "long"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def winnow_stop_fps(
     spark: SparkSession, sf_dir: str, max_df: int = WINNOW_MAX_DF
 ) -> DataFrame:

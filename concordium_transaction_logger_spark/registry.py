@@ -1675,6 +1675,23 @@ ORDER BY doc_a, doc_b
             + " AS clean_text FROM documents) ORDER BY doc_id"
         ),
     ),
+    "source_pii_profile": QueryDef(
+        textstats.source_pii_profile,
+        wrap(
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_pii) AS BIGINT) AS total_pii, "
+            "CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS docs_with_pii, "
+            "CAST(ROUND(1000.0 * SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END)"
+            " / COUNT(*)) AS BIGINT) AS pii_doc_permille "
+            "FROM (SELECT source, "
+            + " + ".join(
+                f"len(regexp_extract_all(text, '{pat}'))"
+                for _, pat, _ in textstats.PII_PATTERNS
+            )
+            + " AS n_pii FROM documents) GROUP BY source ORDER BY source"
+        ),
+    ),
     # No-silent-caps audit twin of doc_stop_shingles for the winnow cap.
     "doc_winnow_stop_fps": QueryDef(
         textstats.winnow_stop_fps,

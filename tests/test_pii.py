@@ -117,3 +117,19 @@ def test_pii_redact_three_engine_agreement(spark, pii_sf, pii_duck):
     # bare repeat a <PHONE>
     assert got[4][0] == "mail <EMAIL> then bare <PHONE>"
     assert all(marker not in got[2][0] for _, _, marker in textstats.PII_PATTERNS)
+
+
+def test_source_pii_profile_matches_python(spark, pii_sf, pii_duck):
+    rows = textstats.source_pii_profile(spark, pii_sf).collect()
+    assert len(rows) == 1 and rows[0]["source"] == "s"
+    counts = [_python_counts(t)["n_pii"] for t in TEXTS]
+    assert rows[0]["n_docs"] == len(TEXTS)
+    assert rows[0]["total_pii"] == sum(counts)
+    assert rows[0]["docs_with_pii"] == sum(1 for c in counts if c > 0)
+    assert rows[0]["pii_doc_permille"] == round(
+        1000.0 * sum(1 for c in counts if c > 0) / len(TEXTS)
+    )
+    from concordium_transaction_logger_spark.registry import REGISTRY as REG
+
+    rel = pii_duck.sql(REG["source_pii_profile"].oracle)
+    assert rel.fetchall() == [tuple(rows[0])]
