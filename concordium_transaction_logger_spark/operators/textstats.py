@@ -524,6 +524,17 @@ PII_PATTERNS = (
 )
 
 
+def _pii_total(text) -> "F.Column":
+    """Total PII pattern hits for one text column — the single counting
+    definition :func:`pii_stats` and :func:`source_pii_profile` share,
+    so the per-source rollup always equals the sum of the per-doc
+    stats."""
+    return sum(
+        (F.regexp_count(text, F.lit(pat)) for _, pat, _ in PII_PATTERNS),
+        F.lit(0),
+    ).cast("long")
+
+
 def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII surface counts — the tagging half of the standard
     curation PII step (count first, decide policy, then redact): one
@@ -540,9 +551,9 @@ def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    out = docs.select("doc_id", *counts)
-    total = sum((F.col(f"n_{name}") for name, _, _ in PII_PATTERNS), F.lit(0))
-    return out.withColumn("n_pii", total.cast("long")).orderBy("doc_id")
+    return docs.select(
+        "doc_id", *counts, _pii_total(F.col("text")).alias("n_pii")
+    ).orderBy("doc_id")
 
 
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,15 +582,7 @@ def source_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle over :func:`pii_stats`' narrow counts frame; the per-doc
     regex work is the same single scan."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
-    per_doc = docs.select(
-        "source",
-        sum(
-            (F.regexp_count(F.col("text"), F.lit(pat)) for _, pat, _ in PII_PATTERNS),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_pii"),
-    )
+    per_doc = docs.select("source", _pii_total(F.col("text")).alias("n_pii"))
     return (
         per_doc.groupBy("source")
         .agg(

@@ -2852,10 +2852,10 @@ ORDER BY label, dim
 # doc_unigram_surprisal, corpus_bpe_merges, doc_shuffle_shards,
 # doc_pack_sequences, corpus_source_overlap, asof_purchase_last_click,
 # media_validation, pricing_summary, user_sessions,
-# customer_spend_deciles. Never-driver-checked remaining after r5: 17
-# (incl. the two rows-only entries ann_pq_topk /
-# events_column_profile_approx, which cannot hold an oracle slot) —
-# rotate them in r6.
+# customer_spend_deciles. Never-driver-checked remaining after r5: 18
+# — the 17 pre-r5 names (incl. the two rows-only entries ann_pq_topk /
+# events_column_profile_approx, which cannot hold an oracle slot) plus
+# the late-r5 source_pii_profile — rotate them in r6.
 # ----------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # reference read surface (SURVEY §2.3-§2.8) — pinned

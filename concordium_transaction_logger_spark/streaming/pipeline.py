@@ -1121,9 +1121,15 @@ def compact_sink(
         if d.startswith(base + ".v") and d[len(base) + 2 :].isdigit():
             shutil.rmtree(full)
     if vdir is not None and os.path.isdir(path):
-        # fold_from, not old_hwm: a legacy sentinel must never select
-        # partitions for deletion (this migration round just folded
-        # them; the NEXT compaction GCs with the finite hwm)
+        # fold_from, not old_hwm: the raw legacy sentinel would select
+        # EVERY partition for deletion. Deleting b <= fold_from is safe
+        # in both modes for the same reason: those partitions were
+        # invisible to every reader (normal mode: <= both the old and
+        # new hwm; legacy mode: the sentinel pointer hid the whole
+        # plain dir) AND their rows already exist in a version dir
+        # (normal: folded at least one compaction ago; legacy: they are
+        # replays of batches the recovered folded_max proves are in
+        # vdir). Never GC a partition a live pointer can see.
         for b in _live_batches(path):
             if b <= fold_from:
                 shutil.rmtree(os.path.join(path, f"ingest_batch={b}"))
