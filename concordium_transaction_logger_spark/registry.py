@@ -2837,10 +2837,16 @@ ORDER BY label, dim
 # media_resize, events_column_profile, event_funnel, weekly_retention,
 # event_type_hourly, event_hourly_anomaly, lone_late_supplier,
 # nation_market_share, top_orders_per_customer,
-# orders_trailing_month_count, promo_revenue_permille), keeping 4
-# holdovers (doc_dedup_survivors, doc_span_admission,
-# embedding_semdedup_pairs — the scale-safe-k default changed this
-# round — and corpus_curation_verdict). Rotated OUT (all r04-green or
+# orders_trailing_month_count, promo_revenue_permille), then late in
+# the round swapped the three unchanged holdovers (doc_dedup_survivors,
+# doc_span_admission, corpus_curation_verdict — all r04-green, all
+# still value-checked every pytest run) for three more never-checked
+# names from the same families: doc_dup_components_star and
+# doc_ngram_jaccard_exact (the dedup family's exact-oracle twins) and
+# source_pii_profile (the curation family's new-this-round PII rollup).
+# The one remaining holdover is embedding_semdedup_pairs — the
+# scale-safe-k default changed this round, so its driver hash is the
+# regression signal. Rotated OUT (all r04-green or
 # transitively exercised): doc_minhash_band_pairs, doc_dup_components,
 # doc_ngram_jaccard_pairs, doc_minhash_jaccard_estimate,
 # doc_ngram_novelty, doc_duplicate_spans, doc_dedup_clean_text,
@@ -2852,10 +2858,10 @@ ORDER BY label, dim
 # doc_unigram_surprisal, corpus_bpe_merges, doc_shuffle_shards,
 # doc_pack_sequences, corpus_source_overlap, asof_purchase_last_click,
 # media_validation, pricing_summary, user_sessions,
-# customer_spend_deciles. Never-driver-checked remaining after r5: 18
-# — the 17 pre-r5 names (incl. the two rows-only entries ann_pq_topk /
-# events_column_profile_approx, which cannot hold an oracle slot) plus
-# the late-r5 source_pii_profile — rotate them in r6.
+# customer_spend_deciles. Never-driver-checked remaining after r5: 15
+# (incl. the two rows-only entries ann_pq_topk /
+# events_column_profile_approx, which cannot hold an oracle slot; the
+# rest are relational/TPC-H rows) — rotate them in r6.
 # ----------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # reference read surface (SURVEY §2.3-§2.8) — pinned
@@ -2878,17 +2884,16 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # ---- round-5 rotation: 27 never-driver-checked entries take the
+    # ---- round-5 rotation: 30 never-driver-checked entries take the
     # slots of r04-green rows (all rotated-out names stay value-checked
     # every pytest run by test_oracle_parity; ann_cosine_topk /
     # doc_bm25_topk / embedding_kmeans_profile additionally stay
     # transitively exercised by hybrid_rrf_topk and the semdedup/kmeans
-    # index path). Holdovers (4): one anchor per dedup/curation family
-    # plus the op whose default changed this round
-    # (embedding_semdedup_pairs scale-safe k).
+    # index path). Holdover (1): embedding_semdedup_pairs, the op whose
+    # default changed this round (scale-safe k).
     # deduplication / span family
-    "doc_dedup_survivors",
-    "doc_span_admission",
+    "doc_dup_components_star",
+    "doc_ngram_jaccard_exact",
     "doc_fingerprints",
     "doc_simhash_dup_pairs",
     "doc_stop_shingles",
@@ -2909,8 +2914,8 @@ _DRIVER_PRIORITY = [
     "doc_bigram_repetition",
     "doc_source_profile",
     "doc_split_counts",
-    # curation
-    "corpus_curation_verdict",
+    # curation (per-source PII exposure rollup, new in round 5)
+    "source_pii_profile",
     # multimodal plumbing
     "media_byte_histogram",
     "media_resize",
