@@ -1070,6 +1070,41 @@ def compact_sink(
             F.max("ingest_batch")
         ).first()[0]
         fold_from = -1 if folded_max is None else int(folded_max)
+        # The migration is about to treat every plain partition at or
+        # below the recovered hwm as an idempotent replay of rows the
+        # version dir already holds — and then GC it. That inference
+        # rests on the replay contract (same batch id ⇒ same rows, see
+        # the corollary above); a sink that violated it (a writer that
+        # lost its checkpoint and reused folded ids for NEW rows) would
+        # lose those rows silently. Verify the cheap necessary
+        # condition — per-batch row counts match — BEFORE any manifest
+        # or directory mutation, and refuse the migration loudly on a
+        # mismatch instead of destroying the evidence.
+        hidden = [b for b in _live_batches(path) if 0 <= b <= fold_from]
+        if hidden:
+            vcounts = {
+                int(r["ingest_batch"]): int(r["n"])
+                for r in _batch_keyed(spark, vdir)
+                .filter(F.col("ingest_batch").isin(hidden))
+                .groupBy("ingest_batch")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for b in hidden:
+                plain_n = spark.read.parquet(
+                    os.path.join(path, f"ingest_batch={b}")
+                ).count()
+                if plain_n != vcounts.get(b, 0):
+                    raise ValueError(
+                        f"compact_sink: legacy migration refused — plain "
+                        f"partition ingest_batch={b} holds {plain_n} rows "
+                        f"but the compacted version holds "
+                        f"{vcounts.get(b, 0)} for that batch; a replay "
+                        f"must be row-identical (lost-checkpoint replays "
+                        f"that reuse folded batch ids for new rows must "
+                        f"target a fresh sink — see the contract "
+                        f"corollary in the compact_sink docstring)"
+                    )
     else:
         fold_from = old_hwm
     # Snapshot the plain-dir batch list BEFORE reading: partitions that

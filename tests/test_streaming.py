@@ -816,6 +816,62 @@ def test_compact_sink_keeps_post_compaction_appends(spark, sf_dir, dirs):
     assert got == want
 
 
+def test_legacy_migration_refuses_contract_violating_replay(spark, sf_dir, dirs):
+    """A legacy sink whose plain dir holds a partition at an
+    already-folded batch id with DIFFERENT rows (a lost-checkpoint
+    writer reusing ids for new data — the replay contract's one
+    forbidden shape) must fail the migration loudly BEFORE any manifest
+    or directory mutation, not silently GC the extra rows."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from concordium_transaction_logger_spark.streaming import pipeline as pl
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    events.filter(F.col("event_id") < 400).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    StreamingIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], n_users
+    ).run_available_now()
+    for _ in range(2):  # second compaction GCs every folded plain partition
+        pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    want = {
+        r.id for r in pl.read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    }
+
+    # rewrite the manifest to the legacy single-field format
+    path = _os.path.join(dirs["out"], "summaries")
+    manifest = path + ".MANIFEST"
+    with open(manifest) as f:
+        vname = f.read().split()[0]
+    with open(manifest, "w") as f:
+        f.write(vname)
+
+    # stage the forbidden shape: folded id, extra (new) rows
+    ver = pl.read_sink(spark, dirs["out"], "summaries")
+    folded_max = ver.agg(F.max("ingest_batch")).first()[0]
+    base_cols = [c for c in ver.columns if c != "ingest_batch"]
+    top = ver.filter(F.col("ingest_batch") == folded_max).select(*base_cols)
+    top.unionByName(top.withColumn("id", F.col("id") + 10_000_000)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(_os.path.join(path, f"ingest_batch={folded_max}"))
+
+    with _pytest.raises(ValueError, match="legacy migration refused"):
+        pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    # nothing mutated: manifest still legacy, staged partition intact
+    with open(manifest) as f:
+        assert f.read().split() == [vname], "manifest untouched on refusal"
+    staged = spark.read.parquet(_os.path.join(path, f"ingest_batch={folded_max}"))
+    assert staged.count() == 2 * top.count(), "staged partition not GC'd"
+    got = {
+        r.id for r in pl.read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    }
+    assert got == want, "reader view unchanged on refusal"
+
+
 def test_tail_follow_works_across_compactions(spark, sf_dir, dirs):
     """ST9 tail-read on a compacted sink: after compactions have folded
     (and GC'd) every plain partition, a follower must still attach —
