@@ -656,7 +656,10 @@ def _kmeans_assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFr
 
 
 def _kmeans_centroids(
-    spark: SparkSession, sf_dir: str, k: int = KMEANS_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    sample_permille: int = 1000,
 ) -> list[tuple[int, list[int]]]:
     """Run the fixed Lloyd's iterations and return the final centroid set.
 
@@ -664,9 +667,24 @@ def _kmeans_centroids(
     |k|-row aggregate the driver collects to build the next iteration's
     literals — the standard Lloyd's round-trip (k x dim ints over the
     wire, same as MLlib). Per-dim means are 64 column aggregates (no
-    explode); clusters that empty out drop from the centroid set."""
+    explode); clusters that empty out drop from the centroid set.
+
+    ``sample_permille < 1000`` trains on a deterministic xxhash64
+    per-mille sample of the corpus — the FAISS convention (a coarse
+    quantizer's geometry converges on a bounded sample; training on all
+    of a 10⁹-vector corpus buys nothing but N·k work). The full-corpus
+    default keeps the oracle-pinned paths bit-identical; sampling
+    changes init to the sample's k smallest vec_ids (the default's
+    ``vec_id < k`` rows need not survive the sample)."""
     emb = _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e")
-    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if sample_permille < 1000:
+        emb = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(41)), F.lit(1000))
+            < sample_permille
+        )
+        init = emb.orderBy("vec_id").limit(k).collect()
+    else:
+        init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [(int(r.vec_id), list(r.e)) for r in init]
     for _ in range(KMEANS_ITERS - 1):
         assigned = _kmeans_assign(emb, cents)
@@ -770,6 +788,18 @@ def semdedup_pairs(
     if k is None:
         k = semdedup_default_k(spark, sf_dir)
     idx = kmeans_index(spark, sf_dir, k=k).select("vec_id", "cluster", "e")
+    return _cluster_blocked_pairs(idx, threshold_micro)
+
+
+def _cluster_blocked_pairs(idx: DataFrame, threshold_micro: int) -> DataFrame:
+    """Score all within-cluster pairs of a (vec_id, cluster, e) assignment
+    frame: one |cluster|² int64 matmul per group, shuffled once on the
+    cluster id. The kernel reproduces the quantized cosine bit-exactly
+    (HALF_UP rounding), so every consumer — the flat k-means index and
+    the two-level one — emits pairs comparable to
+    `embedding_near_dup_pairs`."""
+    import numpy as np
+    import pandas as pd
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -808,6 +838,125 @@ def semdedup_pairs(
         .applyInPandas(score, "vec_a long, vec_b long, cluster long, sim_micro long")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def kmeans_index_2level(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """Two-level (coarse → fine) k-means assignment — the quantizer shape
+    that survives k ∝ N.
+
+    The flat index costs N·k·d multiply-adds per assignment pass; with
+    SemDeDup's scale dial (k = N / target_cluster) that is N²·d/target —
+    fine at 20k vectors, 2.6·10¹⁷ multiplies at 10⁹ (impossible on any
+    cluster). The production shape (FAISS IVF at large nlist, SCaNN,
+    SemDeDup at corpus scale) is hierarchical: k1 ≈ √k coarse centroids
+    trained on a bounded sample partition the corpus (N·√k·d), then each
+    coarse cell is clustered into k2 ≈ √k fine sub-clusters LOCALLY
+    (Σ|cell|·k2·d = N·√k·d) — total 2·N·√k·d. At k = 4M that is ~2.5·10¹⁴:
+    a morning on 1000 executors instead of never. Cells recurse to three
+    levels when N/k1 outgrows one task's memory (not needed below ~10⁸).
+
+    Fine clustering runs inside ``applyInPandas`` per coarse cell with
+    the SAME deterministic integer Lloyd's as the flat path (init = the
+    cell's k2 smallest vec_ids, argmin ties to the first index,
+    round-half-away-from-zero means in exact integer arithmetic), so the
+    result is reproducible anywhere — but it is a different geometry
+    from the flat index by construction, so correctness is pinned the
+    rows-only way (ann_pq_topk precedent): determinism, validity, an
+    inertia bound vs the flat index, and a SemDeDup recall floor vs the
+    exact pair oracle (tests/test_similarity_plans.py).
+
+    Output contract matches :func:`kmeans_index`: (vec_id, e, cluster,
+    d) with d the squared-L2 milli-distance to the owning fine centroid;
+    cluster ids are coarse·k2 + local fine index (blocking labels, not
+    dense)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..cache import get_or_build
+
+    if k is None:
+        k = semdedup_default_k(spark, sf_dir)
+    k1 = max(1, int(-(-(k**0.5) // 1)))  # ceil(sqrt(k))
+    k2 = max(1, -(-k // k1))
+
+    def build() -> DataFrame:
+        emb = _quantized(load_table(spark, sf_dir, "embeddings")).select("vec_id", "e")
+        n = emb.count()
+        # coarse training sample: ~256 vectors per coarse centroid (the
+        # FAISS heuristic); never below the whole corpus when it's tiny
+        permille = min(1000, -(-256 * k1 * 1000 // max(n, 1)))
+        cents1 = _kmeans_centroids(spark, sf_dir, k=k1, sample_permille=permille)
+        coarse = _kmeans_assign(emb, cents1).select(
+            "vec_id", "e", F.col("cluster").alias("coarse")
+        )
+
+        def fine(pdf: pd.DataFrame) -> pd.DataFrame:
+            order = np.argsort(pdf["vec_id"].to_numpy(np.int64))
+            ids = pdf["vec_id"].to_numpy(np.int64)[order]
+            m = np.array(list(pdf["e"]), dtype=np.int64)[order]
+            kc = min(k2, len(m))
+            cents = m[:kc]  # k2 smallest vec_ids of the cell
+            for _ in range(KMEANS_ITERS - 1):
+                d = (
+                    (m * m).sum(axis=1)[:, None]
+                    - 2 * (m @ cents.T)
+                    + (cents * cents).sum(axis=1)[None, :]
+                )
+                j = d.argmin(axis=1)
+                new = []
+                for c in np.unique(j):
+                    rows = m[j == c]
+                    s = rows.sum(axis=0, dtype=np.int64)
+                    cnt = np.int64(len(rows))
+                    # round half away from zero, exact integer arithmetic
+                    # (the flat path's F.round(sum/count) semantics)
+                    new.append(np.sign(s) * ((np.abs(s) * 2 + cnt) // (2 * cnt)))
+                cents = np.array(new, dtype=np.int64)
+            d = (
+                (m * m).sum(axis=1)[:, None]
+                - 2 * (m @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            j = d.argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "e": list(m),
+                    "cluster": int(pdf["coarse"].iloc[0]) * k2 + j,
+                    "d": d[np.arange(len(j)), j],
+                }
+            )
+
+        return (
+            coarse.groupBy("coarse")
+            .applyInPandas(fine, "vec_id long, e array<long>, cluster long, d long")
+            .persist()
+        )
+
+    return get_or_build(f"kmeans2_assign_k{k}", spark, sf_dir, build)
+
+
+def semdedup_pairs_2level(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_micro: int = 400_000,
+    k: int | None = None,
+) -> DataFrame:
+    """SemDeDup blocking over the two-level quantizer — identical pair
+    scoring and output contract to :func:`semdedup_pairs` (the shared
+    :func:`_cluster_blocked_pairs` kernel), different blocking geometry:
+    the fine sub-clusters bound the pair space the same way (Σ|cluster|²
+    ≈ N·target) while the ASSIGNMENT cost drops from N·k to 2·N·√k —
+    the variant a 10⁹-vector corpus must use. Recall vs the exact pair
+    oracle is floored in tests/test_similarity_plans.py; no SQL oracle
+    (per-cell iterative training has no tractable cross-engine SQL twin,
+    same rows-only contract as ann_pq_topk)."""
+    if k is None:
+        k = semdedup_default_k(spark, sf_dir)
+    idx = kmeans_index_2level(spark, sf_dir, k=k).select("vec_id", "cluster", "e")
+    return _cluster_blocked_pairs(idx, threshold_micro)
 
 
 # ---------------------------------------------------------------------------

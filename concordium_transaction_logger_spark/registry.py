@@ -2625,6 +2625,16 @@ ORDER BY vec_a, vec_b
         ),
         bench=True,
     ),
+    # Same blocking semantics and pair kernel as embedding_semdedup_pairs
+    # over the two-level (coarse → fine) quantizer — the assignment shape
+    # that survives k ∝ N (2·N·√k vs N·k multiply-adds). Rows-only: the
+    # per-cell iterative fine training has no tractable cross-engine SQL
+    # twin (ann_pq_topk precedent); correctness pinned by determinism,
+    # inertia, and recall-floor tests in tests/test_similarity_plans.py.
+    "embedding_semdedup_pairs_2level": QueryDef(
+        lambda spark, sf: similarity.semdedup_pairs_2level(spark, sf, 400_000),
+        None,
+    ),
     "ann_ivf_assign": QueryDef(
         similarity.ivf_assign,
         wrap(

@@ -173,6 +173,7 @@ def main() -> None:
             "dedup_clean_text": dedup.dedup_clean_text,
             "unigram_surprisal": textstats.unigram_surprisal,
             "token_stats": textstats.token_stats,
+            "pii_stats": textstats.pii_stats,
             "pack_sequences": sampling.pack_sequences,
             "split_contamination": sampling.split_contamination,
             "dsir_weights": sampling.dsir_weights,
@@ -186,6 +187,7 @@ def main() -> None:
                 s, d, k=similarity.KMEANS_K
             ),
             "semdedup_default": similarity.semdedup_pairs,
+            "semdedup_2level": similarity.semdedup_pairs_2level,
             "near_dup_blocked_exact": similarity.near_dup_pairs_blocked,
             # retrieval family: BM25's query terms live in replica 0 only,
             # so df stays constant while the scanned corpus grows — the
@@ -203,24 +205,37 @@ def main() -> None:
             )
         return fams
 
-    def build_indexes(cdir: str, m: int) -> float:
-        t0 = time.perf_counter()
-        dedup.shingle_index(spark, cdir).count()
-        dedup.minhash_index(spark, cdir).count()
-        dedup.band_buckets(spark, cdir).count()
-        similarity.centroids_for(spark, cdir).count()
-        similarity.ivf_index(spark, cdir).count()
-        similarity.lsh_index(spark, cdir).count()
-        similarity.kmeans_index(spark, cdir).count()
-        # warm the geometry the DEFAULT semdedup path will actually pick
-        # (k from corpus size) — warming a different k leaves the real
-        # index build inside the timed measurement.
-        similarity.kmeans_index(
-            spark, cdir, k=similarity.semdedup_default_k(spark, cdir)
-        ).count()
-        similarity.pq_index(spark, cdir).count()
-        textstats.winnow_index(spark, cdir).count()
-        return time.perf_counter() - t0
+    def build_indexes(cdir: str, m: int) -> tuple[float, dict[str, float]]:
+        steps = [
+            ("shingle", lambda: dedup.shingle_index(spark, cdir)),
+            ("minhash", lambda: dedup.minhash_index(spark, cdir)),
+            ("bands", lambda: dedup.band_buckets(spark, cdir)),
+            ("centroids", lambda: similarity.centroids_for(spark, cdir)),
+            ("ivf", lambda: similarity.ivf_index(spark, cdir)),
+            ("lsh", lambda: similarity.lsh_index(spark, cdir)),
+            ("kmeans_k8", lambda: similarity.kmeans_index(spark, cdir)),
+            # warm the geometry the DEFAULT semdedup path will actually
+            # pick (k from corpus size) — warming a different k leaves
+            # the real index build inside the timed measurement.
+            (
+                "kmeans_default_k",
+                lambda: similarity.kmeans_index(
+                    spark, cdir, k=similarity.semdedup_default_k(spark, cdir)
+                ),
+            ),
+            (
+                "kmeans2_default_k",
+                lambda: similarity.kmeans_index_2level(spark, cdir),
+            ),
+            ("pq", lambda: similarity.pq_index(spark, cdir)),
+            ("winnow", lambda: textstats.winnow_index(spark, cdir)),
+        ]
+        detail = {}
+        for name, fn in steps:
+            t0 = time.perf_counter()
+            fn().count()
+            detail[name] = round(time.perf_counter() - t0, 3)
+        return sum(detail.values()), detail
 
     results: dict[str, dict] = {"base_sf": BASE_SF, "mults": list(MULTS), "times": {}}
     sizes = {}
@@ -248,8 +263,18 @@ def main() -> None:
                 "docs": spark.read.parquet(os.path.join(cdir, "documents.parquet")).count(),
                 "vecs": spark.read.parquet(os.path.join(cdir, "embeddings.parquet")).count(),
             }
-            results["times"].setdefault("index_build", {})[m] = round(
-                build_indexes(cdir, m), 3
+            # min of two full builds, same rationale as the family cells:
+            # a single-shot 10x cell once recorded 43.8 s that a quiet
+            # rerun measured at 18.4 s — host noise, not a slope. The
+            # session cache memoizes built indexes, so the second pass
+            # must drop them first; after it, the indexes are warm for
+            # the family measurements below.
+            t1, d1 = build_indexes(cdir, m)
+            release_corpus(spark, cdir)
+            t2, d2 = build_indexes(cdir, m)
+            results["times"].setdefault("index_build", {})[m] = round(min(t1, t2), 3)
+            results.setdefault("index_build_detail", {})[m] = (
+                d1 if t1 <= t2 else d2
             )
             for fam, fn in families(m).items():
                 # min of two back-to-back passes, like bench.py: single

@@ -160,6 +160,63 @@ def test_semdedup_pairs_subset_of_brute_force(spark, sf_dir):
     assert recall >= 0.25, f"cluster-blocking recall too low: {recall:.2f}"
 
 
+def test_semdedup_2level_validity_inertia_and_recall(spark, sf_dir):
+    """The two-level quantizer (coarse sample-trained k-means → per-cell
+    local Lloyd's) must stay a faithful SemDeDup blocker: every vector
+    assigned exactly once to a cluster inside the k1·k2 label space,
+    fine-cluster inertia comparable to the flat index (measures ~1.0× —
+    the local refinement is the same Lloyd's), pairs a strict subset of
+    the brute-force set with identical scores (within-cluster scoring IS
+    the exact kernel), and recall within a constant factor of the flat
+    blocking (measures ~0.95×; the geometry differs by construction)."""
+    from pyspark.sql import functions as F
+
+    k = similarity.semdedup_default_k(spark, sf_dir)
+    k1 = max(1, int(-(-(k**0.5) // 1)))
+    k2 = max(1, -(-k // k1))
+    idx2 = similarity.kmeans_index_2level(spark, sf_dir, k=k)
+    n_vecs = similarity.kmeans_index(spark, sf_dir, k=k).count()
+    assert idx2.count() == n_vecs, "every vector assigned exactly once"
+    bad = idx2.filter((F.col("cluster") < 0) | (F.col("cluster") >= k1 * k2))
+    assert bad.count() == 0, "cluster labels inside the coarse*k2+fine space"
+    i2 = idx2.agg(F.sum("d")).first()[0]
+    i1 = similarity.kmeans_index(spark, sf_dir, k=k).agg(F.sum("d")).first()[0]
+    assert i2 <= 1.5 * i1, f"two-level inertia {i2} vs flat {i1}"
+
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["sim_micro"]
+        for r in similarity.near_dup_pairs(spark, sf_dir, 400_000).collect()
+    }
+    two = {
+        (r["vec_a"], r["vec_b"]): r["sim_micro"]
+        for r in similarity.semdedup_pairs_2level(spark, sf_dir, 400_000).collect()
+    }
+    flat = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.semdedup_pairs(spark, sf_dir, 400_000).collect()
+    }
+    assert two, "two-level blocking found no near-dup pairs at all"
+    for pair, sim in two.items():
+        assert brute.get(pair) == sim, f"{pair}: {sim} vs {brute.get(pair)}"
+    recall2 = len(two) / len(brute)
+    recall_flat = len(flat) / len(brute)
+    assert recall2 >= 0.6 * recall_flat, (
+        f"two-level recall {recall2:.2f} collapsed vs flat {recall_flat:.2f}"
+    )
+
+
+def test_semdedup_2level_plan_is_two_kernel_stages(spark, sf_dir):
+    """The two-level path must stay kernel-side: coarse assignment and
+    fine clustering are Arrow-batched python stages (mapInPandas +
+    applyInPandas), never a centroid join — and the pair stage never
+    builds a cartesian product."""
+    df = similarity.semdedup_pairs_2level(spark, sf_dir, 400_000)
+    plan = layout.explain_str(df, "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pq_topk_recall_and_determinism(spark, sf_dir):
     """The PQ+re-rank path must stay a faithful ANN (recall@10 >= 0.6
     reranked — measures 0.88-0.92; >= 0.15 raw ADC — measures ~0.33) and
