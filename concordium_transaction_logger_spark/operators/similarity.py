@@ -782,9 +782,6 @@ def semdedup_pairs(
     cosine bit-exactly, so within-cluster pairs match
     `embedding_near_dup_pairs` — recall loss is only cross-cluster
     pairs, measured in `test_similarity_plans.py`."""
-    import numpy as np
-    import pandas as pd
-
     if k is None:
         k = semdedup_default_k(spark, sf_dir)
     idx = kmeans_index(spark, sf_dir, k=k).select("vec_id", "cluster", "e")
@@ -887,7 +884,17 @@ def kmeans_index_2level(
         # coarse training sample: ~256 vectors per coarse centroid (the
         # FAISS heuristic); never below the whole corpus when it's tiny
         permille = min(1000, -(-256 * k1 * 1000 // max(n, 1)))
-        cents1 = _kmeans_centroids(spark, sf_dir, k=k1, sample_permille=permille)
+        # densify coarse ids to 0..k1-1: _kmeans_centroids keys centroids
+        # by their init rows' vec_ids, which under sampling are arbitrary
+        # survivors of the hash filter — raw ids would push the composed
+        # label coarse*k2+j outside the documented [0, k1*k2) space (and
+        # break any consumer decoding coarse = cluster // k2)
+        cents1 = [
+            (i, v)
+            for i, (_, v) in enumerate(
+                _kmeans_centroids(spark, sf_dir, k=k1, sample_permille=permille)
+            )
+        ]
         coarse = _kmeans_assign(emb, cents1).select(
             "vec_id", "e", F.col("cluster").alias("coarse")
         )

@@ -261,6 +261,76 @@ def test_lsh_layout_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_2level_sampled_coarse_training_keeps_label_space(spark, sf_dir, tmp_path):
+    """The sampled-coarse-training branch — the mechanism the two-level
+    quantizer exists for — engaged on a corpus big enough to trip the
+    256·k1 sample budget. Review found the first version shipped with
+    this branch untested: coarse centroid ids were the sampled init
+    rows' raw vec_ids, so composed labels escaped [0, k1·k2). Builds a
+    3000-vector corpus (k=12, k1=4, permille=342 < 1000) and pins the
+    densified label space, assignment totality, and within-cluster pair
+    consistency."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from concordium_transaction_logger_spark.cache import release_corpus
+    from concordium_transaction_logger_spark.sources.tables import TABLES
+
+    cdir = str(tmp_path / "bigvec2")
+    os.makedirs(cdir)
+    for name in TABLES:
+        if name == "embeddings":
+            continue
+        os.symlink(
+            os.path.join(sf_dir, f"{name}.parquet"),
+            os.path.join(cdir, f"{name}.parquet"),
+        )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    parts = [emb]
+    for r in range(1, 6):
+        rot = r % 64
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * 100_000).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", rot + 1, 64 - rot),
+                    F.slice("embedding", 1, rot),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(4).write.parquet(os.path.join(cdir, "embeddings.parquet"))
+
+    try:
+        n = 3000
+        k = similarity.semdedup_default_k(spark, cdir)
+        assert k == 12
+        k1 = max(1, int(-(-(k**0.5) // 1)))
+        k2 = max(1, -(-k // k1))
+        permille = min(1000, -(-256 * k1 * 1000 // n))
+        assert permille < 1000, "corpus must be big enough to engage sampling"
+
+        idx2 = similarity.kmeans_index_2level(spark, cdir, k=k)
+        assert idx2.count() == n, "every vector assigned exactly once"
+        lo, hi = idx2.agg(F.min("cluster"), F.max("cluster")).first()
+        assert 0 <= lo and hi < k1 * k2, (
+            f"labels [{lo}, {hi}] escape the [0, {k1 * k2}) space"
+        )
+        pairs = similarity.semdedup_pairs_2level(spark, cdir, 400_000)
+        by_vec = {r["vec_id"]: r["cluster"] for r in idx2.select("vec_id", "cluster").collect()}
+        rows = pairs.collect()
+        assert rows, "scaled corpus must yield near-dup pairs"
+        for r in rows:
+            assert by_vec[r["vec_a"]] == r["cluster"] == by_vec[r["vec_b"]]
+            assert r["sim_micro"] >= 400_000
+    finally:
+        release_corpus(spark, cdir)
+
+
 def test_semdedup_default_k_scales_and_matches_oracle(spark, sf_dir, tmp_path):
     """The round-5 scale fix: semdedup's DEFAULT k is derived from corpus
     size (k = max(KMEANS_K, ceil(N/SEMDEDUP_TARGET_CLUSTER))) instead of a
