@@ -945,6 +945,46 @@ def kmeans_index_2level(
     return get_or_build(f"kmeans2_assign_k{k}", spark, sf_dir, build)
 
 
+def semdedup_survivors(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_micro: int = 400_000,
+    k: int | None = None,
+) -> DataFrame:
+    """The artifact SemDeDup actually ships: the deduplicated embedding
+    corpus. Pairs are not a dedup decision — the keep/drop call needs
+    the transitive closure (A~B, B~C ⇒ one survivor), so survivors are
+    the min-vec_id member of each within-cluster near-dup component,
+    annotated with how many near-duplicates the keeper absorbed — the
+    same keeper convention as the doc family (`dedup.dedup_survivors`).
+
+    Candidate pairs come from :func:`semdedup_pairs` (the cluster-
+    blocked scale path); components run on the shared hash-min
+    bipartite propagation (`dedup.components_over_buckets`) with each
+    pair as a 2-clique bucket — O(component diameter) rounds, labels
+    localCheckpointed, and components are bounded by cluster size by
+    construction. Singleton vectors survive with n_absorbed = 0."""
+    from .dedup import components_over_buckets
+
+    pairs = semdedup_pairs(spark, sf_dir, threshold_micro, k=k)
+    key = F.concat_ws(":", "vec_a", "vec_b").alias("bucket")
+    buckets = pairs.select(key, F.col("vec_a").alias("doc_id")).unionByName(
+        pairs.select(key, F.col("vec_b").alias("doc_id"))
+    )
+    all_vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    comp = components_over_buckets(buckets, all_vecs)
+    return (
+        comp.filter(F.col("doc_id") == F.col("component_id"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            (F.col("component_size") - 1).cast("long").alias("n_absorbed"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def semdedup_pairs_2level(
     spark: SparkSession,
     sf_dir: str,

@@ -234,6 +234,53 @@ ORDER BY vec_a, vec_b
 )
 
 
+# The SemDeDup derivation shared by the pairs query and the survivors
+# query: corpus-size-derived k, two unrolled Lloyd's iterations, final
+# assignment, and the within-cluster >= threshold pair set as CTE `sp`.
+_SEMDEDUP_CTES = f"""
+, kk AS (SELECT GREATEST({similarity.KMEANS_K},
+                         (COUNT(*) + {similarity.SEMDEDUP_TARGET_CLUSTER - 1})
+                           // {similarity.SEMDEDUP_TARGET_CLUSTER}) AS k
+         FROM qvec),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM qvec WHERE vec_id < (SELECT k FROM kk)),
+d1 AS (
+  SELECT q.vec_id, q.e, c.cid,
+    list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
+  FROM qvec q CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, e, cid AS cluster, d FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+c1 AS (
+  SELECT cluster AS cid, list(comp ORDER BY i) AS ce FROM (
+    SELECT cluster, i, CAST(ROUND(CAST(SUM(e[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+    FROM a1, range(1, 65) t(i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+),
+d2 AS (
+  SELECT q.vec_id, c.cid,
+    list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
+  FROM qvec q CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+m AS (SELECT q.vec_id, q.e, a.cluster FROM qvec q JOIN a2 a USING (vec_id)),
+sp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+    CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
+         (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
+          SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) AS sim_micro
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
+        (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
+         SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) >= 400000
+)"""
+
+
 _BPE_HEAD = r"""
 , bwf AS MATERIALIZED (
   SELECT tok, COUNT(*) AS f
@@ -2579,51 +2626,39 @@ ORDER BY query_id, rank
     # SF — the fixed-k=8 literal would silently diverge past 2k vectors.
     "embedding_semdedup_pairs": QueryDef(
         lambda spark, sf: similarity.semdedup_pairs(spark, sf, 400_000),
-        wrap(
-            f"""
-, kk AS (SELECT GREATEST({similarity.KMEANS_K},
-                         (COUNT(*) + {similarity.SEMDEDUP_TARGET_CLUSTER - 1})
-                           // {similarity.SEMDEDUP_TARGET_CLUSTER}) AS k
-         FROM qvec),
-c0 AS (SELECT vec_id AS cid, e AS ce FROM qvec WHERE vec_id < (SELECT k FROM kk)),
-d1 AS (
-  SELECT q.vec_id, q.e, c.cid,
-    list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
-  FROM qvec q CROSS JOIN c0 c
-),
-a1 AS (
-  SELECT vec_id, e, cid AS cluster, d FROM d1
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
-),
-c1 AS (
-  SELECT cluster AS cid, list(comp ORDER BY i) AS ce FROM (
-    SELECT cluster, i, CAST(ROUND(CAST(SUM(e[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
-    FROM a1, range(1, 65) t(i)
-    GROUP BY cluster, i
-  ) GROUP BY cluster
-),
-d2 AS (
-  SELECT q.vec_id, c.cid,
-    list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
-  FROM qvec q CROSS JOIN c1 c
-),
-a2 AS (
-  SELECT vec_id, cid AS cluster FROM d2
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
-),
-m AS (SELECT q.vec_id, q.e, a.cluster FROM qvec q JOIN a2 a USING (vec_id))
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
-  CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
-       (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
-        SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) AS sim_micro
-FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-WHERE CAST(ROUND(1000000 * list_dot_product(a.e, b.e) /
-      (SQRT(CAST(list_dot_product(a.e, a.e) AS DOUBLE)) *
-       SQRT(CAST(list_dot_product(b.e, b.e) AS DOUBLE)))) AS BIGINT) >= 400000
-ORDER BY vec_a, vec_b
-"""
-        ),
+        wrap(_SEMDEDUP_CTES + "\nSELECT vec_a, vec_b, cluster, sim_micro FROM sp"
+             "\nORDER BY vec_a, vec_b\n"),
         bench=True,
+    ),
+    # SemDeDup's actual dedup decision: survivors = min-vec_id member of
+    # each within-cluster near-dup component (transitive closure of the
+    # pair graph, the doc family's keeper convention), n_absorbed = how
+    # many near-duplicates the keeper absorbed. Spark side runs the
+    # shared hash-min propagation; the oracle walks the same pair graph
+    # with a recursive CTE (doc_dup_components precedent).
+    "embedding_semdedup_survivors": QueryDef(
+        lambda spark, sf: similarity.semdedup_survivors(spark, sf, 400_000),
+        wrap(
+            _SEMDEDUP_CTES
+            + """
+, edges AS (SELECT vec_a AS a, vec_b AS b FROM sp
+            UNION ALL
+            SELECT vec_b, vec_a FROM sp),
+walk AS (
+  SELECT vec_id AS node, vec_id AS lbl FROM qvec
+  UNION
+  SELECT e.b AS node, w.lbl FROM walk w JOIN edges e ON w.node = e.a
+),
+comp AS (SELECT node, MIN(lbl) AS component_id FROM walk GROUP BY node),
+sz AS (SELECT component_id, COUNT(*) AS component_size
+       FROM comp GROUP BY component_id)
+SELECT c.node AS vec_id, CAST(s.component_size - 1 AS BIGINT) AS n_absorbed
+FROM comp c JOIN sz s USING (component_id)
+WHERE c.node = c.component_id
+ORDER BY vec_id
+""",
+            recursive=True,
+        ),
     ),
     # Same blocking semantics and pair kernel as embedding_semdedup_pairs
     # over the two-level (coarse → fine) quantizer — the assignment shape

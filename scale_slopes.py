@@ -188,6 +188,7 @@ def main() -> None:
             ),
             "semdedup_default": similarity.semdedup_pairs,
             "semdedup_2level": similarity.semdedup_pairs_2level,
+            "semdedup_survivors": similarity.semdedup_survivors,
             "near_dup_blocked_exact": similarity.near_dup_pairs_blocked,
             # retrieval family: BM25's query terms live in replica 0 only,
             # so df stays constant while the scanned corpus grows — the
