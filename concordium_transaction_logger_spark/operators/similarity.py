@@ -837,6 +837,46 @@ def _cluster_blocked_pairs(idx: DataFrame, threshold_micro: int) -> DataFrame:
     )
 
 
+def _local_lloyd(m, k: int, iters: int):
+    """Deterministic integer Lloyd's over one in-memory cell — the fine
+    half of the two-level quantizer, factored out so the property test
+    can drive it directly against an exact-rational reference
+    (tests/test_similarity_plans.py).
+
+    ``m``: int64 [n × dim] rows sorted by ascending vec_id. Init = the
+    first min(k, n) rows; refinement rounds use argmin squared-L2 with
+    ties to the first (lowest) index and round-half-away-from-zero means
+    in EXACT integer arithmetic (``sign(s)·((|s|·2 + cnt) // (2·cnt))``
+    — the flat path's F.round(sum/count) semantics without the float
+    division); emptied clusters drop and the label space compacts, same
+    as the flat trainer. Returns (labels, squared-distances)."""
+    import numpy as np
+
+    kc = min(k, len(m))
+    cents = m[:kc]
+    for _ in range(iters - 1):
+        d = (
+            (m * m).sum(axis=1)[:, None]
+            - 2 * (m @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        j = d.argmin(axis=1)
+        new = []
+        for c in np.unique(j):
+            rows = m[j == c]
+            s = rows.sum(axis=0, dtype=np.int64)
+            cnt = np.int64(len(rows))
+            new.append(np.sign(s) * ((np.abs(s) * 2 + cnt) // (2 * cnt)))
+        cents = np.array(new, dtype=np.int64)
+    d = (
+        (m * m).sum(axis=1)[:, None]
+        - 2 * (m @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    j = d.argmin(axis=1)
+    return j, d[np.arange(len(j)), j]
+
+
 def kmeans_index_2level(
     spark: SparkSession, sf_dir: str, k: int | None = None
 ) -> DataFrame:
@@ -903,36 +943,13 @@ def kmeans_index_2level(
             order = np.argsort(pdf["vec_id"].to_numpy(np.int64))
             ids = pdf["vec_id"].to_numpy(np.int64)[order]
             m = np.array(list(pdf["e"]), dtype=np.int64)[order]
-            kc = min(k2, len(m))
-            cents = m[:kc]  # k2 smallest vec_ids of the cell
-            for _ in range(KMEANS_ITERS - 1):
-                d = (
-                    (m * m).sum(axis=1)[:, None]
-                    - 2 * (m @ cents.T)
-                    + (cents * cents).sum(axis=1)[None, :]
-                )
-                j = d.argmin(axis=1)
-                new = []
-                for c in np.unique(j):
-                    rows = m[j == c]
-                    s = rows.sum(axis=0, dtype=np.int64)
-                    cnt = np.int64(len(rows))
-                    # round half away from zero, exact integer arithmetic
-                    # (the flat path's F.round(sum/count) semantics)
-                    new.append(np.sign(s) * ((np.abs(s) * 2 + cnt) // (2 * cnt)))
-                cents = np.array(new, dtype=np.int64)
-            d = (
-                (m * m).sum(axis=1)[:, None]
-                - 2 * (m @ cents.T)
-                + (cents * cents).sum(axis=1)[None, :]
-            )
-            j = d.argmin(axis=1)
+            j, d = _local_lloyd(m, k2, KMEANS_ITERS)
             return pd.DataFrame(
                 {
                     "vec_id": ids,
                     "e": list(m),
                     "cluster": int(pdf["coarse"].iloc[0]) * k2 + j,
-                    "d": d[np.arange(len(j)), j],
+                    "d": d,
                 }
             )
 

@@ -556,17 +556,26 @@ def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The redaction half: each PII pattern replaced by its typed marker,
-    applied in :data:`PII_PATTERNS` order (earlier redactions shield
-    their spans from later patterns — markers contain no digits or
-    ``@``). Returns the redacted text plus a changed flag; a row-local
-    ``regexp_replace`` chain in whole-stage codegen, with the same two
-    auxiliary exchanges as :func:`pii_stats` (spread + output sort)."""
-    docs = _spread(load_table(spark, sf_dir, "documents"))
-    clean = F.col("text")
+def pii_redact_expr(text) -> "F.Column":
+    """Each PII pattern replaced by its typed marker, applied in
+    :data:`PII_PATTERNS` order (earlier redactions shield their spans
+    from later patterns — markers contain no digits or ``@``) — THE
+    shared redaction definition: the batch :func:`pii_redact` query and
+    the streaming curation ingest's redaction stage must redact
+    identically, so neither re-states the chain inline."""
+    clean = text
     for _, pat, marker in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, marker)
+    return clean
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction half: the shared :func:`pii_redact_expr` chain plus
+    a changed flag; a row-local ``regexp_replace`` chain in whole-stage
+    codegen, with the same two auxiliary exchanges as :func:`pii_stats`
+    (spread + output sort)."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    clean = pii_redact_expr(F.col("text"))
     return docs.select(
         "doc_id",
         clean.alias("clean_text"),

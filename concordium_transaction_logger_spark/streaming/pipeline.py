@@ -1298,7 +1298,19 @@ class StreamingCorpusIngest:
     smaller id; a component connected ONLY through a later-arriving
     bridge doc admits the pre-bridge members (a one-pass streaming
     decision cannot see the future) — :meth:`reconcile` closes that shape
-    too, the equivalence is asserted on the test corpora."""
+    too, the equivalence is asserted on the test corpora.
+
+    ``pii_redact=True`` adds the PII curation step to admitted rows: the
+    sink gains ``clean_text`` (the SAME shared redaction chain as the
+    batch ``doc_pii_redact`` — ``textstats.pii_redact_expr``) and
+    ``n_pii`` (the shared counting definition). The ORIGINAL ``text``
+    column stays in the sink untouched: every dedup layer, the seen-state
+    re-reads, and :meth:`reconcile`'s batch-verdict re-run fingerprint
+    the raw text, so redaction never perturbs admission — it is a pure
+    additional projection on the admitted frame (row-local, order-free,
+    trivially replay-idempotent). A deployment that must not persist raw
+    PII drops ``text`` at the consumer view, not here — dropping it in
+    the sink would change the dedup fingerprints on replay."""
 
     def __init__(
         self,
@@ -1310,6 +1322,7 @@ class StreamingCorpusIngest:
         quality_gate: bool = False,
         near_dup: bool = False,
         span_dedup: bool = False,
+        pii_redact: bool = False,
     ):
         self.spark = apply_runtime_confs(spark)
         self.source_dir = source_dir
@@ -1319,6 +1332,7 @@ class StreamingCorpusIngest:
         self.quality_gate = quality_gate
         self.near_dup = near_dup
         self.span_dedup = span_dedup
+        self.pii_redact = pii_redact
 
     def _write_partitioned(self, df: DataFrame, batch_id: int, path: str) -> None:
         (
@@ -1494,6 +1508,15 @@ class StreamingCorpusIngest:
             )
             fresh = fresh.join(span_rejects, "doc_id", "left_anti")
             self._write_partitioned(mins, batch_id, sdir)
+        if self.pii_redact:
+            # after all admission layers: a pure projection on admitted
+            # rows (class docstring — raw text stays, fingerprints and
+            # reconcile() are untouched)
+            from ..operators.textstats import _pii_total, pii_redact_expr
+
+            fresh = fresh.withColumn(
+                "clean_text", pii_redact_expr(F.col("text"))
+            ).withColumn("n_pii", _pii_total(F.col("text")))
         try:
             self._write_partitioned(fresh, batch_id, self.out_dir)
             if reject_frames:
@@ -1636,6 +1659,15 @@ class StreamingCorpusIngest:
             .select(*doc_cols, "fp", "ingest_batch")
             .localCheckpoint()
         )
+        if self.pii_redact:
+            # the verdict frame carries source columns only — re-derive
+            # the redaction projection so the rewritten sink keeps the
+            # stream's schema (deterministic: same raw text, same output)
+            from ..operators.textstats import _pii_total, pii_redact_expr
+
+            new_admitted = new_admitted.withColumn(
+                "clean_text", pii_redact_expr(F.col("text"))
+            ).withColumn("n_pii", _pii_total(F.col("text")))
         new_rejects = (
             verdict.filter(~F.col("admit"))
             .select(*doc_cols, F.col("new_reason").alias("reason"), "ingest_batch")

@@ -220,3 +220,80 @@ def test_global_ranked_interleaved_results_stay_consistent(spark):
     keys = [(r.k, r.v) for r in by_rank]
     assert keys == sorted(keys)
     release_ranked_cache()
+
+
+# ---------------------------------------------------------------------------
+# Two-level quantizer fine kernel (similarity._local_lloyd) vs an
+# exact-rational pure-Python reference: same init (first min(k, n) rows),
+# same argmin tie rule (lowest index), and round-half-away-from-zero means
+# computed with Fractions instead of the kernel's integer shortcut — so a
+# rounding or tie-breaking regression in the numpy path fails here without
+# needing a Spark session.
+# ---------------------------------------------------------------------------
+
+
+def _ref_local_lloyd(rows: list[list[int]], k: int, iters: int):
+    from fractions import Fraction
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def assign(cents):
+        return [
+            min(range(len(cents)), key=lambda c: (sq(r, cents[c]), c)) for r in rows
+        ]
+
+    def half_away(fr: "Fraction") -> int:
+        mag = abs(fr)
+        fl = mag.numerator // mag.denominator
+        if mag - fl >= Fraction(1, 2):
+            fl += 1
+        return fl if fr >= 0 else -fl
+
+    cents = [list(r) for r in rows[: min(k, len(rows))]]
+    for _ in range(iters - 1):
+        j = assign(cents)
+        new = []
+        for c in sorted(set(j)):
+            members = [r for r, jj in zip(rows, j) if jj == c]
+            new.append(
+                [
+                    half_away(Fraction(sum(m[dim] for m in members), len(members)))
+                    for dim in range(len(rows[0]))
+                ]
+            )
+        cents = new
+    j = assign(cents)
+    return j, [sq(r, cents[jj]) for r, jj in zip(rows, j)]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=1, max_value=12),
+    dim=st.integers(min_value=1, max_value=4),
+    k=st.integers(min_value=1, max_value=5),
+    iters=st.integers(min_value=1, max_value=3),
+    lo_hi=st.sampled_from([(-2, 2), (-1000, 1000)]),  # tiny range forces ties
+)
+def test_local_lloyd_matches_exact_rational_reference(data, n, dim, k, iters, lo_hi):
+    import numpy as np
+
+    from concordium_transaction_logger_spark.operators.similarity import _local_lloyd
+
+    rows = data.draw(
+        st.lists(
+            st.lists(
+                st.integers(min_value=lo_hi[0], max_value=lo_hi[1]),
+                min_size=dim,
+                max_size=dim,
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    m = np.array(rows, dtype=np.int64)
+    j, d = _local_lloyd(m, k, iters)
+    rj, rd = _ref_local_lloyd(rows, k, iters)
+    assert list(j) == rj
+    assert list(d) == rd

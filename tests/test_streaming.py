@@ -600,6 +600,79 @@ def test_streaming_curation_ingest_gates_before_dedup(spark, sf_dir, dirs):
     assert got_ids <= batch_ok
 
 
+def test_streaming_pii_redaction_matches_batch_and_survives_reconcile(
+    spark, sf_dir, dirs
+):
+    """pii_redact=True: admitted rows carry clean_text/n_pii produced by
+    the SAME shared expressions as the batch doc_pii_redact/doc_pii_stats
+    (textstats.pii_redact_expr/_pii_total); raw text stays in the sink so
+    dedup fingerprints and the reconciler are unperturbed; and a
+    reconcile() rewrite re-derives the projection so the sink schema and
+    values survive it."""
+    from concordium_transaction_logger_spark.operators import textstats
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = docs.agg(F.max("doc_id")).first()[0]
+    pii_docs = spark.createDataFrame(
+        [
+            (
+                top + 1,
+                "write to alice@example.com or call 555-123-4567 today "
+                "because this perfectly ordinary sentence keeps the "
+                "quality gate happy with plenty of alphabetic words",
+                "en",
+                "web",
+                150,
+            ),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.filter(F.col("doc_id") < 200).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    pii_docs.coalesce(1).write.mode("append").parquet(dirs["source"])
+    ingest = StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        quality_gate=True,
+        near_dup=True,
+        pii_redact=True,
+    )
+    ingest.run_available_now()
+
+    def check_sink():
+        rows = {r["doc_id"]: r for r in corpus_snapshot(spark, dirs["out"]).collect()}
+        assert rows, "documents must have been admitted"
+        synth = rows[top + 1]
+        assert "<EMAIL>" in synth["clean_text"] and "<PHONE>" in synth["clean_text"]
+        assert "alice@example.com" not in synth["clean_text"]
+        assert synth["n_pii"] == 2
+        assert "alice@example.com" in synth["text"], "raw text must stay"
+        # every admitted real doc matches the batch redaction/counts
+        batch_clean = {
+            r["doc_id"]: r["clean_text"]
+            for r in textstats.pii_redact(spark, sf_dir).collect()
+        }
+        batch_n = {
+            r["doc_id"]: r["n_pii"] for r in textstats.pii_stats(spark, sf_dir).collect()
+        }
+        for did, r in rows.items():
+            if did <= top:
+                assert r["clean_text"] == batch_clean[did]
+                assert r["n_pii"] == batch_n[did]
+
+    check_sink()
+    ingest.reconcile()
+    check_sink()
+
+
 def test_streaming_ingest_survives_an_all_rejected_first_batch(spark, sf_dir, dirs):
     """A micro-batch whose every document fails the quality gate leaves
     the corpus/bucket/span state sinks as file-less directories (an empty
