@@ -985,8 +985,15 @@ def semdedup_survivors(
 
     pairs = semdedup_pairs(spark, sf_dir, threshold_micro, k=k)
     key = F.concat_ws(":", "vec_a", "vec_b").alias("bucket")
-    buckets = pairs.select(key, F.col("vec_a").alias("doc_id")).unionByName(
-        pairs.select(key, F.col("vec_b").alias("doc_id"))
+    # materialize the pair graph ONCE: the hash-min loop re-reads the
+    # buckets frame ~3x per round, and an unpersisted lineage would
+    # re-run the whole cluster-pair kernel each time (measured 26.7 s at
+    # the 10x corpus vs ~1 s for the pairs themselves); localCheckpoint
+    # also truncates the lineage the iterative loop would otherwise grow
+    buckets = (
+        pairs.select(key, F.col("vec_a").alias("doc_id"))
+        .unionByName(pairs.select(key, F.col("vec_b").alias("doc_id")))
+        .localCheckpoint()
     )
     all_vecs = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
