@@ -394,16 +394,25 @@ def components_over_buckets(
 ) -> DataFrame:
     """Hash-min connected components over an arbitrary (doc_id, bucket)
     bipartite frame — the shared core of :func:`dup_components` (which
-    feeds it the memoized whole-corpus band index) and the streaming
-    reconciler (``StreamingCorpusIngest.reconcile``, which feeds it the
-    buckets of the seen corpus). ``all_docs`` supplies the singleton
-    universe (docs with no bucket keep component_id = doc_id, size 1)."""
+    feeds it the memoized whole-corpus band index), the embedding-side
+    :func:`similarity.semdedup_survivors` (pair 2-cliques), and the
+    streaming reconciler (``StreamingCorpusIngest.reconcile``, which
+    feeds it the buckets of the seen corpus). ``all_docs`` supplies the
+    singleton universe (docs with no bucket keep component_id = doc_id,
+    size 1).
+
+    Raises when ``max_iter`` rounds do not reach the fixpoint instead of
+    returning silently-wrong (split) components: hash-min needs
+    O(component diameter) rounds, and a pathological chain corpus can
+    exceed any fixed budget — the loud error names
+    :func:`star_components` (O(log² n) on any shape) as the fallback."""
     labels = (
         buckets.select("doc_id")
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         bucket_min = (
             buckets.join(labels, "doc_id")
@@ -424,6 +433,14 @@ def components_over_buckets(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise ValueError(
+            f"components_over_buckets: hash-min propagation did not "
+            f"converge in {max_iter} rounds ({changed} labels still "
+            f"moving) — the candidate graph has a component whose "
+            f"diameter exceeds the round budget; raise max_iter or use "
+            f"star_components (O(log^2 n) rounds on any graph shape)"
+        )
     singletons = (
         all_docs.select("doc_id")
         .join(labels.select("doc_id"), "doc_id", "left_anti")

@@ -849,7 +849,8 @@ def _local_lloyd(m, k: int, iters: int):
     in EXACT integer arithmetic (``sign(s)·((|s|·2 + cnt) // (2·cnt))``
     — the flat path's F.round(sum/count) semantics without the float
     division); emptied clusters drop and the label space compacts, same
-    as the flat trainer. Returns (labels, squared-distances)."""
+    as the flat trainer. Returns (labels, squared-distances). The
+    property test lives in tests/test_properties.py."""
     import numpy as np
 
     kc = min(k, len(m))

@@ -1234,6 +1234,19 @@ def _doc_fp() -> F.Column:
     return F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", ""))
 
 
+def _with_pii_cols(df: DataFrame) -> DataFrame:
+    """THE sink PII projection (clean_text + n_pii from the batch ops'
+    shared expressions) — one definition for both the per-batch write
+    and the reconciler's rewrite, so the two sites cannot drift (a
+    reconcile() writing a different schema/values than the stream would
+    break the documented schema-survival invariant)."""
+    from ..operators.textstats import _pii_total, pii_redact_expr
+
+    return df.withColumn("clean_text", pii_redact_expr(F.col("text"))).withColumn(
+        "n_pii", _pii_total(F.col("text"))
+    )
+
+
 class StreamingCorpusIngest:
     """Continuously-arriving documents → an incrementally-deduplicated
     corpus sink: the streaming half of the exact-dedup family
@@ -1512,11 +1525,7 @@ class StreamingCorpusIngest:
             # after all admission layers: a pure projection on admitted
             # rows (class docstring — raw text stays, fingerprints and
             # reconcile() are untouched)
-            from ..operators.textstats import _pii_total, pii_redact_expr
-
-            fresh = fresh.withColumn(
-                "clean_text", pii_redact_expr(F.col("text"))
-            ).withColumn("n_pii", _pii_total(F.col("text")))
+            fresh = _with_pii_cols(fresh)
         try:
             self._write_partitioned(fresh, batch_id, self.out_dir)
             if reject_frames:
@@ -1663,11 +1672,7 @@ class StreamingCorpusIngest:
             # the verdict frame carries source columns only — re-derive
             # the redaction projection so the rewritten sink keeps the
             # stream's schema (deterministic: same raw text, same output)
-            from ..operators.textstats import _pii_total, pii_redact_expr
-
-            new_admitted = new_admitted.withColumn(
-                "clean_text", pii_redact_expr(F.col("text"))
-            ).withColumn("n_pii", _pii_total(F.col("text")))
+            new_admitted = _with_pii_cols(new_admitted)
         new_rejects = (
             verdict.filter(~F.col("admit"))
             .select(*doc_cols, F.col("new_reason").alias("reason"), "ingest_batch")

@@ -35,6 +35,28 @@ def test_components_are_closed_and_labeled_by_min(spark, sf_dir):
     assert comp.select("doc_id").distinct().count() == comp.count()
 
 
+def test_hash_min_refuses_to_return_unconverged_components(spark):
+    """An exhausted round budget must raise, not silently return SPLIT
+    components (review finding: a chain whose diameter exceeds max_iter
+    would emit two 'survivors' for one component with no error). A
+    4-node chain needs 3 propagation rounds; max_iter=1 must refuse and
+    name the star_components fallback."""
+    import pytest
+
+    chain_pairs = [(0, 1), (1, 2), (2, 3)]
+    buckets = spark.createDataFrame(
+        [(f"{a}:{b}", d) for a, b in chain_pairs for d in (a, b)],
+        "bucket string, doc_id long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.components_over_buckets(buckets, nodes, max_iter=1)
+    # an adequate budget converges to one component labeled by the min
+    comp = dedup.components_over_buckets(buckets, nodes, max_iter=10)
+    rows = {r.doc_id: (r.component_id, r.component_size) for r in comp.collect()}
+    assert rows == {i: (0, 4) for i in range(4)}
+
+
 def test_split_is_deterministic_and_disjoint(spark, sf_dir):
     s1 = sampling.split_assignment(spark, sf_dir).collect()
     s2 = sampling.split_assignment(spark, sf_dir).collect()
