@@ -2903,10 +2903,12 @@ ORDER BY label, dim
 # doc_unigram_surprisal, corpus_bpe_merges, doc_shuffle_shards,
 # doc_pack_sequences, corpus_source_overlap, asof_purchase_last_click,
 # media_validation, pricing_summary, user_sessions,
-# customer_spend_deciles. Never-driver-checked remaining after r5: 15
-# (incl. the two rows-only entries ann_pq_topk /
-# events_column_profile_approx, which cannot hold an oracle slot; the
-# rest are relational/TPC-H rows) — rotate them in r6.
+# customer_spend_deciles. Never-driver-checked remaining after r5: 14
+# slot-eligible entries (13 relational/TPC-H rows + the late-r5
+# embedding_semdedup_survivors) — the 31 non-pin slots absorb all of
+# them in r6 — plus 3 rows-only entries (ann_pq_topk,
+# events_column_profile_approx, embedding_semdedup_pairs_2level) that
+# cannot hold an oracle slot by design.
 # ----------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # reference read surface (SURVEY §2.3-§2.8) — pinned
