@@ -702,6 +702,74 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (bigram) LM document scoring — the sequence-level
+    companion to :func:`unigram_surprisal`: a bigram LM is trained on
+    the corpus itself and every document is scored by its mean
+    P(tok | prev) surprisal. Low mean = templated/repetitive word
+    SEQUENCES (boilerplate reads as predictable even when its
+    individual words are not) — the CCNet-style perplexity-filter
+    signal one level up from unigrams. Same integer-exactness
+    convention: surprisal is floor-quantized to whole bits via binary
+    bit-length (bitlen(context count) - bitlen(bigram count)), zero
+    transcendentals, so Spark and DuckDB hash-match.
+
+    Scale shape: bigrams are built ROW-LOCALLY (an element_at zip over
+    the token array — no posexplode+lag window, so no doc-keyed
+    shuffle); occurrences pre-aggregate map-side to (doc_id, bg, k);
+    the LM is a bigram-vocabulary-sized groupBy, context counts re-
+    aggregate the bigram counts (never the corpus), and AQE broadcasts
+    the vocab side of the scoring join when it fits. Documents with
+    fewer than two tokens have no bigrams and are absent from the
+    output, exactly as in the oracle. Docstring spec refs: the tokens()
+    expression is the shared one (oracle prologue ``toks``)."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    arr = tokens(F.col("text"))
+    # sequence(1, n-1) DESCENDS when n < 2 in Spark (DuckDB's
+    # generate_series is empty) — guard the short-doc case explicitly
+    bgs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = docs.select("doc_id", F.explode(bgs).alias("bg"))
+    per_doc = big.groupBy("doc_id", "bg").agg(F.count("*").alias("k"))
+    c2 = big.groupBy("bg").agg(F.count("*").alias("cnt2"))
+    prev = F.split(F.col("bg"), " ")[0]
+    c1 = c2.groupBy(prev.alias("prev")).agg(F.sum("cnt2").alias("cnt1"))
+    bits_tbl = (
+        c2.withColumn("prev", prev)
+        .join(c1, "prev")
+        .select(
+            "bg",
+            (F.length(F.bin(F.col("cnt1"))) - F.length(F.bin(F.col("cnt2"))))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return (
+        per_doc.join(bits_tbl, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("bits")).cast("long").alias(
+                "total_surprisal_bits"
+            ),
+            F.max("bits").cast("long").alias("max_bigram_bits"),
+        )
+        .withColumn(
+            "mean_surprisal_millibits",
+            F.round(1000.0 * F.col("total_surprisal_bits") / F.col("n_bigrams"))
+            .cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Pocket-perceptron trainer dials. Weights live on hashed shingle buckets
 #: (binary presence features) plus one bias slot (= PERC_BUCKETS); eight
 #: epochs with pocket selection beats the majority baseline on every test

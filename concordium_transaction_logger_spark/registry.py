@@ -1630,6 +1630,34 @@ GROUP BY doc_id ORDER BY doc_id
         ),
         bench=True,
     ),
+    "doc_bigram_surprisal": QueryDef(
+        textstats.bigram_surprisal,
+        wrap(
+            """
+, bocc AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+),
+bpdt AS (SELECT doc_id, bg, COUNT(*) AS k FROM bocc GROUP BY doc_id, bg),
+bc2 AS (SELECT bg, SUM(k) AS cnt2 FROM bpdt GROUP BY bg),
+bc1 AS (SELECT string_split(bg, ' ')[1] AS prev, SUM(cnt2) AS cnt1
+        FROM bc2 GROUP BY prev),
+bbits AS (
+  SELECT bg, CAST(length(bin(c1.cnt1)) - length(bin(bc2.cnt2)) AS BIGINT) AS bits
+  FROM bc2 JOIN bc1 c1 ON string_split(bc2.bg, ' ')[1] = c1.prev
+)
+SELECT doc_id,
+  CAST(SUM(k) AS BIGINT) AS n_bigrams,
+  CAST(SUM(k * bits) AS BIGINT) AS total_surprisal_bits,
+  CAST(MAX(bits) AS BIGINT) AS max_bigram_bits,
+  CAST(ROUND(1000.0 * SUM(k * bits) / SUM(k)) AS BIGINT) AS mean_surprisal_millibits
+FROM bpdt JOIN bbits USING (bg)
+GROUP BY doc_id ORDER BY doc_id
+"""
+        ),
+    ),
     "doc_perceptron_train": QueryDef(
         textstats.perceptron_train, _perceptron_sql()
     ),

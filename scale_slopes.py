@@ -172,6 +172,7 @@ def main() -> None:
             "duplicate_spans": dedup.duplicate_spans,
             "dedup_clean_text": dedup.dedup_clean_text,
             "unigram_surprisal": textstats.unigram_surprisal,
+            "bigram_surprisal": textstats.bigram_surprisal,
             "token_stats": textstats.token_stats,
             "pii_stats": textstats.pii_stats,
             "pack_sequences": sampling.pack_sequences,
