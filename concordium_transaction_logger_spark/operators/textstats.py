@@ -770,6 +770,63 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style perplexity-BUCKET decision over
+    :func:`bigram_surprisal`: documents split into head / middle / tail
+    at the corpus's exact 333/667-permille surprisal cuts — the step a
+    curation pipeline actually acts on (keep head, sample middle, drop
+    or re-route tail). With an in-corpus LM, LOW mean surprisal means
+    typical/templated relative to this corpus (CCNet's wiki-LM polarity
+    is external); the bucketing mechanism is polarity-neutral and the
+    policy chooses the ends.
+
+    Scale shape: the per-doc score frame is localCheckpointed once (it
+    feeds both the cut derivation and the final assignment — without
+    the pin Spark would run the whole bigram-LM lineage twice); cuts
+    come from the SAME value-histogram exact-percentile trick as
+    `doc_length_percentiles` (|distinct scores| histogram + cumulative
+    window, never a global row sort) and broadcast back as one row."""
+    from pyspark.sql.window import Window
+
+    scores = (
+        bigram_surprisal(spark, sf_dir)
+        .select("doc_id", F.col("mean_surprisal_millibits").alias("s"))
+        .localCheckpoint()
+    )
+    hist = scores.groupBy("s").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("s").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(scores.agg(F.count("*").alias("n")))
+    )
+    qs = F.explode(
+        F.array(F.lit(333).cast("long"), F.lit(667).cast("long"))
+    ).alias("q")
+    pos = F.expr("(n - 1) * q DIV 1000 + 1")
+    cuts = (
+        cum.select("s", "cnt", "cum", "n", qs)
+        .filter((F.col("cum") >= pos) & (F.col("cum") - F.col("cnt") < pos))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("q") == 333, F.col("s"))).alias("t1"),
+            F.max(F.when(F.col("q") == 667, F.col("s"))).alias("t2"),
+        )
+    )
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            F.col("s").alias("mean_surprisal_millibits"),
+            F.when(F.col("s") <= F.col("t1"), F.lit("head"))
+            .when(F.col("s") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Pocket-perceptron trainer dials. Weights live on hashed shingle buckets
 #: (binary presence features) plus one bias slot (= PERC_BUCKETS); eight
 #: epochs with pocket selection beats the majority baseline on every test

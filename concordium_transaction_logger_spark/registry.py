@@ -281,6 +281,26 @@ sp AS (
 )"""
 
 
+# Bigram-LM derivation shared by doc_bigram_surprisal and the
+# doc_perplexity_buckets decision: per-doc bigram counts, the corpus
+# bigram/context counts, and the bit-length-quantized surprisal table.
+_BIGRAM_CTES = """
+, bocc AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+),
+bpdt AS (SELECT doc_id, bg, COUNT(*) AS k FROM bocc GROUP BY doc_id, bg),
+bc2 AS (SELECT bg, SUM(k) AS cnt2 FROM bpdt GROUP BY bg),
+bc1 AS (SELECT string_split(bg, ' ')[1] AS prev, SUM(cnt2) AS cnt1
+        FROM bc2 GROUP BY prev),
+bbits AS (
+  SELECT bg, CAST(length(bin(c1.cnt1)) - length(bin(bc2.cnt2)) AS BIGINT) AS bits
+  FROM bc2 JOIN bc1 c1 ON string_split(bc2.bg, ' ')[1] = c1.prev
+)"""
+
+
 _BPE_HEAD = r"""
 , bwf AS MATERIALIZED (
   SELECT tok, COUNT(*) AS f
@@ -1633,21 +1653,8 @@ GROUP BY doc_id ORDER BY doc_id
     "doc_bigram_surprisal": QueryDef(
         textstats.bigram_surprisal,
         wrap(
-            """
-, bocc AS (
-  SELECT doc_id,
-         unnest(list_transform(generate_series(1, len(t) - 1),
-                i -> t[i] || ' ' || t[i+1])) AS bg
-  FROM toks
-),
-bpdt AS (SELECT doc_id, bg, COUNT(*) AS k FROM bocc GROUP BY doc_id, bg),
-bc2 AS (SELECT bg, SUM(k) AS cnt2 FROM bpdt GROUP BY bg),
-bc1 AS (SELECT string_split(bg, ' ')[1] AS prev, SUM(cnt2) AS cnt1
-        FROM bc2 GROUP BY prev),
-bbits AS (
-  SELECT bg, CAST(length(bin(c1.cnt1)) - length(bin(bc2.cnt2)) AS BIGINT) AS bits
-  FROM bc2 JOIN bc1 c1 ON string_split(bc2.bg, ' ')[1] = c1.prev
-)
+            _BIGRAM_CTES
+            + """
 SELECT doc_id,
   CAST(SUM(k) AS BIGINT) AS n_bigrams,
   CAST(SUM(k * bits) AS BIGINT) AS total_surprisal_bits,
@@ -1655,6 +1662,37 @@ SELECT doc_id,
   CAST(ROUND(1000.0 * SUM(k * bits) / SUM(k)) AS BIGINT) AS mean_surprisal_millibits
 FROM bpdt JOIN bbits USING (bg)
 GROUP BY doc_id ORDER BY doc_id
+"""
+        ),
+    ),
+    # The bucket DECISION over the bigram-LM score: head/middle/tail at
+    # the exact 333/667-permille corpus cuts (the value-histogram
+    # percentile trick — no global row sort in either engine).
+    "doc_perplexity_buckets": QueryDef(
+        textstats.perplexity_buckets,
+        wrap(
+            _BIGRAM_CTES
+            + """
+, bs AS (
+  SELECT doc_id, CAST(ROUND(1000.0 * SUM(k * bits) / SUM(k)) AS BIGINT) AS s
+  FROM bpdt JOIN bbits USING (bg) GROUP BY doc_id
+),
+bhist AS (SELECT s, COUNT(*) AS cnt FROM bs GROUP BY s),
+bcum AS (SELECT s, cnt, SUM(cnt) OVER (ORDER BY s) AS cum,
+                (SELECT COUNT(*) FROM bs) AS n
+         FROM bhist),
+bcuts AS (
+  SELECT MAX(CASE WHEN q = 333 THEN s END) AS t1,
+         MAX(CASE WHEN q = 667 THEN s END) AS t2
+  FROM (SELECT s, cnt, cum, n, unnest([333, 667]) AS q FROM bcum)
+  WHERE cum >= (n - 1) * q // 1000 + 1
+    AND cum - cnt < (n - 1) * q // 1000 + 1
+)
+SELECT doc_id, s AS mean_surprisal_millibits,
+  CASE WHEN s <= (SELECT t1 FROM bcuts) THEN 'head'
+       WHEN s <= (SELECT t2 FROM bcuts) THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM bs ORDER BY doc_id
 """
         ),
     ),
