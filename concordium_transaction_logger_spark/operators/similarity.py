@@ -977,35 +977,35 @@ def semdedup_survivors(
     same keeper convention as the doc family (`dedup.dedup_survivors`).
 
     Candidate pairs come from :func:`semdedup_pairs` (the cluster-
-    blocked scale path); components run on the shared hash-min
-    bipartite propagation (`dedup.components_over_buckets`) with each
-    pair as a 2-clique bucket — O(component diameter) rounds, labels
-    localCheckpointed, and components are bounded by cluster size by
-    construction. Singleton vectors survive with n_absorbed = 0."""
-    from .dedup import components_over_buckets
+    blocked scale path); components run by star contraction
+    (`dedup.star_components`, O(log² n) rounds on ANY graph shape —
+    chosen over hash-min because near-dup similarity graphs DO grow
+    long chains in practice: the slope harness's rotated-replica
+    corpus at 10× needs at least 20 hash-min rounds — it tripped the
+    conservative round-budget guard the first time this operator ran
+    there, while star contraction finishes well inside its budget with
+    identical output). The pair graph is
+    localCheckpointed inside star_components, so the cluster-pair
+    kernel runs once, not once per round. Singleton vectors survive
+    with n_absorbed = 0."""
+    from .dedup import star_components
 
-    pairs = semdedup_pairs(spark, sf_dir, threshold_micro, k=k)
-    key = F.concat_ws(":", "vec_a", "vec_b").alias("bucket")
-    # materialize the pair graph ONCE: the hash-min loop re-reads the
-    # buckets frame ~3x per round, and an unpersisted lineage would
-    # re-run the whole cluster-pair kernel each time (measured 26.7 s at
-    # the 10x corpus vs ~1 s for the pairs themselves); localCheckpoint
-    # also truncates the lineage the iterative loop would otherwise grow
-    buckets = (
-        pairs.select(key, F.col("vec_a").alias("doc_id"))
-        .unionByName(pairs.select(key, F.col("vec_b").alias("doc_id")))
-        .localCheckpoint()
+    edges = semdedup_pairs(spark, sf_dir, threshold_micro, k=k).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
     )
-    all_vecs = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id")
+    labels = star_components(edges).select(
+        F.col("node").alias("vec_id"), "component_id"
     )
-    comp = components_over_buckets(buckets, all_vecs)
+    all_vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    singletons = all_vecs.join(labels.select("vec_id"), "vec_id", "left_anti").select(
+        "vec_id", F.col("vec_id").alias("component_id")
+    )
+    comp = labels.unionByName(singletons)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("n"))
     return (
-        comp.filter(F.col("doc_id") == F.col("component_id"))
-        .select(
-            F.col("doc_id").alias("vec_id"),
-            (F.col("component_size") - 1).cast("long").alias("n_absorbed"),
-        )
+        comp.filter(F.col("vec_id") == F.col("component_id"))
+        .join(sizes, "component_id")
+        .select("vec_id", (F.col("n") - 1).cast("long").alias("n_absorbed"))
         .orderBy("vec_id")
     )
 
