@@ -738,7 +738,10 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     big = docs.select("doc_id", F.explode(bgs).alias("bg"))
     per_doc = big.groupBy("doc_id", "bg").agg(F.count("*").alias("k"))
-    c2 = big.groupBy("bg").agg(F.count("*").alias("cnt2"))
+    # corpus counts RE-AGGREGATE the per-doc frame (the oracle's shape:
+    # bc2 sums bpdt) — aggregating `big` directly would re-run the
+    # tokenize+explode scan as a second subtree in the same plan
+    c2 = per_doc.groupBy("bg").agg(F.sum("k").alias("cnt2"))
     prev = F.split(F.col("bg"), " ")[0]
     c1 = c2.groupBy(prev.alias("prev")).agg(F.sum("cnt2").alias("cnt1"))
     bits_tbl = (
