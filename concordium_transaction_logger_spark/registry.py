@@ -2373,6 +2373,63 @@ ORDER BY source, bin_id
         ),
         bench=True,
     ),
+    "doc_passage_chunks": QueryDef(
+        sampling.passage_chunks,
+        wrap(
+            f"""
+, pch AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, greatest(len(t) - 1, 0) // {sampling.CHUNK_STRIDE})) AS i
+  FROM toks
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {sampling.CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(len(list_slice(t, i * {sampling.CHUNK_STRIDE} + 1,
+                           i * {sampling.CHUNK_STRIDE} + {sampling.CHUNK_WINDOW})) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(t, i * {sampling.CHUNK_STRIDE} + 1,
+                                      i * {sampling.CHUNK_STRIDE} + {sampling.CHUNK_WINDOW}), ' '))
+         AS chunk_fp
+FROM pch
+ORDER BY doc_id, chunk_id
+"""
+        ),
+        bench=True,
+    ),
+    "doc_bloom_contamination": QueryDef(
+        sampling.bloom_contamination,
+        wrap(
+            f"""
+, cbl AS (
+  SELECT doc_id, sh,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#v1'), 1, 8)) AS BIGINT)
+           % 1000 < 100 AS is_val
+  FROM shingles
+),
+tpos AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(sh || '#b' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {sampling.BLOOM_BITS} AS pos
+  FROM (SELECT DISTINCT sh FROM cbl WHERE NOT is_val) ts, range({sampling.BLOOM_HASHES}) r(i)
+),
+vprobe AS (
+  SELECT doc_id, sh, i,
+         CAST(('0x' || substr(md5(sh || '#b' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {sampling.BLOOM_BITS} AS pos
+  FROM (SELECT doc_id, sh FROM cbl WHERE is_val) vs, range({sampling.BLOOM_HASHES}) r(i)
+),
+vhit AS (
+  SELECT doc_id, sh,
+         MIN(CASE WHEN pos IN (SELECT pos FROM tpos) THEN 1 ELSE 0 END) AS all_hit
+  FROM vprobe GROUP BY doc_id, sh
+)
+SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(all_hit) AS BIGINT) AS n_bloom_hits
+FROM vhit GROUP BY doc_id
+ORDER BY doc_id
+"""
+        ),
+        bench=True,
+    ),
     "doc_split_contamination": QueryDef(
         sampling.split_contamination,
         wrap(

@@ -285,3 +285,77 @@ def test_shuffle_shards_is_a_deterministic_permutation(spark, sf_dir):
         keys = [(r.skey, r.doc_id) for r in rows]
         assert keys == sorted(keys)
         assert all(r.skey % sampling.N_SHUFFLE_SHARDS == shard for r in rows)
+
+
+def test_passage_chunks_cover_every_token_exactly(spark, sf_dir):
+    """Chunk-manifest invariants: chunk count = ceil'(n_tokens/stride)
+    (with the >=1-chunk floor), starts are 0, stride, 2*stride, ..., the
+    last chunk reaches the final token, and consecutive chunks overlap by
+    window - stride (except a short last chunk)."""
+    from concordium_transaction_logger_spark.operators.sampling import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        passage_chunks,
+    )
+    from concordium_transaction_logger_spark.operators.textstats import tokens
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    chunks = passage_chunks(spark, sf_dir).persist()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max(F.col("start_tok") + F.col("n_chunk_tokens")).alias("covered"),
+            F.min("start_tok").alias("first_start"),
+            F.max(
+                F.when(
+                    F.col("start_tok") + F.col("n_chunk_tokens")
+                    < F.col("start_tok") + CHUNK_WINDOW,
+                    0,
+                ).otherwise(F.col("n_chunk_tokens") - CHUNK_WINDOW)
+            ).alias("overflow"),
+        )
+        .join(docs, "doc_id")
+    )
+    bad = per_doc.filter(
+        (F.col("first_start") != 0)
+        | (F.col("covered") != F.col("n_tokens"))
+        | (
+            F.col("n_chunks")
+            != F.floor(F.greatest(F.col("n_tokens") - 1, F.lit(0)) / CHUNK_STRIDE) + 1
+        )
+        | (F.col("overflow") > 0)
+    ).count()
+    assert bad == 0
+    # every document emits at least one chunk (empty docs included)
+    assert per_doc.count() == docs.count()
+    chunks.unpersist()
+
+
+def test_bloom_contamination_has_no_false_negatives(spark, sf_dir):
+    """The Bloom probe may over-count (false positives) but never
+    under-counts: per val document, n_bloom_hits >= the exact join's
+    n_shared_shingles, and n_bloom_hits <= n_shingles. Every val doc with
+    shingles gets a row — 'clean' is an explicit 0, not an absent row."""
+    from concordium_transaction_logger_spark.operators.sampling import (
+        bloom_contamination,
+        split_contamination,
+    )
+
+    bloom = bloom_contamination(spark, sf_dir).persist()
+    exact = split_contamination(spark, sf_dir).withColumnRenamed(
+        "n_shared_shingles", "n_exact"
+    )
+    joined = bloom.join(exact, "doc_id", "left").fillna({"n_exact": 0})
+    bad = joined.filter(
+        (F.col("n_bloom_hits") < F.col("n_exact"))
+        | (F.col("n_bloom_hits") > F.col("n_shingles"))
+    ).count()
+    assert bad == 0
+    # every exact-contaminated doc appears in the bloom audit
+    missing = exact.join(bloom, "doc_id", "left_anti").count()
+    assert missing == 0
+    bloom.unpersist()
