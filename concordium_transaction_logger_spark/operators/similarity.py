@@ -1231,6 +1231,17 @@ def ann_pq_topk(
         .filter(F.col("prank") <= rerank)
         .select("query_id", "neighbor_id")
     )
+    return _exact_rerank(spark, sf_dir, shortlist, n_queries, k)
+
+
+def _exact_rerank(
+    spark: SparkSession, sf_dir: str, shortlist: DataFrame, n_queries: int, k: int
+) -> DataFrame:
+    """Re-score a (query_id, neighbor_id) shortlist against the TRUE
+    vectors and take the exact top-k over it — the second stage shared by
+    every two-stage ANN path (PQ-ADC and IVF-PQ). The shortlist is
+    |queries|*rerank rows (broadcast); only shortlisted candidate vectors
+    are touched by the exact math."""
     emb = _quantized(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -1261,6 +1272,139 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined IVF-PQ index: (cell, vec_id, codes) — the at-rest
+    layout of a FAISS-style IVFPQ list table. At 100 TB this is ONE table
+    written partitioned by cell with the 4-byte PQ code as the only
+    payload, so a probe reads nprobe cells' partitions of codes and
+    nothing else. Here it joins the two session indexes once per session
+    and persists; probes never repeat the join."""
+    from ..cache import get_or_build
+
+    def build() -> DataFrame:
+        cells = ivf_index(spark, sf_dir).select("vec_id", "cell")
+        return pq_index(spark, sf_dir).join(cells, "vec_id").persist()
+
+    return get_or_build("ivf_pq_index", spark, sf_dir, build)
+
+
+def ann_ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """IVF-PQ ANN — the composed billion-vector production shape (the
+    FAISS IVFPQ recipe, Jégou et al. 2011): the query's ``nprobe``
+    nearest IVF cells bound WHICH candidates are touched, ADC over the
+    4-byte PQ codes ranks them without reading any vector, and the exact
+    re-rank re-scores only the ``rerank``-deep shortlist against true
+    vectors. Per-query cost ~ (nprobe/cells)·N code lookups +
+    ``rerank`` exact dot products — both knobs independent of corpus
+    size, which is what makes the shape hold at 10^9 vectors.
+
+    Dataflow: the probe list (n_queries x nprobe cells) broadcasts into
+    the code-table scan, ADC scoring is an Arrow-batched map over the
+    matching cells' codes, and the shortlist re-rank is the shared
+    broadcast-semi-join second stage (:func:`_exact_rerank`). Neither
+    codes nor vectors ever shuffle at query time.
+
+    No SQL oracle (k-means + PQ training, the ann_pq_topk precedent) —
+    correctness is pinned by determinism and the recall floor vs the
+    exact ranking (tests/test_similarity_plans.py); recall is capped by
+    the IVF probe stage (~the ivf_topk floor), not the PQ codes, since
+    the re-rank is exact over the probed cells."""
+    import numpy as np
+    import pandas as pd
+
+    books = _pq_codebooks(spark, sf_dir)
+    mats = [np.array(b, dtype=np.int64) for b in books]
+    cent_sq = np.stack([(m * m).sum(axis=1) for m in mats])  # M x K
+    sub = 64 // PQ_M
+
+    qrows = (
+        _quantized(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .collect()
+    )
+    qtabs = {}
+    for r in qrows:
+        q = np.array(r.e, dtype=np.int64)
+        dots = np.stack(
+            [q[m * sub : (m + 1) * sub] @ mats[m].T for m in range(PQ_M)]
+        )  # M x K
+        qtabs[int(r.vec_id)] = (dots, max(float(np.sqrt((q * q).sum())), 1e-12))
+
+    # probe list: the query's nprobe nearest cells (same construction as
+    # ivf_topk's probe side — broadcast centroid scoring, top-nprobe)
+    cents = centroids_for(spark, sf_dir)
+    idx = ivf_index(spark, sf_dir)
+    queries = idx.filter(F.col("vec_id") < n_queries).select("vec_id", "e")
+    qscored = queries.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        _sim_micro(
+            _dot(F.col("e"), F.col("cs")), _norm(F.col("e")) * _norm(F.col("cs"))
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+
+    pairs = (
+        ivf_pq_index(spark, sf_dir)
+        .filter(F.col("vec_id") >= n_queries)
+        .join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id", "codes")
+    )
+
+    mrange = np.arange(PQ_M)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty or not qtabs:
+                continue
+            out = []
+            for qid, g in pdf.groupby("query_id"):
+                codes = np.array(list(g["codes"]), dtype=np.int64)  # n x M
+                dots, qn = qtabs[int(qid)]
+                est = dots[mrange, codes].sum(axis=1).astype(np.float64)
+                cnorm = np.sqrt(cent_sq[mrange, codes].sum(axis=1).astype(np.float64))
+                sim = 1_000_000 * est / (qn * np.maximum(cnorm, 1e-12))
+                simq = np.where(
+                    sim >= 0, np.floor(sim + 0.5), np.ceil(sim - 0.5)
+                ).astype(np.int64)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(g), int(qid), dtype=np.int64),
+                            "neighbor_id": g["vec_id"].to_numpy(np.int64),
+                            "sim_micro_pq": simq,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = pairs.mapInPandas(
+        score, "query_id long, neighbor_id long, sim_micro_pq long"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro_pq").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(spark, sf_dir, shortlist, n_queries, k)
 
 
 def write_lsh_partitioned(spark: SparkSession, sf_dir: str, path: str) -> None:

@@ -2732,6 +2732,10 @@ ORDER BY query_id, rank
     # check; recall floors + determinism pinned in
     # tests/test_similarity_plans.py.
     "ann_pq_topk": QueryDef(similarity.ann_pq_topk, None),
+    # IVF-PQ composition (probe-bounded ADC + exact re-rank): rows-only
+    # like ann_pq_topk — the k-means/PQ training has no SQL twin;
+    # recall floor + determinism pin it (test_similarity_plans.py).
+    "ann_ivf_pq_topk": QueryDef(similarity.ann_ivf_pq_topk, None),
     "embedding_near_dup_pairs": QueryDef(
         lambda spark, sf: similarity.near_dup_pairs(spark, sf, 400_000),
         _NEAR_DUP_SQL,

@@ -399,3 +399,26 @@ def test_semdedup_default_k_scales_and_matches_oracle(spark, sf_dir, tmp_path):
     finally:
         con.close()
     assert got and got == want
+
+
+def test_ivf_pq_topk_recall_against_exact(spark, sf_dir):
+    """The composed IVF-PQ path: recall is bounded by the IVF probe
+    stage (the exact re-rank recovers everything PQ quantization loses
+    within the probed cells), so its floor matches ivf_topk's — and it
+    must never BEAT the probe stage's candidate set: every result's
+    neighbor must live in one of the query's probed cells."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(spark, sf_dir, 5, 10).collect()
+    }
+    ivfpq_rows = similarity.ann_ivf_pq_topk(spark, sf_dir, 5, 10).collect()
+    ivfpq = {(r["query_id"], r["neighbor_id"]) for r in ivfpq_rows}
+    assert exact
+    recall = len(exact & ivfpq) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall@10 too low: {recall:.2f}"
+    # rank column is dense 1..k per query
+    by_q = {}
+    for r in ivfpq_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
