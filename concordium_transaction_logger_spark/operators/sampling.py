@@ -522,3 +522,35 @@ def bloom_contamination(
         )
         .orderBy("doc_id")
     )
+
+
+def chunk_dup_groups(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Passage-level exact dedup over the chunk manifest — the
+    boilerplate-passage detector: identical ``window``-token passages
+    recurring across (or within) documents, the navigation/footer text a
+    document-level fingerprint can't see because the documents differ
+    elsewhere. Groups by the chunk fingerprint; ``n_copies`` counts
+    occurrences, ``n_docs`` distinct hosting documents, ``first_doc_id``
+    names the earliest host. Zero-token chunks (empty documents) are
+    excluded — an empty passage is not boilerplate.
+
+    Scale shape: the chunk manifest is row-local (see
+    :func:`passage_chunks`); this adds ONE partial-aggregated shuffle on
+    the 16-byte fingerprint — the exact-dedup shape, at passage grain."""
+    ch = passage_chunks(spark, sf_dir, window, stride)
+    return (
+        ch.filter(F.col("n_chunk_tokens") > 0)
+        .groupBy("chunk_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("chunk_fp")
+    )

@@ -1321,6 +1321,57 @@ def ann_ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
+    probes = _ivf_probes(spark, sf_dir, n_queries, nprobe)
+    pairs = (
+        ivf_pq_index(spark, sf_dir)
+        .filter(F.col("vec_id") >= n_queries)
+        .join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id", "codes")
+    )
+    return _ivf_pq_score_and_rerank(spark, sf_dir, pairs, n_queries, k, rerank)
+
+
+def _ivf_probes(
+    spark: SparkSession, sf_dir: str, n_queries: int, nprobe: int
+) -> DataFrame:
+    """The probe list: each query's ``nprobe`` nearest IVF cells (the
+    same construction as ivf_topk's probe side — broadcast centroid
+    scoring, top-nprobe per query). n_queries x nprobe rows — control
+    plane, always broadcastable."""
+    cents = centroids_for(spark, sf_dir)
+    idx = ivf_index(spark, sf_dir)
+    queries = idx.filter(F.col("vec_id") < n_queries).select("vec_id", "e")
+    qscored = queries.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        _sim_micro(
+            _dot(F.col("e"), F.col("cs")), _norm(F.col("e")) * _norm(F.col("cs"))
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    return (
+        qscored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+
+
+def _ivf_pq_score_and_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame,
+    n_queries: int,
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    """ADC-score (query_id, vec_id, codes) candidate pairs against the
+    queries' precomputed per-sub-centroid dot tables, shortlist
+    ``rerank`` deep per query, and finish with the shared exact re-rank.
+    The probe stage (session index or partitioned layout) is the
+    caller's; this is everything after the candidate set is bounded."""
+    import numpy as np
+    import pandas as pd
+
     books = _pq_codebooks(spark, sf_dir)
     mats = [np.array(b, dtype=np.int64) for b in books]
     cent_sq = np.stack([(m * m).sum(axis=1) for m in mats])  # M x K
@@ -1339,32 +1390,6 @@ def ann_ivf_pq_topk(
             [q[m * sub : (m + 1) * sub] @ mats[m].T for m in range(PQ_M)]
         )  # M x K
         qtabs[int(r.vec_id)] = (dots, max(float(np.sqrt((q * q).sum())), 1e-12))
-
-    # probe list: the query's nprobe nearest cells (same construction as
-    # ivf_topk's probe side — broadcast centroid scoring, top-nprobe)
-    cents = centroids_for(spark, sf_dir)
-    idx = ivf_index(spark, sf_dir)
-    queries = idx.filter(F.col("vec_id") < n_queries).select("vec_id", "e")
-    qscored = queries.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell",
-        _sim_micro(
-            _dot(F.col("e"), F.col("cs")), _norm(F.col("e")) * _norm(F.col("cs"))
-        ).alias("csim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
-
-    pairs = (
-        ivf_pq_index(spark, sf_dir)
-        .filter(F.col("vec_id") >= n_queries)
-        .join(F.broadcast(probes), "cell")
-        .select("query_id", "vec_id", "codes")
-    )
 
     mrange = np.arange(PQ_M)
 
@@ -1479,3 +1504,43 @@ def ann_lsh_topk_over_layout(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def write_ivf_pq_partitioned(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the IVF-PQ index AT REST, partitioned by cell — the
+    100 TB serving layout: each IVF list is a partition holding only
+    (vec_id, codes), 4 bytes of payload per vector, so a probe reads
+    nprobe partitions of codes and never the corpus. One shuffle-free
+    pass over the session index."""
+    ivf_pq_index(spark, sf_dir).select("vec_id", "codes", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def ann_ivf_pq_topk_over_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_queries: int = 5,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """:func:`ann_ivf_pq_topk` served FROM the cell-partitioned layout:
+    the probe list's cell set is collected (n_queries x nprobe ints —
+    control plane, the LSH-over-layout precedent) and the candidate scan
+    filters ``cell IN (probes)`` — a literal predicate the reader turns
+    into PartitionFilters, so only the probed cells' files are read
+    (asserted in tests/test_similarity_plans.py). Scoring and re-rank
+    are identical to the session-index path."""
+    probes = _ivf_probes(spark, sf_dir, n_queries, nprobe)
+    probe_cells = sorted({int(r["cell"]) for r in probes.select("cell").collect()})
+    cands = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") >= n_queries)
+    )
+    pairs = cands.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", "codes"
+    )
+    return _ivf_pq_score_and_rerank(spark, sf_dir, pairs, n_queries, k, rerank)

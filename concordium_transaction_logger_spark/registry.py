@@ -2396,6 +2396,33 @@ ORDER BY doc_id, chunk_id
         ),
         bench=True,
     ),
+    "doc_chunk_dup_groups": QueryDef(
+        sampling.chunk_dup_groups,
+        wrap(
+            f"""
+, pch2 AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, greatest(len(t) - 1, 0) // {sampling.CHUNK_STRIDE})) AS i
+  FROM toks
+),
+chfp AS (
+  SELECT doc_id,
+         len(list_slice(t, i * {sampling.CHUNK_STRIDE} + 1,
+                        i * {sampling.CHUNK_STRIDE} + {sampling.CHUNK_WINDOW})) AS n_chunk_tokens,
+         md5(array_to_string(list_slice(t, i * {sampling.CHUNK_STRIDE} + 1,
+                                        i * {sampling.CHUNK_STRIDE} + {sampling.CHUNK_WINDOW}), ' '))
+           AS chunk_fp
+  FROM pch2
+)
+SELECT chunk_fp, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc_id
+FROM chfp WHERE n_chunk_tokens > 0
+GROUP BY chunk_fp HAVING COUNT(*) > 1
+ORDER BY chunk_fp
+"""
+        ),
+        bench=True,
+    ),
     "doc_bloom_contamination": QueryDef(
         sampling.bloom_contamination,
         wrap(
@@ -3030,12 +3057,14 @@ ORDER BY label, dim
 # doc_unigram_surprisal, corpus_bpe_merges, doc_shuffle_shards,
 # doc_pack_sequences, corpus_source_overlap, asof_purchase_last_click,
 # media_validation, pricing_summary, user_sessions,
-# customer_spend_deciles. Never-driver-checked remaining after r5: 14
+# customer_spend_deciles. Never-driver-checked remaining after r5: 17
 # slot-eligible entries (13 relational/TPC-H rows + the late-r5
-# embedding_semdedup_survivors) — the 31 non-pin slots absorb all of
-# them in r6 — plus 3 rows-only entries (ann_pq_topk,
-# events_column_profile_approx, embedding_semdedup_pairs_2level) that
-# cannot hold an oracle slot by design.
+# embedding_semdedup_survivors + the session additions
+# doc_passage_chunks, doc_chunk_dup_groups, doc_bloom_contamination)
+# — the 31 non-pin slots absorb all of them in r6 — plus 4 rows-only entries
+# (ann_pq_topk, ann_ivf_pq_topk, events_column_profile_approx,
+# embedding_semdedup_pairs_2level) that cannot hold an oracle slot by
+# design.
 # ----------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # reference read surface (SURVEY §2.3-§2.8) — pinned

@@ -176,7 +176,9 @@ def main() -> None:
             "token_stats": textstats.token_stats,
             "pii_stats": textstats.pii_stats,
             "pack_sequences": sampling.pack_sequences,
+            "passage_chunks": sampling.passage_chunks,
             "split_contamination": sampling.split_contamination,
+            "bloom_contamination": sampling.bloom_contamination,
             "dsir_weights": sampling.dsir_weights,
             "bpe_train": textstats.bpe_merges,
             "perceptron_train": textstats.perceptron_train,
@@ -184,6 +186,7 @@ def main() -> None:
             "ann_lsh": similarity.ann_lsh_topk,
             "ann_ivf": similarity.ivf_topk,
             "ann_pq": similarity.ann_pq_topk,
+            "ann_ivf_pq": similarity.ann_ivf_pq_topk,
             "semdedup_fixed_k": lambda s, d: similarity.semdedup_pairs(
                 s, d, k=similarity.KMEANS_K
             ),
@@ -230,6 +233,7 @@ def main() -> None:
                 lambda: similarity.kmeans_index_2level(spark, cdir),
             ),
             ("pq", lambda: similarity.pq_index(spark, cdir)),
+            ("ivf_pq", lambda: similarity.ivf_pq_index(spark, cdir)),
             ("winnow", lambda: textstats.winnow_index(spark, cdir)),
         ]
         detail = {}

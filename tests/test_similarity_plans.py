@@ -422,3 +422,19 @@ def test_ivf_pq_topk_recall_against_exact(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_pq_layout_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The cell-partitioned IVF-PQ layout end-to-end: the probe's
+    candidate scan must show PartitionFilters on cell (only the probed
+    lists' files are read), and results must equal the session-index
+    ann_ivf_pq_topk exactly."""
+    path = str(tmp_path / "ivf_pq_layout")
+    similarity.write_ivf_pq_partitioned(spark, sf_dir, path)
+    df = similarity.ann_ivf_pq_topk_over_layout(spark, sf_dir, path)
+    plan = layout.explain_str(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan
+    want = [tuple(r) for r in similarity.ann_ivf_pq_topk(spark, sf_dir).collect()]
+    got = [tuple(r) for r in df.collect()]
+    assert got == want and got
