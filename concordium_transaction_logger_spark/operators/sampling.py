@@ -437,6 +437,41 @@ def _bloom_pos(sh: Column, i: int) -> Column:
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_BITS)
 
 
+def _bloom_words(
+    spark: SparkSession,
+    sf_dir: str,
+    tagged: DataFrame,
+    probes: Column,
+    val_permille: int,
+    salt: str,
+) -> DataFrame:
+    """The train split's Bloom bitmap as (word_idx, word) rows, built by
+    ONE partial-aggregated pass: probe positions fold straight into the
+    64-bit words (bit_or is idempotent, so duplicate shingles/positions
+    need no distinct stage — the exchange carries at most BLOOM_BITS/64
+    rows per partition, never the shingle set). Persisted per (session,
+    corpus, split dial) — the bitmap is the index artifact; repeat
+    audits re-probe it for free."""
+    from ..cache import get_or_build
+
+    def build() -> DataFrame:
+        return (
+            tagged.filter(~F.col("is_val"))
+            .select(probes.alias("pos"))
+            .select(
+                (F.col("pos") / 64).cast("long").alias("word_idx"),
+                (F.col("pos") % 64).cast("int").alias("bit"),
+            )
+            .groupBy("word_idx")
+            # shiftleft via F.expr: the python wrapper only takes a
+            # literal shift count, the SQL function takes a column
+            .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), bit)")).alias("word"))
+            .persist()
+        )
+
+    return get_or_build(f"bloom_words:{val_permille}:{salt}", spark, sf_dir, build)
+
+
 def bloom_contamination(
     spark: SparkSession, sf_dir: str, val_permille: int = 100, salt: str = "v1"
 ) -> DataFrame:
@@ -469,21 +504,7 @@ def bloom_contamination(
     probes = F.explode(
         F.array(*[_bloom_pos(F.col("sh"), i) for i in range(BLOOM_HASHES)])
     )
-    train_pos = (
-        tagged.filter(~F.col("is_val"))
-        .select("sh")
-        .distinct()
-        .select(probes.alias("pos"))
-        .distinct()
-    )
-    words = train_pos.select(
-        (F.col("pos") / 64).cast("long").alias("word_idx"),
-        (F.col("pos") % 64).cast("int").alias("bit"),
-    ).groupBy("word_idx").agg(
-        # shiftleft via F.expr: the python wrapper only takes a literal
-        # shift count, the SQL function takes a column
-        F.bit_or(F.expr("shiftleft(cast(1 as bigint), bit)")).alias("word")
-    )
+    words = _bloom_words(spark, sf_dir, tagged, probes, val_permille, salt)
 
     val_probe = (
         tagged.filter(F.col("is_val"))

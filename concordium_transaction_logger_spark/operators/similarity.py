@@ -316,7 +316,6 @@ def ivf_topk(
     candidate lives in exactly one cell, so a (query, candidate) pair
     occurs at most once — no dedup stage. The probe list (n_queries x
     nprobe rows) is broadcast; candidate vectors never shuffle."""
-    cents = centroids_for(spark, sf_dir)
     idx = ivf_index(spark, sf_dir)
     cands = idx.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -324,28 +323,18 @@ def ivf_topk(
         F.col("vnorm").alias("cn"),
         "cell",
     )
-    # probe side rides the session-persisted index too (it already holds
-    # e per vec_id) — no second parquet scan / re-quantization; only the
-    # per-cell probe scoring below is query-specific work
-    queries = idx.filter(F.col("vec_id") < n_queries).select("vec_id", "e")
-    qscored = queries.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "e",
-        "cell",
-        _sim_micro(
-            _dot(F.col("e"), F.col("cs")), _norm(F.col("e")) * _norm(F.col("cs"))
-        ).alias("csim"),
+    # probe list is THE shared construction (:func:`_ivf_probes` — one
+    # scoring + tie-break definition for ivf_topk and the IVF-PQ paths,
+    # so the "recall capped by the probe stage" contract can't drift);
+    # the query vectors/norms join back from the session index (it
+    # already holds e per vec_id — no second parquet scan)
+    qvecs = idx.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("vnorm").alias("qn"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("e").alias("qe"),
-            _norm(F.col("e")).alias("qn"),
-            "cell",
-        )
+    probes = _ivf_probes(spark, sf_dir, n_queries, nprobe).join(
+        F.broadcast(qvecs), "query_id"
     )
     scored = cands.join(F.broadcast(probes), "cell").select(
         "query_id",
@@ -1140,6 +1129,36 @@ def pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_or_build("pq_index", spark, sf_dir, build)
 
 
+def _pq_query_tables(spark: SparkSession, sf_dir: str, n_queries: int):
+    """Per-query ADC lookup tables, shared by every PQ scan (flat ADC and
+    IVF-PQ): (codebook matrices, per-sub-centroid squared norms, and
+    {query_id: (M x K dot table, query norm)}). Only the n_queries query
+    vectors are collected — control-plane traffic."""
+    import numpy as np
+
+    books = _pq_codebooks(spark, sf_dir)
+    mats = [np.array(b, dtype=np.int64) for b in books]
+    cent_sq = np.stack([(m * m).sum(axis=1) for m in mats])  # M x K
+    sub = 64 // PQ_M
+    qrows = (
+        _quantized(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .collect()
+    )
+    qtabs = {}
+    for r in qrows:
+        q = np.array(r.e, dtype=np.int64)
+        dots = np.stack(
+            [q[m * sub : (m + 1) * sub] @ mats[m].T for m in range(PQ_M)]
+        )  # M x K
+        # guard a zero-norm query like the candidate side: without it the
+        # division yields inf/nan whose int64 cast is implementation-
+        # defined garbage ranks instead of a harmless ~0 score
+        qtabs[int(r.vec_id)] = (dots, max(float(np.sqrt((q * q).sum())), 1e-12))
+    return mats, cent_sq, qtabs
+
+
 def ann_pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -1165,27 +1184,7 @@ def ann_pq_topk(
     import numpy as np
     import pandas as pd
 
-    books = _pq_codebooks(spark, sf_dir)
-    mats = [np.array(b, dtype=np.int64) for b in books]
-    cent_sq = np.stack([(m * m).sum(axis=1) for m in mats])  # M x K
-    sub = 64 // PQ_M
-
-    qrows = (
-        _quantized(load_table(spark, sf_dir, "embeddings"))
-        .filter(F.col("vec_id") < n_queries)
-        .orderBy("vec_id")
-        .collect()
-    )
-    qtabs = {}
-    for r in qrows:
-        q = np.array(r.e, dtype=np.int64)
-        dots = np.stack(
-            [q[m * sub : (m + 1) * sub] @ mats[m].T for m in range(PQ_M)]
-        )  # M x K
-        # guard a zero-norm query like the candidate side: without it the
-        # division yields inf/nan whose int64 cast is implementation-
-        # defined garbage ranks instead of a harmless ~0 score
-        qtabs[int(r.vec_id)] = (dots, max(float(np.sqrt((q * q).sum())), 1e-12))
+    mats, cent_sq, qtabs = _pq_query_tables(spark, sf_dir, n_queries)
 
     def score(batches):
         for pdf in batches:
@@ -1318,9 +1317,6 @@ def ann_ivf_pq_topk(
     exact ranking (tests/test_similarity_plans.py); recall is capped by
     the IVF probe stage (~the ivf_topk floor), not the PQ codes, since
     the re-rank is exact over the probed cells."""
-    import numpy as np
-    import pandas as pd
-
     probes = _ivf_probes(spark, sf_dir, n_queries, nprobe)
     pairs = (
         ivf_pq_index(spark, sf_dir)
@@ -1366,31 +1362,15 @@ def _ivf_pq_score_and_rerank(
 ) -> DataFrame:
     """ADC-score (query_id, vec_id, codes) candidate pairs against the
     queries' precomputed per-sub-centroid dot tables, shortlist
-    ``rerank`` deep per query, and finish with the shared exact re-rank.
-    The probe stage (session index or partitioned layout) is the
-    caller's; this is everything after the candidate set is bounded."""
+    ``rerank`` deep per query, and finish with the shared exact re-rank
+    (``rerank=0`` disables the second stage and returns the raw ADC
+    ranking, the ann_pq_topk contract). The probe stage (session index
+    or partitioned layout) is the caller's; this is everything after the
+    candidate set is bounded."""
     import numpy as np
     import pandas as pd
 
-    books = _pq_codebooks(spark, sf_dir)
-    mats = [np.array(b, dtype=np.int64) for b in books]
-    cent_sq = np.stack([(m * m).sum(axis=1) for m in mats])  # M x K
-    sub = 64 // PQ_M
-
-    qrows = (
-        _quantized(load_table(spark, sf_dir, "embeddings"))
-        .filter(F.col("vec_id") < n_queries)
-        .orderBy("vec_id")
-        .collect()
-    )
-    qtabs = {}
-    for r in qrows:
-        q = np.array(r.e, dtype=np.int64)
-        dots = np.stack(
-            [q[m * sub : (m + 1) * sub] @ mats[m].T for m in range(PQ_M)]
-        )  # M x K
-        qtabs[int(r.vec_id)] = (dots, max(float(np.sqrt((q * q).sum())), 1e-12))
-
+    mats, cent_sq, qtabs = _pq_query_tables(spark, sf_dir, n_queries)
     mrange = np.arange(PQ_M)
 
     def score(batches):
@@ -1424,6 +1404,12 @@ def _ivf_pq_score_and_rerank(
     wp = Window.partitionBy("query_id").orderBy(
         F.col("sim_micro_pq").desc(), F.col("neighbor_id").asc()
     )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(wp).cast("long"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
     shortlist = (
         scored.withColumn("prank", F.row_number().over(wp))
         .filter(F.col("prank") <= rerank)

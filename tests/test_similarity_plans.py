@@ -416,12 +416,29 @@ def test_ivf_pq_topk_recall_against_exact(spark, sf_dir):
     assert exact
     recall = len(exact & ivfpq) / len(exact)
     assert recall >= 0.4, f"IVF-PQ recall@10 too low: {recall:.2f}"
+    # candidate-set containment: every result's neighbor lives in one of
+    # its query's probed cells (a cell-join regression that leaks
+    # non-probed candidates would raise recall and pass the floor)
+    probed = {
+        (r["query_id"], r["cell"])
+        for r in similarity._ivf_probes(spark, sf_dir, 5, 4).collect()
+    }
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_index(spark, sf_dir).select("vec_id", "cell").collect()
+    }
+    for q, n in ivfpq:
+        assert (q, cell_of[n]) in probed, (q, n, cell_of[n])
     # rank column is dense 1..k per query
     by_q = {}
     for r in ivfpq_rows:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # rerank=0 is the raw-ADC mode (the ann_pq_topk contract), never an
+    # empty result
+    raw = similarity.ann_ivf_pq_topk(spark, sf_dir, 5, 10, rerank=0).collect()
+    assert {r["query_id"] for r in raw} == set(by_q)
 
 
 def test_ivf_pq_layout_probe_prunes_partitions(spark, sf_dir, tmp_path):
