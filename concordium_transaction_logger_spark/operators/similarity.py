@@ -259,33 +259,41 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         emb = _quantized(load_table(spark, sf_dir, "embeddings"))
         cents = centroids_for(spark, sf_dir)
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "label",
-            "e",
-            "cell",
-            _sim_micro(
-                _dot(F.col("e"), F.col("cs")), _norm(F.col("e")) * _norm(F.col("cs"))
-            ).alias("cell_sim_micro"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cell_sim_micro").desc(), F.col("cell").asc()
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "vec_id",
-                "label",
-                "cell",
-                "cell_sim_micro",
-                "e",
-                _norm(F.col("e")).alias("vnorm"),
-            )
-            .persist()
-        )
+        return _rank1_cell(emb, cents).persist()
 
     return get_or_build("ivf_index", spark, sf_dir, build)
+
+
+def _rank1_cell(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each quantized vector its rank-1 IVF cell (argmax cosine
+    over the broadcast centroid table; ties -> smallest cell id). The
+    one assignment definition — the batch index build and the streaming
+    ingest twin both call it, so cell membership cannot drift between
+    them."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "e",
+        "cell",
+        _sim_micro(
+            _dot(F.col("e"), F.col("cs")), _norm(F.col("e")) * _norm(F.col("cs"))
+        ).alias("cell_sim_micro"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_sim_micro").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            "cell_sim_micro",
+            "e",
+            _norm(F.col("e")).alias("vnorm"),
+        )
+    )
 
 
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

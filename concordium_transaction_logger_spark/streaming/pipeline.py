@@ -1738,3 +1738,81 @@ class StreamingCorpusIngest:
 def corpus_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
     """The deduplicated corpus admitted so far."""
     return spark.read.parquet(out_dir)
+
+
+class StreamingIvfPqIngest:
+    """Streaming maintenance of the IVF-PQ serving layout — index
+    maintenance at INGEST time, the reference's own economics (Postgres
+    pays for its PK/covering indexes at INSERT, m0001-initial.sql:18,30,
+    44, so reads never rebuild them): arriving embedding vectors are
+    assigned their IVF cell and PQ code as they land and appended to the
+    cell-partitioned layout that :func:`operators.similarity.
+    ann_ivf_pq_topk_over_layout` serves from — probes never see an
+    unindexed vector and never pay an index rebuild.
+
+    The quantizers (IVF centroid table + PQ codebooks) are trained on
+    the TRAINING corpus (``train_sf_dir``) and FROZEN — the production
+    contract for a serving index (retraining re-keys every list; that is
+    a rebuild, not maintenance). Because both assignments are pure
+    functions of (vector, frozen artifacts) — the cell via the shared
+    :func:`_rank1_cell` argmax, codes via the shared Arrow kernel — any
+    arrival order and any batching converge to the batch
+    ``ivf_pq_index`` content exactly (asserted in
+    tests/test_streaming_ivfpq.py, shuffled single-file triggers).
+
+    Sink protocol: batch-keyed dynamic partition overwrite
+    (``ingest_batch`` first, ``cell`` second), so a crashed batch's
+    replay overwrites itself (exactly-once, the ST2 pattern) while the
+    nested ``cell=`` directories keep PartitionFilters pruning for
+    probes across all batches."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        train_sf_dir: str,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.train_sf_dir = train_sf_dir
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators import similarity as sim
+
+        emb = sim._quantized(batch_df)
+        cells = sim._rank1_cell(
+            emb, sim.centroids_for(self.spark, self.train_sf_dir)
+        ).select("vec_id", "cell")
+        codes = sim._pq_assign(
+            emb.select("vec_id", "e"),
+            sim._pq_codebooks(self.spark, self.train_sf_dir),
+        )
+        (
+            codes.join(cells, "vec_id")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "cell")
+            .parquet(self.out_dir)
+        )
+
+    def run_available_now(self) -> None:
+        schema = self.spark.read.parquet(self.source_dir).schema
+        reader = self.spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", self.max_files_per_trigger or 1000
+        )
+        q = (
+            reader.parquet(self.source_dir)
+            .writeStream.foreachBatch(self._write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
