@@ -1092,3 +1092,94 @@ def doc_span_occurrences(docs: DataFrame, span_l: int = SPAN_L) -> DataFrame:
         .filter(F.size(t) >= span_l)
         .select("doc_id", F.posexplode(grams).alias("pos", "h"))
     )
+
+
+def tfidf_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int = DEFAULT_MAX_DF,
+    min_cos2_ppm: int = 250_000,
+) -> DataFrame:
+    """Sparse lexical near-dup via TF-IDF cosine — the bag-of-words
+    companion that completes the similarity triangle: set overlap
+    (Jaccard/MinHash) ignores term frequency, dense embeddings
+    (``similarity.near_dup_pairs``) need a model; TF-IDF cosine catches
+    the near-dup whose *word distribution* matches even when shingle
+    sets drift (reordered paragraphs, light paraphrase).
+
+    Integer-exact throughout so the DuckDB oracle is hash-identical:
+    IDF is whole-bit (bitlen(N) - bitlen(df), the engine's standard
+    floor-log2 quantization), weights are ``tf · idf_bits``, and instead
+    of a square root the score is **cos² in parts-per-million**:
+
+        cos2_ppm = (10⁶ · dot²) DIV (‖a‖² · ‖b‖²)
+
+    computed in DECIMAL(38,0) / HUGEINT (dot ≤ ~1e12 ⇒ numerator ≤ 1e30,
+    inside both engines' 38-digit range). cos ≥ 0.5 ⇔ cos2_ppm ≥ 250_000.
+
+    Scale shape: the pair join is an **inverted index self-join** keyed by
+    the term, with the same document-frequency cap discipline as the
+    shingle family — terms with df > ``max_df`` are dropped from the pair
+    generation (a hot term contributes df² pairs; the cap is the skew
+    dial, and what it can drop is enumerable the same way
+    ``stop_shingles`` enumerates dropped shingles). Norms are computed
+    over ALL positive-IDF terms scan-side (one partial-aggregated groupBy
+    per doc), so the score degrades gracefully (dot is a lower bound)
+    rather than silently inflating. Everything that shuffles is
+    (doc_id, tok-hash, weight) triples — document bodies never move."""
+    docs = load_table(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    occ = (
+        docs.repartition(parallelism, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    tf = occ.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    n_docs = docs.select(F.count("*").cast("long").alias("n_docs"))
+    df = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    idf = (
+        df.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "df",
+            (F.length(F.bin(F.col("n_docs"))) - F.length(F.bin(F.col("df"))))
+            .cast("long")
+            .alias("idf_bits"),
+        )
+        .filter(F.col("idf_bits") > 0)
+    )
+    w = tf.join(idf, "tok").select(
+        "doc_id", "tok", "df", (F.col("tf") * F.col("idf_bits")).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
+    )
+    inv = w.filter(F.col("df") <= max_df).select("doc_id", "tok", "w")
+    a = inv.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa")
+    )
+    b = inv.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * dot * dot)"
+                " DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+        .filter(F.col("cos2_ppm") >= min_cos2_ppm)
+        .orderBy("doc_a", "doc_b")
+    )

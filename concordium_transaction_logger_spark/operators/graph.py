@@ -1,0 +1,216 @@
+"""Graph analytics over engine-derived graphs — the family a curation /
+analytics stack reaches for once pairwise operators (dedup pairs, trade
+edges) exist: iterative centrality (PageRank) and local clustering
+structure (degree-oriented triangle counting).
+
+Both operators follow the engine's integer-exactness convention (micro /
+per-mille BIGINTs, floor division on non-negative values) so the DuckDB
+oracles in ``registry.py`` are hash-identical: Spark's ``DIV`` and
+DuckDB's ``//`` agree on non-negative integers, and no transcendental
+function appears anywhere.
+
+Scale notes are per-operator; the shared rule is the one every iterative
+op in this engine obeys (``dedup.components_over_buckets`` precedent):
+the loop body is whole-graph DataFrame jobs, the driver holds only loop
+control, and per-round frames are ``localCheckpoint``ed so iteration k
+does not re-derive rounds 0..k-1 inside one lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .dedup import minhash_band_pairs
+
+#: PageRank constants — damping 850/1000, mass in micro units. Fixed
+#: iteration count (not convergence-tested) keeps the op a pure function
+#: of its input, which is what lets a step-unrolled SQL oracle exist.
+PR_DAMPING_PERMILLE = 850
+PR_MASS_MICRO = 1_000_000
+PR_ITERS = 4
+PR_TOP = 20
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer↔supplier trade graph: an undirected weighted edge per
+    (customer, supplier) pair that traded, weight = number of lineitems.
+    Node ids are disjoint by parity: customer c ↦ 2c, supplier s ↦ 2s+1
+    (the graph is bipartite, so parity also encodes the side).
+
+    Shape: one fact⋈fact join on orderkey (both sides hash-partition on
+    the key; at 100 TB this is the same co-hashed orderkey join as
+    ``late_shipment_priority_split``) into a partial-aggregated groupBy
+    on the (customer, supplier) pair — edge count is bounded by distinct
+    trading pairs, far below lineitem count."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey").cast("long") * 2).alias("cnode"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
+    )
+
+
+def trade_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = PR_ITERS,
+    top: int = PR_TOP,
+) -> DataFrame:
+    """Weighted PageRank over the customer↔supplier trade graph — the
+    "which entities matter" query every graph-shaped analytics stack
+    carries (Page et al. 1999; Pregel/GraphX express it the same way:
+    rank join edges, contributions grouped by destination).
+
+    Integer-exact update, all BIGINT:
+
+        r_0(v)     = 1_000_000
+        r_{t+1}(v) = 150_000 + Σ_{u→v} (850 · r_t(u) · w_uv) DIV (1000 · wout_u)
+
+    Floor division leaks a bounded sub-micro remainder per edge (and
+    isolated nodes sit at the 150_000 teleport floor) — deterministic in
+    both engines, so the DuckDB oracle (step-unrolled CTEs, the k-means /
+    BPE treatment) matches hash-for-hash; the leak shifts no ordering.
+
+    Scale shape: each round is ONE shuffle pair — ranks⋈edges on ``src``
+    (edges are pre-joined with their out-weight once, then reused every
+    round from a ``localCheckpoint``) and a partial-aggregated groupBy on
+    ``dst``. Driver traffic is zero (fixed iteration count — not even a
+    convergence scalar); ranks are checkpointed per round to truncate
+    lineage. At 1000 executors the edge frame partitioning on ``src`` is
+    reused across all rounds — the classic Pregel layout."""
+    edges = _trade_edges(spark, sf_dir)
+    wout = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    e = edges.join(wout, "src").localCheckpoint()
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey").cast("long") * 2).alias("node")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey").cast("long") * 2 + 1).alias("node")
+    )
+    nodes = cust.unionByName(supp).localCheckpoint()
+
+    ranks = nodes.select("node", F.lit(PR_MASS_MICRO).cast("long").alias("r"))
+    base = (PR_MASS_MICRO * (1000 - PR_DAMPING_PERMILLE)) // 1000  # 150_000
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({PR_DAMPING_PERMILLE} * r * w) DIV (1000 * wout)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("inc"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("inc"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(top)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_kind"),
+            F.expr("node DIV 2").cast("long").alias("node_key"),
+            F.col("r").cast("long").alias("rank_micro"),
+        )
+    )
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the MinHash-band candidate graph — the density
+    diagnostic a dedup pipeline reads before trusting its components:
+    near-dup clusters should be clique-ish (high closure), while a low
+    global clustering coefficient means the LSH bands are chaining
+    unrelated docs together (hub shingles, band collisions).
+
+    Algorithm: degree-oriented wedge counting (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+    Every undirected edge is oriented from its (degree, id)-smaller
+    endpoint; wedges are built only at each apex's oriented out-edges, so
+    per-node wedge work is d_out² with d_out ≤ O(√m) — the hub node that
+    makes naive wedge counting quadratic contributes almost nothing as an
+    apex. Each triangle {x,y,z} is counted exactly once (at its
+    (degree,id)-minimal apex).
+
+    One row out: nodes/edges/wedges/triangles plus the global clustering
+    coefficient in per-mille (3·triangles / wedges — integer-exact).
+
+    Scale shape: the pair graph comes from the memoized band index
+    (Σ|bucket|² candidate pairs, the already-bounded LSH output); the
+    wedge join self-joins oriented edges hash-partitioned on the apex and
+    the closure check is a semi-join back to the edge set on the
+    canonical (min,max) key. No driver data path — the single output row
+    is the only collect."""
+    pairs = minhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    ends = pairs.select(F.col("doc_a").alias("node")).unionByName(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+
+    da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("deg_b"))
+    lower_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(lower_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(lower_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        )
+    ).localCheckpoint()
+
+    w1 = oriented.select("src", F.col("dst").alias("v"))
+    w2 = oriented.select("src", F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
+    closing = pairs.select(
+        F.col("doc_a").alias("v"), F.col("doc_b").alias("w")
+    )  # pairs already canonical: doc_a < doc_b
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+
+    n_nodes = deg.select(F.count("*").cast("long").alias("n_nodes"))
+    n_edges = pairs.select(F.count("*").cast("long").alias("n_edges"))
+    n_wedges = deg.select(
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges")
+    )
+    n_tri = tri.select(F.count("*").cast("long").alias("n_triangles"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   F.expr("(3000 * n_triangles) DIV n_wedges"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("closure_permille"),
+        )
+    )

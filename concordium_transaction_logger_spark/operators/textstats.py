@@ -1204,3 +1204,67 @@ def bpe_apply(
         )
         .orderBy("doc_id")
     )
+
+
+#: Count-min sketch geometry (Cormode & Muthukrishnan 2005). depth×width
+#: cells is the WHOLE sketch state — 4×512 longs here; at 100 TB you widen
+#: the row, you never grow with the vocabulary.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP = 20
+
+
+def _cms_col(tok: Column, j: Column) -> Column:
+    """Row-``j`` counter column for a token: 32 md5 bits mod CMS_WIDTH —
+    the same engine-portable md5 hashing every sketch here uses."""
+    h = F.md5(F.concat(tok, F.lit("#cms"), j.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
+
+
+def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top tokens —
+    the fixed-memory frequency sketch (Cormode & Muthukrishnan 2005) that
+    answers "how often does this token appear?" without carrying the
+    vocabulary: depth hash rows × width counters, estimate = min over
+    rows, error one-sided (never an underestimate).
+
+    This op keeps the exact counts alongside the sketch on purpose: it is
+    the *calibration* view (top-k exact vs sketch, per-token
+    overestimate) that tells an operator whether the chosen geometry is
+    tight enough before the exact side becomes unaffordable. The sketch
+    build itself is the 100 TB path: groupBy (row, col) over the token
+    stream with map-side partial aggregation means each task emits AT
+    MOST depth·width cells regardless of input size — the sketch property,
+    expressed as an ordinary partial-aggregated shuffle. Merging sketches
+    across partitions/days is cell-wise addition, which is exactly what
+    the partial aggregate already does.
+
+    Everything is md5-derived and integer, so the DuckDB oracle matches
+    hash-for-hash (the `cms_n >= exact_n` one-sidedness is also asserted
+    in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = _spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
+    cells = (
+        occ.select("tok", F.explode(js).alias("j"))
+        .select("j", _cms_col(F.col("tok"), F.col("j")).alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count("*").cast("long").alias("cell_n"))
+    )
+    cnt = occ.groupBy("tok").agg(F.count("*").cast("long").alias("exact_n"))
+    top = cnt.orderBy(F.desc("exact_n"), F.asc("tok")).limit(CMS_TOP)
+    probes = top.select(
+        "tok", "exact_n", F.explode(js).alias("j")
+    ).withColumn("col", _cms_col(F.col("tok"), F.col("j")))
+    return (
+        probes.join(F.broadcast(cells), ["j", "col"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell_n").cast("long").alias("cms_n"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+    )

@@ -19,6 +19,7 @@ from .ingest.oracle import wrap
 from .functions import addresses
 from .operators import (
     dedup,
+    graph,
     multimodal,
     queries,
     relational,
@@ -3057,10 +3058,12 @@ ORDER BY label, dim
 # doc_unigram_surprisal, corpus_bpe_merges, doc_shuffle_shards,
 # doc_pack_sequences, corpus_source_overlap, asof_purchase_last_click,
 # media_validation, pricing_summary, user_sessions,
-# customer_spend_deciles. Never-driver-checked remaining after r5: 17
+# customer_spend_deciles. Never-driver-checked remaining after r5: 21
 # slot-eligible entries (13 relational/TPC-H rows + the late-r5
 # embedding_semdedup_survivors + the session additions
-# doc_passage_chunks, doc_chunk_dup_groups, doc_bloom_contamination)
+# doc_passage_chunks, doc_chunk_dup_groups, doc_bloom_contamination,
+# and the graph/sketch family graph_trade_pagerank,
+# dedup_graph_triangles, doc_tfidf_cosine_pairs, token_cms_topk)
 # — the 31 non-pin slots absorb all of them in r6 — plus 4 rows-only entries
 # (ann_pq_topk, ann_ivf_pq_topk, events_column_profile_approx,
 # embedding_semdedup_pairs_2level) that cannot hold an oracle slot by
@@ -3142,6 +3145,187 @@ _DRIVER_PRIORITY = [
 # alongside the O(diameter) hash-min default.
 REGISTRY["doc_dup_components_star"] = QueryDef(
     dedup.dup_components_star, REGISTRY["doc_dup_components"].oracle
+)
+
+
+def _pagerank_step(k: int) -> str:
+    """One unrolled PageRank round — the k-means/BPE step-unrolled-CTE
+    treatment: a fixed iteration count makes the whole training loop a
+    pure SQL expression the oracle can evaluate."""
+    base = (graph.PR_MASS_MICRO * (1000 - graph.PR_DAMPING_PERMILLE)) // 1000
+    return f"""
+pr_r{k} AS (
+  SELECT n.node,
+         CAST({base} + COALESCE(
+                SUM(({graph.PR_DAMPING_PERMILLE} * r.r * e.w) // (1000 * e.wout)),
+                0) AS BIGINT) AS r
+  FROM pr_nodes n
+  LEFT JOIN pr_e e ON e.dst = n.node
+  LEFT JOIN pr_r{k - 1} r ON r.node = e.src
+  GROUP BY n.node
+)"""
+
+
+def _pagerank_sql() -> str:
+    steps = ",".join(_pagerank_step(k) for k in range(1, graph.PR_ITERS + 1))
+    return wrap(
+        f"""
+, pr_pairs AS (
+  SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode, COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+pr_edges AS (SELECT cnode AS src, snode AS dst, w FROM pr_pairs
+             UNION ALL
+             SELECT snode, cnode, w FROM pr_pairs),
+pr_wout AS (SELECT src, SUM(w) AS wout FROM pr_edges GROUP BY src),
+pr_e AS (SELECT e.src, e.dst, e.w, o.wout FROM pr_edges e JOIN pr_wout o USING (src)),
+pr_nodes AS (SELECT c_custkey * 2 AS node FROM customer
+             UNION ALL
+             SELECT s_suppkey * 2 + 1 FROM supplier),
+pr_r0 AS (SELECT node, CAST({graph.PR_MASS_MICRO} AS BIGINT) AS r FROM pr_nodes),
+{steps}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_kind,
+       CAST(node // 2 AS BIGINT) AS node_key,
+       CAST(r AS BIGINT) AS rank_micro
+FROM pr_r{graph.PR_ITERS}
+ORDER BY r DESC, node
+LIMIT {graph.PR_TOP}
+"""
+    )
+
+
+# The bpairs candidate-edge block shared with doc_dup_components' oracle.
+_BPAIRS_SQL = """
+, bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
+  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+REGISTRY["graph_trade_pagerank"] = QueryDef(graph.trade_pagerank, _pagerank_sql())
+
+REGISTRY["dedup_graph_triangles"] = QueryDef(
+    graph.dedup_graph_triangles,
+    wrap(
+        _BPAIRS_SQL
+        + """,
+tdeg AS (SELECT node, COUNT(*) AS deg
+         FROM (SELECT doc_a AS node FROM bpairs UNION ALL SELECT doc_b FROM bpairs)
+         GROUP BY node),
+tor AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.doc_a < e.doc_b)
+              THEN e.doc_a ELSE e.doc_b END AS src,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.doc_a < e.doc_b)
+              THEN e.doc_b ELSE e.doc_a END AS dst
+  FROM bpairs e
+  JOIN tdeg da ON da.node = e.doc_a
+  JOIN tdeg db ON db.node = e.doc_b
+),
+twedge AS (
+  SELECT w1.dst AS v, w2.dst AS w
+  FROM tor w1 JOIN tor w2 ON w1.src = w2.src AND w1.dst < w2.dst
+),
+ttri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM twedge t
+  WHERE EXISTS (SELECT 1 FROM bpairs p WHERE p.doc_a = t.v AND p.doc_b = t.w)
+),
+tstats AS (
+  SELECT (SELECT COUNT(*) FROM tdeg) AS n_nodes,
+         (SELECT COUNT(*) FROM bpairs) AS n_edges,
+         (SELECT COALESCE(SUM(deg * (deg - 1) // 2), 0) FROM tdeg) AS n_wedges,
+         (SELECT n_triangles FROM ttri) AS n_triangles
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN n_wedges > 0 THEN (3000 * n_triangles) // n_wedges
+                 ELSE 0 END AS BIGINT) AS closure_permille
+FROM tstats
+"""
+    ),
+)
+
+REGISTRY["doc_tfidf_cosine_pairs"] = QueryDef(
+    dedup.tfidf_cosine_pairs,
+    wrap(
+        f"""
+, tfq AS (SELECT doc_id, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+          GROUP BY doc_id, tok),
+tnd AS (SELECT COUNT(*) AS n_docs FROM documents),
+tidf AS (
+  SELECT tok, df,
+         CAST(length(bin((SELECT n_docs FROM tnd))) - length(bin(df)) AS BIGINT)
+           AS idf_bits
+  FROM (SELECT tok, COUNT(*) AS df FROM tfq GROUP BY tok)
+),
+tw AS (
+  SELECT f.doc_id, f.tok, i.df, f.tf * i.idf_bits AS w
+  FROM tfq f JOIN tidf i USING (tok)
+  WHERE i.idf_bits > 0
+),
+tnorm AS (SELECT doc_id, SUM(w * w) AS norm2 FROM tw GROUP BY doc_id),
+tdot AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM tw a JOIN tw b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE a.df <= {dedup.DEFAULT_MAX_DF} AND b.df <= {dedup.DEFAULT_MAX_DF}
+  GROUP BY 1, 2
+),
+tscored AS (
+  SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot,
+         CAST((CAST(1000000 AS HUGEINT) * d.dot * d.dot)
+              // (CAST(na.norm2 AS HUGEINT) * nb.norm2) AS BIGINT) AS cos2_ppm
+  FROM tdot d
+  JOIN tnorm na ON na.doc_id = d.doc_a
+  JOIN tnorm nb ON nb.doc_id = d.doc_b
+)
+SELECT doc_a, doc_b, dot, cos2_ppm
+FROM tscored
+WHERE cos2_ppm >= 250000
+ORDER BY doc_a, doc_b
+"""
+    ),
+)
+
+REGISTRY["token_cms_topk"] = QueryDef(
+    textstats.token_cms_topk,
+    wrap(
+        f"""
+, cocc AS (SELECT unnest(t) AS tok FROM toks),
+cj AS (SELECT unnest(generate_series(0, {textstats.CMS_DEPTH - 1})) AS j),
+ccell AS (
+  SELECT j,
+         CAST(('0x' || substr(md5(tok || '#cms' || CAST(j AS VARCHAR)), 1, 8))
+              AS BIGINT) % {textstats.CMS_WIDTH} AS col,
+         COUNT(*) AS cell_n
+  FROM cocc CROSS JOIN cj
+  GROUP BY 1, 2
+),
+ccnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n FROM cocc GROUP BY tok),
+ctop AS (SELECT tok, exact_n FROM ccnt
+         ORDER BY exact_n DESC, tok LIMIT {textstats.CMS_TOP}),
+cprobe AS (
+  SELECT t.tok, t.exact_n, c.j,
+         CAST(('0x' || substr(md5(t.tok || '#cms' || CAST(c.j AS VARCHAR)), 1, 8))
+              AS BIGINT) % {textstats.CMS_WIDTH} AS col
+  FROM ctop t CROSS JOIN cj c
+)
+SELECT p.tok, p.exact_n,
+       CAST(MIN(c.cell_n) AS BIGINT) AS cms_n,
+       CAST(MIN(c.cell_n) - p.exact_n AS BIGINT) AS overestimate
+FROM cprobe p JOIN ccell c ON p.j = c.j AND p.col = c.col
+GROUP BY p.tok, p.exact_n
+ORDER BY exact_n DESC, tok
+"""
+    ),
 )
 
 REGISTRY = {

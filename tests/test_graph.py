@@ -1,0 +1,153 @@
+"""Independent-reference tests for the graph-analytics family: the
+DuckDB parity test proves Spark == oracle, these prove both != wrong —
+each operator is replayed by a from-scratch pure-Python implementation
+on the real sf0.001 corpus and compared value-for-value."""
+
+from __future__ import annotations
+
+import itertools
+import re
+from collections import Counter, defaultdict
+
+from concordium_transaction_logger_spark.operators import dedup, graph, textstats
+
+TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in TOKEN_RE.split(text.lower()) if t]
+
+
+def test_trade_pagerank_matches_python_reference(spark, sf_dir):
+    edges = [
+        (r.src, r.dst, r.w)
+        for r in graph._trade_edges(spark, sf_dir).collect()
+    ]
+    nodes = {r.node for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+             .selectExpr("CAST(c_custkey AS BIGINT) * 2 AS node").collect()}
+    nodes |= {r.node for r in spark.read.parquet(f"{sf_dir}/supplier.parquet")
+              .selectExpr("CAST(s_suppkey AS BIGINT) * 2 + 1 AS node").collect()}
+
+    wout: dict[int, int] = defaultdict(int)
+    for s, _, w in edges:
+        wout[s] += w
+    r = {n: graph.PR_MASS_MICRO for n in nodes}
+    for _ in range(graph.PR_ITERS):
+        inc: dict[int, int] = defaultdict(int)
+        for s, d, w in edges:
+            inc[d] += (graph.PR_DAMPING_PERMILLE * r[s] * w) // (1000 * wout[s])
+        base = (graph.PR_MASS_MICRO * (1000 - graph.PR_DAMPING_PERMILLE)) // 1000
+        r = {n: base + inc.get(n, 0) for n in nodes}
+
+    expected = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[: graph.PR_TOP]
+    got = graph.trade_pagerank(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for row, (node, rank) in zip(got, expected):
+        assert row.node_kind == ("customer" if node % 2 == 0 else "supplier")
+        assert row.node_key == node // 2
+        assert row.rank_micro == rank
+    # Mass sanity: floor division only LEAKS mass, never creates it.
+    assert sum(r.values()) <= graph.PR_MASS_MICRO * len(nodes)
+    # Isolated nodes sit exactly at the teleport floor.
+    isolated = nodes - {s for s, _, _ in edges}
+    if isolated:
+        n = next(iter(isolated))
+        assert r[n] == (graph.PR_MASS_MICRO * (1000 - graph.PR_DAMPING_PERMILLE)) // 1000
+
+
+def test_dedup_graph_triangles_matches_bruteforce(spark, sf_dir):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_band_pairs(spark, sf_dir).collect()
+    }
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    n_nodes = len(adj)
+    n_edges = len(pairs)
+    n_wedges = sum(d * (d - 1) // 2 for d in (len(v) for v in adj.values()))
+    n_tri = sum(
+        1
+        for a, b in pairs
+        for c in adj[a] & adj[b]
+        if c > b  # each triangle once: a < b < c with pairs canonical a < b
+    )
+    row = graph.dedup_graph_triangles(spark, sf_dir).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        n_nodes,
+        n_edges,
+        n_wedges,
+        n_tri,
+    )
+    expect_ppm = (3000 * n_tri) // n_wedges if n_wedges else 0
+    assert row.closure_permille == expect_ppm
+    # The band graph is built from 2 bands: it MUST have some structure on
+    # the test corpus or this test is vacuous.
+    assert n_edges > 0
+
+
+def test_tfidf_cosine_pairs_matches_python_reference(spark, sf_dir):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    tf = {d: Counter(_tokens(t)) for d, t in docs.items()}
+    df = Counter(tok for c in tf.values() for tok in c)
+    idf = {
+        tok: len(bin(n_docs)[2:]) - len(bin(k)[2:])
+        for tok, k in df.items()
+    }
+    w = {
+        d: {tok: k * idf[tok] for tok, k in c.items() if idf[tok] > 0}
+        for d, c in tf.items()
+    }
+    norm2 = {d: sum(x * x for x in ws.values()) for d, ws in w.items()}
+    capped = {
+        d: {tok: x for tok, x in ws.items() if df[tok] <= dedup.DEFAULT_MAX_DF}
+        for d, ws in w.items()
+    }
+    expected = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        shared = capped[a].keys() & capped[b].keys()
+        if not shared:
+            continue
+        dot = sum(capped[a][t] * capped[b][t] for t in shared)
+        ppm = (1_000_000 * dot * dot) // (norm2[a] * norm2[b])
+        if ppm >= 250_000:
+            expected[(a, b)] = (dot, ppm)
+    got = {
+        (r.doc_a, r.doc_b): (r.dot, r.cos2_ppm)
+        for r in dedup.tfidf_cosine_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # The threshold must actually bite on the real corpus (non-vacuous).
+    assert all(p >= 250_000 for _, p in got.values())
+
+
+def test_token_cms_topk_one_sided_and_matches_reference(spark, sf_dir):
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cnt: Counter = Counter()
+    for r in docs:
+        cnt.update(_tokens(r.text))
+
+    def col(tok: str, j: int) -> int:
+        h = hashlib.md5(f"{tok}#cms{j}".encode()).hexdigest()
+        return int(h[:8], 16) % textstats.CMS_WIDTH
+
+    cells: dict[tuple[int, int], int] = defaultdict(int)
+    for tok, k in cnt.items():
+        for j in range(textstats.CMS_DEPTH):
+            cells[(j, col(tok, j))] += k
+
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: textstats.CMS_TOP]
+    got = textstats.token_cms_topk(spark, sf_dir).collect()
+    assert [(r.tok, r.exact_n) for r in got] == top
+    for r in got:
+        est = min(cells[(j, col(r.tok, j))] for j in range(textstats.CMS_DEPTH))
+        assert r.cms_n == est
+        assert r.cms_n >= r.exact_n  # one-sided error, the CMS contract
+        assert r.overestimate == r.cms_n - r.exact_n
