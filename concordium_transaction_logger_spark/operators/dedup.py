@@ -1100,12 +1100,17 @@ def tfidf_cosine_pairs(
     max_df: int = DEFAULT_MAX_DF,
     min_cos2_ppm: int = 250_000,
 ) -> DataFrame:
-    """Sparse lexical near-dup via TF-IDF cosine — the bag-of-words
-    companion that completes the similarity triangle: set overlap
-    (Jaccard/MinHash) ignores term frequency, dense embeddings
-    (``similarity.near_dup_pairs``) need a model; TF-IDF cosine catches
-    the near-dup whose *word distribution* matches even when shingle
-    sets drift (reordered paragraphs, light paraphrase).
+    """Sparse-vector near-dup via TF-IDF cosine over word shingles — the
+    weighted companion that completes the similarity triangle: set
+    overlap (Jaccard/MinHash) ignores multiplicity, dense embeddings
+    (``similarity.near_dup_pairs``) need a model; TF-IDF cosine scores
+    how much of each document's *distinctive mass* the pair shares, so a
+    doc that repeats a rare boilerplate block scores differently from
+    one that mentions it once. Terms are 3-token shingles WITH
+    multiplicity (SpotSigs-style, Theobald et al. SIGIR'08) — unigrams
+    are the degenerate choice under a small dense vocabulary, where
+    every token's df ≈ N and all IDF mass vanishes; shingle df is sparse
+    by construction (the same reason the Jaccard family shingles).
 
     Integer-exact throughout so the DuckDB oracle is hash-identical:
     IDF is whole-bit (bitlen(N) - bitlen(df), the engine's standard
@@ -1126,12 +1131,23 @@ def tfidf_cosine_pairs(
     over ALL positive-IDF terms scan-side (one partial-aggregated groupBy
     per doc), so the score degrades gracefully (dot is a lower bound)
     rather than silently inflating. Everything that shuffles is
-    (doc_id, tok-hash, weight) triples — document bodies never move."""
+    (doc_id, term, weight) triples — document bodies never move (at
+    production scale the term string rides as its xxhash64, the
+    ``shingle_index`` ``shh`` trick)."""
     docs = load_table(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (SHINGLE - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + off) for off in range(SHINGLE)]
+        ),
+    )
     occ = (
         docs.repartition(parallelism, "doc_id")
-        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size(t) >= SHINGLE)
+        .select("doc_id", F.explode(grams).alias("tok"))
     )
     tf = occ.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
     n_docs = docs.select(F.count("*").cast("long").alias("n_docs"))
@@ -1147,8 +1163,13 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("idf_bits") > 0)
     )
-    w = tf.join(idf, "tok").select(
-        "doc_id", "tok", "df", (F.col("tf") * F.col("idf_bits")).alias("w")
+    # The weight table feeds THREE consumers (norms + both inverted-index
+    # join sides) — checkpoint it so tokenize → tf → idf runs once, not
+    # once per subtree (the engine's standard reused-heavy-frame rule).
+    w = (
+        tf.join(idf, "tok")
+        .select("doc_id", "tok", "df", (F.col("tf") * F.col("idf_bits")).alias("w"))
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")

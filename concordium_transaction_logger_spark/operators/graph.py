@@ -29,6 +29,10 @@ from .dedup import minhash_band_pairs
 #: of its input, which is what lets a step-unrolled SQL oracle exist.
 PR_DAMPING_PERMILLE = 850
 PR_MASS_MICRO = 1_000_000
+#: Per-round teleport base — derived ONCE here; the operator, the oracle
+#: generator (registry._pagerank_step) and the tests all import this so
+#: a damping change cannot desynchronize them.
+PR_BASE_MICRO = (PR_MASS_MICRO * (1000 - PR_DAMPING_PERMILLE)) // 1000
 PR_ITERS = 4
 PR_TOP = 20
 
@@ -102,7 +106,6 @@ def trade_pagerank(
     nodes = cust.unionByName(supp).localCheckpoint()
 
     ranks = nodes.select("node", F.lit(PR_MASS_MICRO).cast("long").alias("r"))
-    base = (PR_MASS_MICRO * (1000 - PR_DAMPING_PERMILLE)) // 1000  # 150_000
     for _ in range(iters):
         contrib = (
             e.join(ranks, e.src == ranks.node)
@@ -119,7 +122,7 @@ def trade_pagerank(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.coalesce(F.col("inc"), F.lit(0)))
+                (F.lit(PR_BASE_MICRO) + F.coalesce(F.col("inc"), F.lit(0)))
                 .cast("long")
                 .alias("r"),
             )
@@ -164,7 +167,10 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closure check is a semi-join back to the edge set on the
     canonical (min,max) key. No driver data path — the single output row
     is the only collect."""
-    pairs = minhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    # minhash_band_pairs is already distinct and canonical (doc_a < doc_b);
+    # checkpoint it once — it feeds the orientation join, the closure
+    # semi-join, and the edge count.
+    pairs = minhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     ends = pairs.select(F.col("doc_a").alias("node")).unionByName(
         pairs.select(F.col("doc_b").alias("node"))
     )
@@ -194,8 +200,12 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_nodes = deg.select(F.count("*").cast("long").alias("n_nodes"))
     n_edges = pairs.select(F.count("*").cast("long").alias("n_edges"))
+    # COALESCE: an edgeless corpus must report 0 wedges, not NULL — the
+    # oracle's SUM is coalesced the same way.
     n_wedges = deg.select(
-        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges")
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
     )
     n_tri = tri.select(F.count("*").cast("long").alias("n_triangles"))
     return (

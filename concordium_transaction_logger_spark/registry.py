@@ -536,6 +536,39 @@ ORDER BY c.doc_id
 
 
 
+# The MinHash-band candidate-pair block — the single SQL definition of
+# the LSH edge set, shared by every oracle that consumes the candidate
+# graph (jaccard estimate, components/survivors/verdict, triangles).
+# KEEP IN LOCKSTEP with dedup._band_cols / dedup.minhash_band_pairs.
+_BPAIRS_SQL = """
+, bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
+  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
+        UNION ALL
+        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+# Connected components over the candidate graph (recursive walk +
+# component sizes) — shared by the components/survivors/verdict oracles;
+# every consumer must pass recursive=True to wrap().
+_COMP_CTES = (
+    _BPAIRS_SQL
+    + """,
+edges AS (SELECT doc_a AS a, doc_b AS b FROM bpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM bpairs),
+walk AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, w.label FROM walk w JOIN edges e ON w.node = e.a
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)"""
+)
+
 REGISTRY: dict[str, QueryDef] = {
     # ------------------------------------------------------------------
     # Reference read surface (SURVEY §2.3-§2.8; postgres.rs / main.rs)
@@ -2213,17 +2246,7 @@ ORDER BY doc_a, doc_b
     "doc_minhash_jaccard_estimate": QueryDef(
         dedup.minhash_jaccard_estimate,
         wrap(
-            """
-, bpairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
-  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
+            _BPAIRS_SQL + """
 SELECT p.doc_a, p.doc_b,
        CAST(((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END) +
              (CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END) +
@@ -2250,26 +2273,7 @@ ORDER BY doc_a, doc_b
     "doc_dedup_survivors": QueryDef(
         dedup.dedup_survivors,
         wrap(
-            """
-, bpairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
-  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM bpairs
-          UNION ALL
-          SELECT doc_b, doc_a FROM bpairs),
-walk AS (
-  SELECT doc_id AS node, doc_id AS label FROM documents
-  UNION
-  SELECT e.b AS node, w.label FROM walk w JOIN edges e ON w.node = e.a
-),
-comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)
+            _COMP_CTES + """
 SELECT d.doc_id, d.source, d.lang, d.n_chars,
        s.component_size - 1 AS n_absorbed
 FROM comp c
@@ -2285,26 +2289,7 @@ ORDER BY d.doc_id
     "doc_dup_verdict": QueryDef(
         dedup.dedup_verdict,
         wrap(
-            """
-, bpairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
-  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM bpairs
-          UNION ALL
-          SELECT doc_b, doc_a FROM bpairs),
-walk AS (
-  SELECT doc_id AS node, doc_id AS label FROM documents
-  UNION
-  SELECT e.b AS node, w.label FROM walk w JOIN edges e ON w.node = e.a
-),
-comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)
+            _COMP_CTES + """
 SELECT c.doc_id, c.component_id, s.component_size,
        c.doc_id = c.component_id AS keep
 FROM comp c
@@ -2318,26 +2303,7 @@ ORDER BY doc_id
     "doc_dup_components": QueryDef(
         dedup.dup_components,
         wrap(
-            """
-, bpairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
-  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM bpairs
-          UNION ALL
-          SELECT doc_b, doc_a FROM bpairs),
-walk AS (
-  SELECT doc_id AS node, doc_id AS label FROM documents
-  UNION
-  SELECT e.b AS node, w.label FROM walk w JOIN edges e ON w.node = e.a
-),
-comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)
+            _COMP_CTES + """
 SELECT c.doc_id, c.component_id, s.component_size
 FROM comp c
 JOIN (SELECT component_id, COUNT(*) AS component_size
@@ -3152,11 +3118,10 @@ def _pagerank_step(k: int) -> str:
     """One unrolled PageRank round — the k-means/BPE step-unrolled-CTE
     treatment: a fixed iteration count makes the whole training loop a
     pure SQL expression the oracle can evaluate."""
-    base = (graph.PR_MASS_MICRO * (1000 - graph.PR_DAMPING_PERMILLE)) // 1000
     return f"""
 pr_r{k} AS (
   SELECT n.node,
-         CAST({base} + COALESCE(
+         CAST({graph.PR_BASE_MICRO} + COALESCE(
                 SUM(({graph.PR_DAMPING_PERMILLE} * r.r * e.w) // (1000 * e.wout)),
                 0) AS BIGINT) AS r
   FROM pr_nodes n
@@ -3194,19 +3159,6 @@ LIMIT {graph.PR_TOP}
 """
     )
 
-
-# The bpairs candidate-edge block shared with doc_dup_components' oracle.
-_BPAIRS_SQL = """
-, bpairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) a
-  JOIN (SELECT doc_id, '0:' || md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM mh
-        UNION ALL
-        SELECT doc_id, '1:' || md5(mh4 || mh5 || mh6 || mh7) FROM mh) b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-)"""
 
 REGISTRY["graph_trade_pagerank"] = QueryDef(graph.trade_pagerank, _pagerank_sql())
 
@@ -3258,7 +3210,10 @@ REGISTRY["doc_tfidf_cosine_pairs"] = QueryDef(
     wrap(
         f"""
 , tfq AS (SELECT doc_id, tok, COUNT(*) AS tf
-          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+                FROM toks WHERE len(t) >= 3)
           GROUP BY doc_id, tok),
 tnd AS (SELECT COUNT(*) AS n_docs FROM documents),
 tidf AS (

@@ -36,8 +36,7 @@ def test_trade_pagerank_matches_python_reference(spark, sf_dir):
         inc: dict[int, int] = defaultdict(int)
         for s, d, w in edges:
             inc[d] += (graph.PR_DAMPING_PERMILLE * r[s] * w) // (1000 * wout[s])
-        base = (graph.PR_MASS_MICRO * (1000 - graph.PR_DAMPING_PERMILLE)) // 1000
-        r = {n: base + inc.get(n, 0) for n in nodes}
+        r = {n: graph.PR_BASE_MICRO + inc.get(n, 0) for n in nodes}
 
     expected = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[: graph.PR_TOP]
     got = graph.trade_pagerank(spark, sf_dir).collect()
@@ -52,7 +51,7 @@ def test_trade_pagerank_matches_python_reference(spark, sf_dir):
     isolated = nodes - {s for s, _, _ in edges}
     if isolated:
         n = next(iter(isolated))
-        assert r[n] == (graph.PR_MASS_MICRO * (1000 - graph.PR_DAMPING_PERMILLE)) // 1000
+        assert r[n] == graph.PR_BASE_MICRO
 
 
 def test_dedup_graph_triangles_matches_bruteforce(spark, sf_dir):
@@ -93,7 +92,12 @@ def test_tfidf_cosine_pairs_matches_python_reference(spark, sf_dir):
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     }
     n_docs = len(docs)
-    tf = {d: Counter(_tokens(t)) for d, t in docs.items()}
+
+    def _shingles(text: str) -> Counter:
+        t = _tokens(text)
+        return Counter(" ".join(t[i : i + 3]) for i in range(len(t) - 2))
+
+    tf = {d: _shingles(t) for d, t in docs.items()}
     df = Counter(tok for c in tf.values() for tok in c)
     idf = {
         tok: len(bin(n_docs)[2:]) - len(bin(k)[2:])
@@ -122,8 +126,17 @@ def test_tfidf_cosine_pairs_matches_python_reference(spark, sf_dir):
         for r in dedup.tfidf_cosine_pairs(spark, sf_dir).collect()
     }
     assert got == expected
-    # The threshold must actually bite on the real corpus (non-vacuous).
-    assert all(p >= 250_000 for _, p in got.values())
+    # Non-vacuity: the corpus must produce qualifying pairs AND the
+    # threshold must actually reject something (an operator whose filter
+    # broke open or shut would fail one of these).
+    assert got
+    below = sum(
+        1
+        for a, b in itertools.combinations(sorted(docs), 2)
+        if (a, b) not in expected
+        and capped[a].keys() & capped[b].keys()
+    )
+    assert below > 0
 
 
 def test_token_cms_topk_one_sided_and_matches_reference(spark, sf_dir):
