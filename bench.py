@@ -103,6 +103,12 @@ def main() -> None:
     from concordium_transaction_logger_spark.operators import textstats
 
     textstats.winnow_index(spark, sf_dir).count()
+    # The trade-graph adjacency (edges ⋈ out-weights) joined the index
+    # family with the pagerank op — ingest-time graph layout, not query
+    # work.
+    from concordium_transaction_logger_spark.operators import graph
+
+    graph.trade_graph_index(spark, sf_dir).count()
 
     # TWO timed passes, report the per-query MIN: single-shot totals swing
     # ±20% with host load (BENCH_HISTORY, SCALE.md "bench variance" — the

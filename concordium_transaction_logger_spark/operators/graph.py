@@ -65,6 +65,23 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trade_graph_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(session, sf_dir) materialized adjacency list — edges already
+    joined with their out-weight, the layout every PageRank round reuses.
+    Like the shingle/band/IVF indexes, a resident engine builds the graph
+    ONCE at ingest (the analog of the reference maintaining its ati/cti
+    indexes at INSERT time) and queries only iterate over it; without the
+    memo every pagerank call would re-run the fact⋈fact edge join."""
+    from ..cache import get_or_build
+
+    def build() -> DataFrame:
+        edges = _trade_edges(spark, sf_dir)
+        wout = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+        return edges.join(wout, "src").persist()
+
+    return get_or_build("trade_graph", spark, sf_dir, build)
+
+
 def trade_pagerank(
     spark: SparkSession,
     sf_dir: str,
@@ -87,15 +104,24 @@ def trade_pagerank(
     BPE treatment) matches hash-for-hash; the leak shifts no ordering.
 
     Scale shape: each round is ONE shuffle pair — ranks⋈edges on ``src``
-    (edges are pre-joined with their out-weight once, then reused every
-    round from a ``localCheckpoint``) and a partial-aggregated groupBy on
-    ``dst``. Driver traffic is zero (fixed iteration count — not even a
-    convergence scalar); ranks are checkpointed per round to truncate
-    lineage. At 1000 executors the edge frame partitioning on ``src`` is
-    reused across all rounds — the classic Pregel layout."""
-    edges = _trade_edges(spark, sf_dir)
-    wout = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
-    e = edges.join(wout, "src").localCheckpoint()
+    (edges come pre-joined with their out-weight from the session's
+    materialized :func:`trade_graph_index`, so no round re-derives the
+    fact⋈fact join) and a partial-aggregated groupBy that folds the
+    teleport rebase in: contributions are unioned with a zero row per
+    universe node, so the rebase costs no second join. Each ranks frame
+    is referenced exactly once by the next round, so the whole fixed
+    iteration count compiles into ONE lazy job (4 sequential shuffle
+    stages here) — lineage is truncated with a ``localCheckpoint`` only
+    every 5th round, the dial that matters when ``iters`` grows. Driver
+    traffic is zero (fixed iteration count — not even a convergence
+    scalar). At 1000 executors the edge frame partitioning on ``src`` is
+    reused across all rounds — the classic Pregel layout.
+
+    Assumes FK closure (every edge endpoint appears in its dimension
+    table), which the TPC-H-shaped schema guarantees; a dangling key
+    would add its own node to the output where the oracle's
+    dimension-driven universe drops it."""
+    e = trade_graph_index(spark, sf_dir)
 
     cust = load_table(spark, sf_dir, "customer").select(
         (F.col("c_custkey").cast("long") * 2).alias("node")
@@ -104,30 +130,25 @@ def trade_pagerank(
         (F.col("s_suppkey").cast("long") * 2 + 1).alias("node")
     )
     nodes = cust.unionByName(supp).localCheckpoint()
+    zeros = nodes.select("node", F.lit(0).cast("long").alias("c"))
 
     ranks = nodes.select("node", F.lit(PR_MASS_MICRO).cast("long").alias("r"))
-    for _ in range(iters):
-        contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(
-                    f"({PR_DAMPING_PERMILLE} * r * w) DIV (1000 * wout)"
-                ).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").cast("long").alias("inc"))
+    for i in range(iters):
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"({PR_DAMPING_PERMILLE} * r * w) DIV (1000 * wout)"
+            ).alias("c"),
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(PR_BASE_MICRO) + F.coalesce(F.col("inc"), F.lit(0)))
-                .cast("long")
-                .alias("r"),
+            contrib.unionByName(zeros)
+            .groupBy("node")
+            .agg(
+                (F.lit(PR_BASE_MICRO) + F.sum("c")).cast("long").alias("r")
             )
-            .localCheckpoint()
         )
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint()
 
     return (
         ranks.orderBy(F.desc("r"), F.asc("node"))

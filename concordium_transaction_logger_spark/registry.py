@@ -3160,7 +3160,9 @@ LIMIT {graph.PR_TOP}
     )
 
 
-REGISTRY["graph_trade_pagerank"] = QueryDef(graph.trade_pagerank, _pagerank_sql())
+REGISTRY["graph_trade_pagerank"] = QueryDef(
+    graph.trade_pagerank, _pagerank_sql(), bench=True
+)
 
 REGISTRY["dedup_graph_triangles"] = QueryDef(
     graph.dedup_graph_triangles,
@@ -3203,6 +3205,7 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
 FROM tstats
 """
     ),
+    bench=True,
 )
 
 REGISTRY["doc_tfidf_cosine_pairs"] = QueryDef(
@@ -3248,6 +3251,7 @@ WHERE cos2_ppm >= 250000
 ORDER BY doc_a, doc_b
 """
     ),
+    bench=True,
 )
 
 REGISTRY["token_cms_topk"] = QueryDef(
@@ -3281,6 +3285,7 @@ GROUP BY p.tok, p.exact_n
 ORDER BY exact_n DESC, tok
 """
     ),
+    bench=True,
 )
 
 REGISTRY = {

@@ -85,15 +85,55 @@ EXACT_BOILER_CAP = 3
 SINGLE_PASS = {"bpe_train"}
 
 
-def build_corpus(spark, mult: int, out_dir: str, boilerplate: bool = False) -> None:
+#: Trade-graph tables replicated (with key-shifted replicas, like the
+#: document corpus) so the pagerank family measures a growing GRAPH, not
+#: the fixed sf0.1 symlink. Each replica is a disconnected copy — keys
+#: shift by r*STRIDE consistently across the FK chain.
+TRADE_KEYS = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_suppkey"),
+}
+
+
+def _scale_trade(spark, mult: int, out_dir: str) -> None:
+    for name, keys in TRADE_KEYS.items():
+        df = spark.read.parquet(os.path.join(BASE_SF, f"{name}.parquet"))
+        parts = []
+        for r in range(mult):
+            parts.append(
+                df.select(
+                    *[
+                        (F.col(c) + r * STRIDE).alias(c) if c in keys else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+
+def build_corpus(
+    spark, mult: int, out_dir: str, boilerplate: bool = False, trade: bool = False
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    scale_trade = trade and mult > 1
     for name in TABLES:
         if name in ("documents", "embeddings"):
+            continue
+        if scale_trade and name in TRADE_KEYS:
             continue
         os.symlink(
             os.path.join(BASE_SF, f"{name}.parquet"),
             os.path.join(out_dir, f"{name}.parquet"),
         )
+    if scale_trade:
+        _scale_trade(spark, mult, out_dir)
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
     parts = []
     for r in range(mult):
@@ -152,6 +192,7 @@ def build_corpus(spark, mult: int, out_dir: str, boilerplate: bool = False) -> N
 def main() -> None:
     from concordium_transaction_logger_spark.operators import (
         dedup,
+        graph,
         retrieval,
         sampling,
         similarity,
@@ -200,6 +241,14 @@ def main() -> None:
             # keeps |sources| fixed while per-source vocabulary grows.
             "bm25_topk": retrieval.bm25_topk,
             "source_overlap": dedup.source_overlap,
+            # graph family: pagerank runs on the key-shifted trade-table
+            # replicas (a genuinely growing graph); triangles on the
+            # growing band-candidate graph; the sparse/sketch ops on the
+            # document corpus like every text family.
+            "trade_pagerank": graph.trade_pagerank,
+            "dedup_triangles": graph.dedup_graph_triangles,
+            "tfidf_cosine_pairs": dedup.tfidf_cosine_pairs,
+            "cms_topk": textstats.token_cms_topk,
         }
 
     def boiler_families(m: int):
@@ -235,6 +284,7 @@ def main() -> None:
             ("pq", lambda: similarity.pq_index(spark, cdir)),
             ("ivf_pq", lambda: similarity.ivf_pq_index(spark, cdir)),
             ("winnow", lambda: textstats.winnow_index(spark, cdir)),
+            ("trade_graph", lambda: graph.trade_graph_index(spark, cdir)),
         ]
         detail = {}
         for name, fn in steps:
@@ -264,7 +314,7 @@ def main() -> None:
 
         for m in MULTS:
             cdir = os.path.join(root, f"x{m}")
-            build_corpus(spark, m, cdir)
+            build_corpus(spark, m, cdir, trade=True)
             sizes[m] = {
                 "docs": spark.read.parquet(os.path.join(cdir, "documents.parquet")).count(),
                 "vecs": spark.read.parquet(os.path.join(cdir, "embeddings.parquet")).count(),
