@@ -1221,6 +1221,23 @@ def _cms_col(tok: Column, j: Column) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
 
 
+def cms_cells(occ: DataFrame) -> DataFrame:
+    """depth×width cell counts over a token-occurrence frame (any frame
+    with a ``tok`` column, one row per occurrence) — the shared
+    sketch-build kernel of the batch :func:`token_cms_topk` AND the
+    streaming ``StreamingCmsIngest`` (whose per-batch deltas use exactly
+    these expressions, so stream-merged and batch-built sketches are
+    cell-identical). groupBy (j, col) with map-side partial aggregation:
+    each task emits at most depth·width cells regardless of input size."""
+    js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
+    return (
+        occ.select("tok", F.explode(js).alias("j"))
+        .select("j", _cms_col(F.col("tok"), F.col("j")).alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count("*").cast("long").alias("cell_n"))
+    )
+
+
 def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for the corpus's top tokens —
     the fixed-memory frequency sketch (Cormode & Muthukrishnan 2005) that
@@ -1245,12 +1262,7 @@ def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     occ = _spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
-    cells = (
-        occ.select("tok", F.explode(js).alias("j"))
-        .select("j", _cms_col(F.col("tok"), F.col("j")).alias("col"))
-        .groupBy("j", "col")
-        .agg(F.count("*").cast("long").alias("cell_n"))
-    )
+    cells = cms_cells(occ)
     cnt = occ.groupBy("tok").agg(F.count("*").cast("long").alias("exact_n"))
     top = cnt.orderBy(F.desc("exact_n"), F.asc("tok")).limit(CMS_TOP)
     probes = top.select(

@@ -1816,3 +1816,101 @@ class StreamingIvfPqIngest:
             .start()
         )
         q.awaitTermination()
+
+
+class StreamingCmsIngest:
+    """Streaming maintenance of the count-min sketch over an arriving
+    document feed — the incremental twin of the batch sketch inside
+    ``textstats.token_cms_topk``. The CMS merge operator IS cell-wise
+    addition, so the streaming shape is the simplest possible sink: each
+    micro-batch writes its own depth×width cell DELTA (computed with the
+    shared :func:`operators.textstats.cms_cells` kernel — the exact
+    expressions the batch build uses) into a batch-keyed partition, and
+    the served sketch is SUM(cell_n) per (j, col) over all partitions.
+
+    Exactly-once: the delta is a pure function of the batch's documents,
+    and the batch-keyed dynamic partition overwrite makes a replay
+    (crash, lost checkpoint, re-delivery) rewrite the same partition
+    with identical rows — the same recipe as every other sink here, and
+    the same contract: replay idempotence holds under the SAME trigger
+    configuration (the replay reproduces the batch_id → files mapping).
+    One sharper edge than the row sinks: a replay with COARSER batching
+    leaves the finer history's tail partitions stale, and because these
+    rows are aggregate deltas the stale partitions DOUBLE-COUNT instead
+    of merely duplicating rows — changing the batching mid-history
+    requires a sink reset. Because addition commutes, arrival ORDER is
+    otherwise irrelevant: any fixed batching of the same documents
+    converges to the batch-built sketch cell-for-cell (asserted in
+    ``tests/test_streaming_cms.py``) — no admission races, no reconciler
+    needed.
+
+    At 100 TB the sink stays tiny regardless of corpus size (depth·width
+    rows per batch); a compaction (``compact_sink``) folds the partitions
+    into one pre-summed version when batch count grows, and serving
+    replicas merge regional sketches by the same addition."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.textstats import cms_cells, tokens
+
+        occ = batch_df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        (
+            cms_cells(occ)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(self.out_dir)
+        )
+
+    def run_available_now(self) -> None:
+        schema = self.spark.read.parquet(self.source_dir).schema
+        reader = self.spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", self.max_files_per_trigger or 1000
+        )
+        q = (
+            reader.parquet(self.source_dir)
+            .writeStream.foreachBatch(self._process_batch)
+            .outputMode("append")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def cms_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged sketch served from a :class:`StreamingCmsIngest` sink:
+    SUM per cell over every batch delta (the CMS merge). Explicit schema,
+    like every batch-keyed state read — a batch of token-less documents
+    leaves a file-less partition directory that schema inference chokes
+    on."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("j", IntegerType()),
+            StructField("col", LongType()),
+            StructField("cell_n", LongType()),
+            StructField("ingest_batch", LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .parquet(out_dir)
+        .groupBy("j", "col")
+        .agg(F.sum("cell_n").cast("long").alias("cell_n"))
+    )
