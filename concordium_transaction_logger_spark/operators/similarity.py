@@ -1538,3 +1538,62 @@ def ann_ivf_pq_topk_over_layout(
         "query_id", "vec_id", "codes"
     )
     return _ivf_pq_score_and_rerank(spark, sf_dir, pairs, n_queries, k, rerank)
+
+
+def embedding_split_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_micro: int = 400_000,
+    val_permille: int = 100,
+) -> DataFrame:
+    """SEMANTIC train/val decontamination — the embedding-space twin of
+    the n-gram ``doc_split_contamination``: a val example whose embedding
+    sits within ``threshold_micro`` cosine of ANY train example is
+    contaminated even when no shingle matches (paraphrased benchmark
+    questions, translated answers — the leakage n-gram audits cannot
+    see; the audit every post-Phi data card reports).
+
+    Split assignment is the engine's standard retry-stable md5-bucket
+    rule (``sampling._bucket`` on ``vec_id``, same salt convention as
+    ``doc_train_split``), so the split needs no stored table and the
+    audit is a pure function of the corpus.
+
+    Scale shape: rides the SemDeDup cluster blocking — the pairs come
+    from :func:`semdedup_pairs` (session k-means index, k ∝ N, one
+    |cluster|² integer-matmul per cluster), then one orientation pass
+    selects val↔train pairs and a partial-aggregated groupBy rolls them
+    up per val vector. Recall is bounded by the blocking exactly as
+    SemDeDup's is (cross-cluster near-misses, measured in
+    ``test_similarity_plans.py``); composing with
+    ``embedding_near_dup_pairs`` instead gives the exact-but-quadratic
+    twin. Returns (vec_id, n_train_matches, max_sim_micro) per
+    contaminated val vector."""
+    from .sampling import _bucket
+
+    pairs = semdedup_pairs(spark, sf_dir, threshold_micro=threshold_micro)
+    splits = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", (_bucket(F.col("vec_id"), "v1") < val_permille).alias("is_val")
+    )
+    sa = splits.select(
+        F.col("vec_id").alias("vec_a"), F.col("is_val").alias("val_a")
+    )
+    sb = splits.select(
+        F.col("vec_id").alias("vec_b"), F.col("is_val").alias("val_b")
+    )
+    oriented = (
+        pairs.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .filter(F.col("val_a") != F.col("val_b"))
+        .select(
+            F.when(F.col("val_a"), F.col("vec_a")).otherwise(F.col("vec_b")).alias("vec_id"),
+            "sim_micro",
+        )
+    )
+    return (
+        oriented.groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_train_matches"),
+            F.max("sim_micro").cast("long").alias("max_sim_micro"),
+        )
+        .orderBy("vec_id")
+    )

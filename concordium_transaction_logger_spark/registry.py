@@ -3024,12 +3024,13 @@ ORDER BY label, dim
 # doc_unigram_surprisal, corpus_bpe_merges, doc_shuffle_shards,
 # doc_pack_sequences, corpus_source_overlap, asof_purchase_last_click,
 # media_validation, pricing_summary, user_sessions,
-# customer_spend_deciles. Never-driver-checked remaining after r5: 21
+# customer_spend_deciles. Never-driver-checked remaining after r5: 22
 # slot-eligible entries (13 relational/TPC-H rows + the late-r5
 # embedding_semdedup_survivors + the session additions
 # doc_passage_chunks, doc_chunk_dup_groups, doc_bloom_contamination,
-# and the graph/sketch family graph_trade_pagerank,
-# dedup_graph_triangles, doc_tfidf_cosine_pairs, token_cms_topk)
+# the graph/sketch family graph_trade_pagerank, dedup_graph_triangles,
+# doc_tfidf_cosine_pairs, token_cms_topk, and
+# embedding_split_contamination)
 # — the 31 non-pin slots absorb all of them in r6 — plus 4 rows-only entries
 # (ann_pq_topk, ann_ivf_pq_topk, events_column_profile_approx,
 # embedding_semdedup_pairs_2level) that cannot hold an oracle slot by
@@ -3286,6 +3287,34 @@ ORDER BY exact_n DESC, tok
 """
     ),
     bench=True,
+)
+
+# Semantic train/val decontamination over the SemDeDup blocking: the
+# oracle replays the same two-Lloyd's-round quantizer (shared
+# _SEMDEDUP_CTES) and the same md5-bucket split rule as doc_train_split,
+# then orients within-cluster pairs val↔train and rolls up per val vec.
+REGISTRY["embedding_split_contamination"] = QueryDef(
+    similarity.embedding_split_contamination,
+    wrap(
+        _SEMDEDUP_CTES
+        + """,
+spl AS (SELECT vec_id,
+               (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#v1'), 1, 8))
+                     AS BIGINT) % 1000) < 100 AS is_val
+        FROM qvec),
+ct AS (
+  SELECT CASE WHEN sa.is_val THEN sp.vec_a ELSE sp.vec_b END AS vec_id,
+         sp.sim_micro
+  FROM sp
+  JOIN spl sa ON sa.vec_id = sp.vec_a
+  JOIN spl sb ON sb.vec_id = sp.vec_b
+  WHERE sa.is_val <> sb.is_val
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+       CAST(MAX(sim_micro) AS BIGINT) AS max_sim_micro
+FROM ct GROUP BY vec_id ORDER BY vec_id
+"""
+    ),
 )
 
 REGISTRY = {

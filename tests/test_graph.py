@@ -164,3 +164,33 @@ def test_token_cms_topk_one_sided_and_matches_reference(spark, sf_dir):
         assert r.cms_n == est
         assert r.cms_n >= r.exact_n  # one-sided error, the CMS contract
         assert r.overestimate == r.cms_n - r.exact_n
+
+
+def test_embedding_split_contamination_subset_of_exact(spark, sf_dir):
+    """The blocked decontamination verdict must be a strict SUBSET view of
+    the exact all-pairs audit: every reported val vector, its match count,
+    and its max similarity are bounded by the exact val↔train pair set
+    (blocking can only lose cross-cluster pairs, never invent one), and
+    every reported vector really is a val vector under the split rule."""
+    import hashlib
+
+    from concordium_transaction_logger_spark.operators import similarity
+
+    def is_val(vec_id: int) -> bool:
+        h = hashlib.md5(f"{vec_id}#v1".encode()).hexdigest()
+        return int(h[:8], 16) % 1000 < 100
+
+    exact = defaultdict(list)
+    for r in similarity.near_dup_pairs(spark, sf_dir, 400_000).collect():
+        for v, t in ((r.vec_a, r.vec_b), (r.vec_b, r.vec_a)):
+            if is_val(v) and not is_val(t):
+                exact[v].append(r.sim_micro)
+
+    got = similarity.embedding_split_contamination(spark, sf_dir).collect()
+    assert got  # non-vacuous on the test corpus
+    for r in got:
+        assert is_val(r.vec_id)
+        assert r.vec_id in exact
+        assert r.n_train_matches <= len(exact[r.vec_id])
+        assert r.max_sim_micro <= max(exact[r.vec_id])
+        assert r.max_sim_micro >= 400_000
