@@ -56,6 +56,22 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gram_strings(t: Column, n: int) -> Column:
+    """Array of space-joined n-grams over a BOUND token-array column —
+    the single n-gram window expression (1-based ``element_at``, in
+    lockstep with DuckDB list indexing) shared by :func:`shingles`,
+    :func:`doc_span_occurrences`, and :func:`tfidf_cosine_pairs`, so the
+    indexing convention cannot drift between consumers. The caller binds
+    the token array to a column first (see :func:`shingles` — an unbound
+    expression re-runs the tokenizer per element)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + off) for off in range(n)]
+        ),
+    )
+
+
 def shingles(docs: DataFrame) -> DataFrame:
     """Distinct word-SHINGLE shingles per doc. ``element_at`` is 1-based to
     mirror DuckDB list indexing.
@@ -79,12 +95,7 @@ def shingles(docs: DataFrame) -> DataFrame:
         .filter(F.size("t") >= SHINGLE)
     )
     t = F.col("t")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (SHINGLE - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + off) for off in range(SHINGLE)]
-        ),
-    )
+    sh = gram_strings(t, SHINGLE)
     return tok.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
@@ -1081,12 +1092,7 @@ def doc_span_occurrences(docs: DataFrame, span_l: int = SPAN_L) -> DataFrame:
     streaming ``span_dedup`` admission (which probes these hashes against
     its seen-window state)."""
     t = F.col("t")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (span_l - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(span_l)])
-        ),
-    )
+    grams = F.transform(gram_strings(t, span_l), lambda s: F.md5(s))
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("t"))
         .filter(F.size(t) >= span_l)
@@ -1137,12 +1143,7 @@ def tfidf_cosine_pairs(
     docs = load_table(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
     t = F.col("t")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (SHINGLE - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + off) for off in range(SHINGLE)]
-        ),
-    )
+    grams = gram_strings(t, SHINGLE)
     occ = (
         docs.repartition(parallelism, "doc_id")
         .select("doc_id", tokens(F.col("text")).alias("t"))

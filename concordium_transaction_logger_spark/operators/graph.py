@@ -11,9 +11,12 @@ function appears anywhere.
 
 Scale notes are per-operator; the shared rule is the one every iterative
 op in this engine obeys (``dedup.components_over_buckets`` precedent):
-the loop body is whole-graph DataFrame jobs, the driver holds only loop
-control, and per-round frames are ``localCheckpoint``ed so iteration k
-does not re-derive rounds 0..k-1 inside one lineage.
+the loop body is whole-graph DataFrame jobs and the driver holds only
+loop control. Lineage is truncated with ``localCheckpoint`` as the
+ROUND COUNT demands: a loop that runs an action per round (components'
+convergence count) must checkpoint per round, while a fixed-count lazy
+loop like :func:`trade_pagerank` compiles several rounds into one job
+and checkpoints every few rounds only to bound plan depth.
 """
 
 from __future__ import annotations

@@ -65,6 +65,40 @@ def _events_stream(
     return normalize_events(reader.parquet(source_dir))
 
 
+def _parquet_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None
+) -> DataFrame:
+    """The one streaming reader for plain parquet feeds (documents,
+    embeddings): schema pinned from a batch read so the stream never
+    infers, ``maxFilesPerTrigger`` defaulting like ``_events_stream``."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger or 1000
+    )
+    return reader.parquet(source_dir)
+
+
+def _await_available_now(
+    df: DataFrame,
+    checkpoint_dir: str,
+    process_batch,
+    output_mode: str | None = None,
+) -> None:
+    """The one start/await tail every foreachBatch sink shares: a fix to
+    the trigger/checkpoint plumbing lands once, not once per class.
+    ``output_mode`` matters for stateful aggregations (update vs append
+    decides WHICH rows each micro-batch hands to process_batch)."""
+    w = df.writeStream.foreachBatch(process_batch)
+    if output_mode is not None:
+        w = w.outputMode(output_mode)
+    q = (
+        w.option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _derive_all(feed: DataFrame) -> dict[str, DataFrame]:
     return {
         "summaries": derive.summaries(feed),
@@ -134,13 +168,7 @@ class StreamingIngest:
         """Consume everything currently in the source, then stop
         (Trigger.AvailableNow — the catch-up mode, README:19-23)."""
         reader = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
-        q = (
-            reader.writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(reader, self.checkpoint_dir, self._process_batch)
 
 
 class RateSourceIngest(StreamingIngest):
@@ -315,13 +343,7 @@ class StreamingEnrichment:
 
     def run_available_now(self) -> None:
         reader = _events_stream(self.spark, self.source_dir, self.max_files_per_trigger)
-        q = (
-            reader.writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(reader, self.checkpoint_dir, self._process_batch)
 
 
 class StreamStreamAttribution:
@@ -478,14 +500,7 @@ class WindowedRollup:
                 ),
             )
         )
-        q = (
-            agg.writeStream.foreachBatch(self._write_batch)
-            .outputMode("update")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(agg, self.checkpoint_dir, self._write_batch, "update")
 
 
 class SessionWindowRollup:
@@ -558,14 +573,7 @@ class SessionWindowRollup:
             .groupBy(F.session_window("event_time", self.GAP), F.col("user_id"))
             .agg(F.count("*").alias("n_events"))
         )
-        q = (
-            agg.writeStream.foreachBatch(self._write_batch)
-            .outputMode("append")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(agg, self.checkpoint_dir, self._write_batch, "append")
 
 
 class StreamingDedup:
@@ -619,14 +627,7 @@ class StreamingDedup:
             .dropDuplicatesWithinWatermark(["event_id"])
             .drop("event_time")
         )
-        q = (
-            deduped.writeStream.foreachBatch(self._write_batch)
-            .outputMode("append")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(deduped, self.checkpoint_dir, self._write_batch, "append")
 
 
 class StreamingAnomaly:
@@ -747,13 +748,7 @@ class StreamingAnomaly:
     def run_available_now(self) -> None:
         schema = self.spark.read.parquet(self.rollup_dir).schema
         rollup = self.spark.readStream.schema(schema).parquet(self.rollup_dir)
-        q = (
-            rollup.writeStream.foreachBatch(self._write_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(rollup, self.checkpoint_dir, self._write_batch)
 
 
 def session_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -839,14 +834,7 @@ class StatefulSupply:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        q = (
-            updated.writeStream.foreachBatch(self._write_batch)
-            .outputMode("update")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(updated, self.checkpoint_dir, self._write_batch, "update")
 
 
 def stateful_supply_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -1720,19 +1708,10 @@ class StreamingCorpusIngest:
         return actions
 
     def run_available_now(self) -> None:
-        schema = self.spark.read.parquet(self.source_dir).schema
-        reader = (
-            self.spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
-            .parquet(self.source_dir)
+        reader = _parquet_stream(
+            self.spark, self.source_dir, self.max_files_per_trigger
         )
-        q = (
-            reader.writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(reader, self.checkpoint_dir, self._process_batch)
 
 
 def corpus_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -1803,19 +1782,10 @@ class StreamingIvfPqIngest:
         )
 
     def run_available_now(self) -> None:
-        schema = self.spark.read.parquet(self.source_dir).schema
-        reader = self.spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", self.max_files_per_trigger or 1000
+        reader = _parquet_stream(
+            self.spark, self.source_dir, self.max_files_per_trigger
         )
-        q = (
-            reader.parquet(self.source_dir)
-            .writeStream.foreachBatch(self._write_batch)
-            .outputMode("append")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(reader, self.checkpoint_dir, self._write_batch, "append")
 
 
 class StreamingCmsIngest:
@@ -1846,8 +1816,10 @@ class StreamingCmsIngest:
 
     At 100 TB the sink stays tiny regardless of corpus size (depth·width
     rows per batch); a compaction (``compact_sink``) folds the partitions
-    into one pre-summed version when batch count grows, and serving
-    replicas merge regional sketches by the same addition."""
+    into one version directory when the batch count grows (rows verbatim
+    — the merge stays SUM-at-read, and :func:`cms_from_sink` resolves the
+    manifest so a compacted sketch reads exactly), and serving replicas
+    merge regional sketches by the same addition."""
 
     def __init__(
         self,
@@ -1877,27 +1849,21 @@ class StreamingCmsIngest:
         )
 
     def run_available_now(self) -> None:
-        schema = self.spark.read.parquet(self.source_dir).schema
-        reader = self.spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", self.max_files_per_trigger or 1000
+        reader = _parquet_stream(
+            self.spark, self.source_dir, self.max_files_per_trigger
         )
-        q = (
-            reader.parquet(self.source_dir)
-            .writeStream.foreachBatch(self._process_batch)
-            .outputMode("append")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _await_available_now(reader, self.checkpoint_dir, self._process_batch, "append")
 
 
 def cms_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     """The merged sketch served from a :class:`StreamingCmsIngest` sink:
-    SUM per cell over every batch delta (the CMS merge). Explicit schema,
-    like every batch-keyed state read — a batch of token-less documents
-    leaves a file-less partition directory that schema inference chokes
-    on."""
+    SUM per cell over every batch delta (the CMS merge). Resolves the
+    compaction manifest exactly like :func:`read_sink` — a compacted
+    sketch must not lose its folded early batches — but with an explicit
+    schema, like every batch-keyed state read: a batch of token-less
+    documents leaves a file-less partition directory that schema
+    inference chokes on (which is why plain ``read_sink`` is not enough
+    here)."""
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     schema = StructType(
@@ -1908,9 +1874,19 @@ def cms_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
             StructField("ingest_batch", LongType()),
         ]
     )
-    return (
-        spark.read.schema(schema)
-        .parquet(out_dir)
-        .groupBy("j", "col")
-        .agg(F.sum("cell_n").cast("long").alias("cell_n"))
+    parent, name = os.path.split(out_dir.rstrip(os.sep))
+    vdir, hwm = _sink_state(parent, name)
+    parts = []
+    if vdir is not None:
+        parts.append(spark.read.schema(schema).parquet(vdir))
+    if vdir is None or any(b > hwm for b in _live_batches(out_dir)):
+        plain = spark.read.schema(schema).parquet(out_dir)
+        if vdir is not None:
+            plain = plain.filter(F.col("ingest_batch") > hwm)
+        parts.append(plain)
+    view = parts[0]
+    for p in parts[1:]:
+        view = view.unionByName(p.select(view.columns))
+    return view.groupBy("j", "col").agg(
+        F.sum("cell_n").cast("long").alias("cell_n")
     )

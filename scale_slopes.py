@@ -100,6 +100,16 @@ TRADE_KEYS = {
 def _scale_trade(spark, mult: int, out_dir: str) -> None:
     for name, keys in TRADE_KEYS.items():
         df = spark.read.parquet(os.path.join(BASE_SF, f"{name}.parquet"))
+        # TPC-H orderkeys are SPARSE (max = 6M × SF): a base corpus whose
+        # keys reach STRIDE would make replica r's shifted range collide
+        # with replica r+1's — duplicate keys and a tangled (not
+        # disconnected-copies) graph, silently corrupting the slope.
+        top = df.agg(F.max(F.greatest(*[F.col(k) for k in keys]))).first()[0]
+        if top >= STRIDE:
+            raise ValueError(
+                f"{name}: max key {top} >= STRIDE {STRIDE}; raise STRIDE "
+                "before replicating this base corpus"
+            )
         parts = []
         for r in range(mult):
             parts.append(

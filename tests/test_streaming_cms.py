@@ -102,3 +102,44 @@ def test_stream_sketch_estimates_match_batch_op(spark, sf_dir, dirs):
     assert rows
     for r in rows:
         assert r.served_n == r.cms_n
+
+
+def test_cms_sink_survives_compaction(spark, sf_dir, dirs, tmp_path):
+    """cms_from_sink must resolve the compaction manifest: after one (and
+    two — the second GCs plain partitions below the hwm) compactions, and
+    after a post-compaction streaming append, the merged sketch equals the
+    batch build over everything delivered."""
+    from concordium_transaction_logger_spark.streaming.pipeline import compact_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    early = docs.filter(F.col("doc_id") < 300)
+    late = docs.filter(F.col("doc_id") >= 300)
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dirs["source"])
+        )
+    ingest = StreamingCmsIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    )
+    ingest.run_available_now()
+    want_early = _batch_cells(spark, early)
+
+    compact_sink(spark, str(tmp_path), "out")
+    got = {(r.j, r.col): r.cell_n for r in cms_from_sink(spark, dirs["out"]).collect()}
+    assert got == want_early
+    compact_sink(spark, str(tmp_path), "out")  # GCs folded plain partitions
+    got = {(r.j, r.col): r.cell_n for r in cms_from_sink(spark, dirs["out"]).collect()}
+    assert got == want_early
+
+    # post-compaction streaming append stays visible above the hwm
+    late.coalesce(1).write.mode("append").parquet(dirs["source"])
+    ingest.run_available_now()
+    want_all = _batch_cells(spark, docs)
+    got = {(r.j, r.col): r.cell_n for r in cms_from_sink(spark, dirs["out"]).collect()}
+    assert got == want_all
+    compact_sink(spark, str(tmp_path), "out")
+    got = {(r.j, r.col): r.cell_n for r in cms_from_sink(spark, dirs["out"]).collect()}
+    assert got == want_all
