@@ -132,7 +132,10 @@ def trade_pagerank(
     supp = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey").cast("long") * 2 + 1).alias("node")
     )
-    nodes = cust.unionByName(supp).localCheckpoint()
+    # nodes is two tiny dimension scans — referenced a handful of times
+    # inside ONE lazy job, so re-scanning beats an eager checkpoint job
+    # plus pinned blocks for the life of the call.
+    nodes = cust.unionByName(supp)
     zeros = nodes.select("node", F.lit(0).cast("long").alias("c"))
 
     ranks = nodes.select("node", F.lit(PR_MASS_MICRO).cast("long").alias("r"))
