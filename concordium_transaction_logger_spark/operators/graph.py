@@ -124,18 +124,41 @@ def trade_pagerank(
     table), which the TPC-H-shaped schema guarantees; a dangling key
     would add its own node to the output where the oracle's
     dimension-driven universe drops it."""
-    e = trade_graph_index(spark, sf_dir)
+    return pagerank_over_edges(
+        trade_graph_index(spark, sf_dir),
+        trade_nodes(spark, sf_dir),
+        iters=iters,
+        top=top,
+    )
 
+
+def trade_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trade graph's node universe (parity-encoded like
+    :func:`_trade_edges`): every customer and supplier, edge-connected or
+    not — the teleport floor applies to isolated nodes too."""
     cust = load_table(spark, sf_dir, "customer").select(
         (F.col("c_custkey").cast("long") * 2).alias("node")
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey").cast("long") * 2 + 1).alias("node")
     )
-    # nodes is two tiny dimension scans — referenced a handful of times
-    # inside ONE lazy job, so re-scanning beats an eager checkpoint job
-    # plus pinned blocks for the life of the call.
-    nodes = cust.unionByName(supp)
+    return cust.unionByName(supp)
+
+
+def pagerank_over_edges(
+    e: DataFrame,
+    nodes: DataFrame,
+    iters: int = PR_ITERS,
+    top: int = PR_TOP,
+) -> DataFrame:
+    """The PageRank rounds themselves, over ANY (src, dst, w, wout)
+    adjacency frame and (node) universe — shared by
+    :func:`trade_pagerank` (session-index adjacency) and the streaming
+    twin (``streaming.pipeline.trade_pagerank_from_sink``, whose
+    adjacency is summed from per-batch deltas): one update definition,
+    so the batch and stream-served rankings can never drift."""
+    # nodes is a handful of tiny scans referenced inside ONE lazy job —
+    # re-scanning beats an eager checkpoint job plus pinned blocks.
     zeros = nodes.select("node", F.lit(0).cast("long").alias("c"))
 
     ranks = nodes.select("node", F.lit(PR_MASS_MICRO).cast("long").alias("r"))

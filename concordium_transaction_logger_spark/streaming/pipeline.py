@@ -1855,25 +1855,14 @@ class StreamingCmsIngest:
         _await_available_now(reader, self.checkpoint_dir, self._process_batch, "append")
 
 
-def cms_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The merged sketch served from a :class:`StreamingCmsIngest` sink:
-    SUM per cell over every batch delta (the CMS merge). Resolves the
-    compaction manifest exactly like :func:`read_sink` — a compacted
-    sketch must not lose its folded early batches — but with an explicit
-    schema, like every batch-keyed state read: a batch of token-less
-    documents leaves a file-less partition directory that schema
-    inference chokes on (which is why plain ``read_sink`` is not enough
-    here)."""
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
-
-    schema = StructType(
-        [
-            StructField("j", IntegerType()),
-            StructField("col", LongType()),
-            StructField("cell_n", LongType()),
-            StructField("ingest_batch", LongType()),
-        ]
-    )
+def _delta_sink_view(spark: SparkSession, out_dir: str, schema) -> DataFrame:
+    """The raw row view of an ADDITIVE-delta sink (CMS cells, trade-graph
+    edge weights): resolves the compaction manifest exactly like
+    :func:`read_sink` — a compacted sink must not lose its folded early
+    batches — but with an explicit schema, like every batch-keyed state
+    read: a batch with an empty delta leaves a file-less partition
+    directory that schema inference chokes on (which is why plain
+    ``read_sink`` is not enough here). The caller SUMs over this view."""
     parent, name = os.path.split(out_dir.rstrip(os.sep))
     vdir, hwm = _sink_state(parent, name)
     parts = []
@@ -1887,6 +1876,139 @@ def cms_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     view = parts[0]
     for p in parts[1:]:
         view = view.unionByName(p.select(view.columns))
-    return view.groupBy("j", "col").agg(
-        F.sum("cell_n").cast("long").alias("cell_n")
+    return view
+
+
+def cms_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The merged sketch served from a :class:`StreamingCmsIngest` sink:
+    SUM per cell over every batch delta (the CMS merge), manifest-aware
+    via :func:`_delta_sink_view`."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("j", IntegerType()),
+            StructField("col", LongType()),
+            StructField("cell_n", LongType()),
+            StructField("ingest_batch", LongType()),
+        ]
+    )
+    return (
+        _delta_sink_view(spark, out_dir, schema)
+        .groupBy("j", "col")
+        .agg(F.sum("cell_n").cast("long").alias("cell_n"))
+    )
+
+
+class StreamingTradeGraphIngest:
+    """Streaming maintenance of the trade-graph adjacency — the graph
+    family's ingest-time layout (``operators.graph.trade_graph_index``)
+    kept current as lineitem rows arrive, the same economics as the
+    IVF-PQ serving layout: the graph query never pays the fact⋈fact
+    edge join, because ingest already did.
+
+    Edge weights are COUNTS, so the maintenance shape is the additive-
+    delta sink the CMS uses: each micro-batch of lineitems joins the
+    static orders dimension (stream-static broadcast join, the
+    ``StreamingEnrichment`` precedent), aggregates its own
+    (customer, supplier, count) delta, and writes it batch-keyed; the
+    served adjacency is SUM(w) per edge over all deltas. Addition
+    commutes, so any fixed batching converges to the batch
+    ``_trade_edges`` exactly — and the same coarser-batching replay
+    caveat applies (aggregate-delta rows double-count if the batching
+    changes mid-history; reset the sink to re-batch).
+
+    ``trade_pagerank_from_sink`` then runs the SAME rounds
+    (:func:`operators.graph.pagerank_over_edges`) over the served
+    adjacency — one update definition, so stream-served and batch
+    rankings cannot drift (asserted in ``tests/test_streaming_cms.py``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        sf_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.sf_dir = sf_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.tables import load_table
+
+        orders = load_table(self.spark, self.sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        delta = (
+            batch_df.select("l_orderkey", "l_suppkey")
+            .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(
+                (F.col("o_custkey").cast("long") * 2).alias("cnode"),
+                (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
+            )
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+        (
+            delta.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(self.out_dir)
+        )
+
+    def run_available_now(self) -> None:
+        reader = _parquet_stream(
+            self.spark, self.source_dir, self.max_files_per_trigger
+        )
+        _await_available_now(reader, self.checkpoint_dir, self._process_batch)
+
+
+def trade_edges_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The adjacency served from a :class:`StreamingTradeGraphIngest`
+    sink: SUM(w) per (customer, supplier) edge over every batch delta,
+    then the same symmetric-edges + out-weight shape
+    ``trade_graph_index`` builds — ready for
+    :func:`operators.graph.pagerank_over_edges`."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("cnode", LongType()),
+            StructField("snode", LongType()),
+            StructField("w", LongType()),
+            StructField("ingest_batch", LongType()),
+        ]
+    )
+    pairs = (
+        _delta_sink_view(spark, out_dir, schema)
+        .groupBy("cnode", "snode")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
+    )
+    wout = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    return edges.join(wout, "src")
+
+
+def trade_pagerank_from_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """PageRank served from the streaming-maintained adjacency — the
+    same rounds as the batch ``graph_trade_pagerank`` over the
+    stream-summed edge set."""
+    from ..operators.graph import pagerank_over_edges, trade_nodes
+
+    return pagerank_over_edges(
+        trade_edges_from_sink(spark, out_dir).localCheckpoint(),
+        trade_nodes(spark, sf_dir),
     )

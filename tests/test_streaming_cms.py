@@ -143,3 +143,59 @@ def test_cms_sink_survives_compaction(spark, sf_dir, dirs, tmp_path):
     compact_sink(spark, str(tmp_path), "out")
     got = {(r.j, r.col): r.cell_n for r in cms_from_sink(spark, dirs["out"]).collect()}
     assert got == want_all
+
+
+def test_streaming_trade_graph_serves_batch_pagerank(spark, sf_dir, dirs):
+    """Lineitems streamed in three micro-batches maintain the adjacency
+    sink; the served edge set must equal the batch _trade_edges exactly,
+    and PageRank over it must equal the batch graph_trade_pagerank row
+    for row. Replays (same trigger config) are no-ops."""
+    from concordium_transaction_logger_spark.operators import graph
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingTradeGraphIngest,
+        trade_edges_from_sink,
+        trade_pagerank_from_sink,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    for lo, hi in ((0, 2000), (2000, 4000), (4000, 10**9)):
+        (
+            li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dirs["source"])
+        )
+    ingest = StreamingTradeGraphIngest(
+        spark, dirs["source"], sf_dir, dirs["out"], dirs["ckpt"],
+        max_files_per_trigger=1,
+    )
+    ingest.run_available_now()
+
+    want_edges = {
+        (r.src, r.dst): (r.w, r.wout)
+        for r in graph.trade_graph_index(spark, sf_dir).collect()
+    }
+    got_edges = {
+        (r.src, r.dst): (r.w, r.wout)
+        for r in trade_edges_from_sink(spark, dirs["out"]).collect()
+    }
+    assert got_edges == want_edges
+
+    want_rank = [tuple(r) for r in graph.trade_pagerank(spark, sf_dir).collect()]
+    got_rank = [
+        tuple(r) for r in trade_pagerank_from_sink(spark, sf_dir, dirs["out"]).collect()
+    ]
+    assert got_rank == want_rank
+
+    # nothing-new rerun and lost-checkpoint replay (same trigger config)
+    ingest.run_available_now()
+    shutil.rmtree(dirs["ckpt"])
+    StreamingTradeGraphIngest(
+        spark, dirs["source"], sf_dir, dirs["out"], dirs["ckpt"],
+        max_files_per_trigger=1,
+    ).run_available_now()
+    got_edges = {
+        (r.src, r.dst): (r.w, r.wout)
+        for r in trade_edges_from_sink(spark, dirs["out"]).collect()
+    }
+    assert got_edges == want_edges
