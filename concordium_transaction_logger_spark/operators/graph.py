@@ -40,32 +40,59 @@ PR_ITERS = 4
 PR_TOP = 20
 
 
-def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The customer↔supplier trade graph: an undirected weighted edge per
-    (customer, supplier) pair that traded, weight = number of lineitems.
-    Node ids are disjoint by parity: customer c ↦ 2c, supplier s ↦ 2s+1
-    (the graph is bipartite, so parity also encodes the side).
+def trade_pair_deltas(lineitems: DataFrame, orders: DataFrame) -> DataFrame:
+    """(cnode, snode, w) trade-pair counts for a lineitem set — THE edge
+    definition, shared by the batch :func:`_trade_edges` and the
+    streaming maintenance (``streaming.pipeline.StreamingTradeGraphIngest``
+    feeds each micro-batch through these exact expressions), so the node
+    encoding and weight rule cannot drift between the twins. Node ids
+    are disjoint by parity: customer c ↦ 2c, supplier s ↦ 2s+1 (the
+    graph is bipartite, so parity also encodes the side).
 
     Shape: one fact⋈fact join on orderkey (both sides hash-partition on
     the key; at 100 TB this is the same co-hashed orderkey join as
-    ``late_shipment_priority_split``) into a partial-aggregated groupBy
-    on the (customer, supplier) pair — edge count is bounded by distinct
+    ``late_shipment_priority_split`` — when one side is a micro-batch,
+    AQE broadcasts THAT side) into a partial-aggregated groupBy on the
+    (customer, supplier) pair — edge count is bounded by distinct
     trading pairs, far below lineitem count."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        lineitems.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy(
             (F.col("o_custkey").cast("long") * 2).alias("cnode"),
             (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
         )
         .agg(F.count("*").cast("long").alias("w"))
     )
+
+
+def _symmetric_edges(pairs: DataFrame) -> DataFrame:
     return pairs.select(
         F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
     ).unionByName(
         pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
     )
+
+
+def adjacency_from_pairs(pairs: DataFrame) -> DataFrame:
+    """(src, dst, w, wout) adjacency from (cnode, snode, w) pair counts —
+    the symmetric union + out-weight join both the session index build
+    and the streaming sink's served view (``trade_edges_from_sink``)
+    share."""
+    edges = _symmetric_edges(pairs)
+    wout = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    return edges.join(wout, "src")
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer↔supplier trade graph as symmetric weighted edges —
+    :func:`trade_pair_deltas` over the whole lineitem table."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return _symmetric_edges(trade_pair_deltas(li, orders))
 
 
 def trade_graph_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,9 +105,9 @@ def trade_graph_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import get_or_build
 
     def build() -> DataFrame:
-        edges = _trade_edges(spark, sf_dir)
-        wout = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
-        return edges.join(wout, "src").persist()
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        return adjacency_from_pairs(trade_pair_deltas(li, orders)).persist()
 
     return get_or_build("trade_graph", spark, sf_dir, build)
 

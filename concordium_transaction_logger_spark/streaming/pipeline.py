@@ -1909,10 +1909,14 @@ class StreamingTradeGraphIngest:
 
     Edge weights are COUNTS, so the maintenance shape is the additive-
     delta sink the CMS uses: each micro-batch of lineitems joins the
-    static orders dimension (stream-static broadcast join, the
-    ``StreamingEnrichment`` precedent), aggregates its own
-    (customer, supplier, count) delta, and writes it batch-keyed; the
-    served adjacency is SUM(w) per edge over all deltas. Addition
+    static orders FACT table (a fact⋈fact orderkey join in the batch
+    twin; here the lineitem side is one micro-batch, so AQE broadcasts
+    the small BATCH side — never the orders table, which outgrows the
+    broadcast limit at scale), aggregates its own
+    (customer, supplier, count) delta via the shared
+    :func:`operators.graph.trade_pair_deltas` expressions — the exact
+    edge definition the batch index uses — and writes it batch-keyed;
+    the served adjacency is SUM(w) per edge over all deltas. Addition
     commutes, so any fixed batching converges to the batch
     ``_trade_edges`` exactly — and the same coarser-batching replay
     caveat applies (aggregate-delta rows double-count if the batching
@@ -1941,20 +1945,11 @@ class StreamingTradeGraphIngest:
         self.max_files_per_trigger = max_files_per_trigger
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.graph import trade_pair_deltas
         from ..sources.tables import load_table
 
-        orders = load_table(self.spark, self.sf_dir, "orders").select(
-            "o_orderkey", "o_custkey"
-        )
-        delta = (
-            batch_df.select("l_orderkey", "l_suppkey")
-            .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy(
-                (F.col("o_custkey").cast("long") * 2).alias("cnode"),
-                (F.col("l_suppkey").cast("long") * 2 + 1).alias("snode"),
-            )
-            .agg(F.count("*").cast("long").alias("w"))
-        )
+        orders = load_table(self.spark, self.sf_dir, "orders")
+        delta = trade_pair_deltas(batch_df, orders)
         (
             delta.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
@@ -1986,29 +1981,32 @@ def trade_edges_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
             StructField("ingest_batch", LongType()),
         ]
     )
+    from ..operators.graph import adjacency_from_pairs
+
     pairs = (
         _delta_sink_view(spark, out_dir, schema)
         .groupBy("cnode", "snode")
         .agg(F.sum("w").cast("long").alias("w"))
     )
-    edges = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
-    ).unionByName(
-        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
-    )
-    wout = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
-    return edges.join(wout, "src")
+    return adjacency_from_pairs(pairs)
 
 
 def trade_pagerank_from_sink(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    iters: int | None = None,
+    top: int | None = None,
 ) -> DataFrame:
     """PageRank served from the streaming-maintained adjacency — the
     same rounds as the batch ``graph_trade_pagerank`` over the
-    stream-summed edge set."""
-    from ..operators.graph import pagerank_over_edges, trade_nodes
+    stream-summed edge set, with the same ``iters``/``top`` knobs so
+    parity holds at any parameters, not just the defaults."""
+    from ..operators import graph
 
-    return pagerank_over_edges(
+    return graph.pagerank_over_edges(
         trade_edges_from_sink(spark, out_dir).localCheckpoint(),
-        trade_nodes(spark, sf_dir),
+        graph.trade_nodes(spark, sf_dir),
+        iters=iters if iters is not None else graph.PR_ITERS,
+        top=top if top is not None else graph.PR_TOP,
     )
