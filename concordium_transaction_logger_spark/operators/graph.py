@@ -301,3 +301,54 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("closure_permille"),
         )
     )
+
+
+def trade_graph_components(
+    spark: SparkSession, sf_dir: str, max_iter: int = 30
+) -> DataFrame:
+    """Connected components of the trade graph — the market-segmentation
+    view: which customers and suppliers form isolated trading pools, and
+    how many participants never trade at all (singleton components are
+    exactly the customers with no orders). One aggregate row per
+    component: (component_id, n_nodes, n_customers, n_suppliers).
+
+    Reuses :func:`dedup.star_components` (Kiveris et al., O(log² n)
+    rounds on ANY graph shape) over the session
+    :func:`trade_graph_index` — a bipartite trade graph's components can
+    be long customer↔supplier chains, exactly the diameter shape hash-min
+    propagation is slow on, so the star-contraction kernel is the right
+    default here (the dedup family keeps hash-min as ITS default because
+    band cliques have tiny diameters). The oracle walks the same edges
+    with a recursive CTE (the `doc_dup_components` treatment)."""
+    from .dedup import star_components
+
+    e = trade_graph_index(spark, sf_dir)
+    pairs = e.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    labels = star_components(pairs, max_iter=max_iter)
+    singles = (
+        trade_nodes(spark, sf_dir)
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component_id"))
+    )
+    labels = labels.unionByName(singles)
+    return (
+        labels.groupBy("component_id")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_customers"),
+            F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+        .select(
+            F.col("component_id").cast("long").alias("component_id"),
+            "n_nodes",
+            "n_customers",
+            "n_suppliers",
+        )
+        .orderBy(F.desc("n_nodes"), F.asc("component_id"))
+    )

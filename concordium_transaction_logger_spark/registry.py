@@ -3024,12 +3024,12 @@ ORDER BY label, dim
 # doc_unigram_surprisal, corpus_bpe_merges, doc_shuffle_shards,
 # doc_pack_sequences, corpus_source_overlap, asof_purchase_last_click,
 # media_validation, pricing_summary, user_sessions,
-# customer_spend_deciles. Never-driver-checked remaining after r5: 22
+# customer_spend_deciles. Never-driver-checked remaining after r5: 23
 # slot-eligible entries (13 relational/TPC-H rows + the late-r5
 # embedding_semdedup_survivors + the session additions
 # doc_passage_chunks, doc_chunk_dup_groups, doc_bloom_contamination,
 # the graph/sketch family graph_trade_pagerank, dedup_graph_triangles,
-# doc_tfidf_cosine_pairs, token_cms_topk, and
+# trade_graph_components, doc_tfidf_cosine_pairs, token_cms_topk, and
 # embedding_split_contamination)
 # — the 31 non-pin slots absorb all of them in r6 — plus 4 rows-only entries
 # (ann_pq_topk, ann_ivf_pq_topk, events_column_profile_approx,
@@ -3132,15 +3132,21 @@ pr_r{k} AS (
 )"""
 
 
-def _pagerank_sql() -> str:
-    steps = ",".join(_pagerank_step(k) for k in range(1, graph.PR_ITERS + 1))
-    return wrap(
-        f"""
+# The trade-pair edge block — one SQL definition of graph.trade_pair_deltas,
+# shared by the pagerank and components oracles.
+_TRADE_PAIRS_SQL = """
 , pr_pairs AS (
   SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode, COUNT(*) AS w
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
-),
+)"""
+
+
+def _pagerank_sql() -> str:
+    steps = ",".join(_pagerank_step(k) for k in range(1, graph.PR_ITERS + 1))
+    return wrap(
+        _TRADE_PAIRS_SQL
+        + f""",
 pr_edges AS (SELECT cnode AS src, snode AS dst, w FROM pr_pairs
              UNION ALL
              SELECT snode, cnode, w FROM pr_pairs),
@@ -3287,6 +3293,39 @@ ORDER BY exact_n DESC, tok
 """
     ),
     bench=True,
+)
+
+# Market segmentation: connected components of the trade graph (star
+# contraction in Spark — the O(log² n)-rounds kernel, since bipartite
+# trading chains can have long diameters; recursive-CTE walk in the
+# oracle, the doc_dup_components treatment).
+REGISTRY["trade_graph_components"] = QueryDef(
+    graph.trade_graph_components,
+    wrap(
+        _TRADE_PAIRS_SQL
+        + """,
+tg_edges AS (SELECT cnode AS a, snode AS b FROM pr_pairs
+             UNION ALL
+             SELECT snode, cnode FROM pr_pairs),
+tg_nodes AS (SELECT c_custkey * 2 AS node FROM customer
+             UNION ALL
+             SELECT s_suppkey * 2 + 1 FROM supplier),
+walk AS (
+  SELECT node, node AS lbl FROM tg_nodes
+  UNION
+  SELECT e.b AS node, w.lbl FROM walk w JOIN tg_edges e ON w.node = e.a
+),
+comp AS (SELECT node, MIN(lbl) AS component_id FROM walk GROUP BY node)
+SELECT CAST(component_id AS BIGINT) AS component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+FROM comp
+GROUP BY component_id
+ORDER BY n_nodes DESC, component_id
+""",
+        recursive=True,
+    ),
 )
 
 # Semantic train/val decontamination over the SemDeDup blocking: the
