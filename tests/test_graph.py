@@ -198,12 +198,9 @@ def test_embedding_split_contamination_subset_of_exact(spark, sf_dir):
 
 def test_trade_graph_components_matches_union_find(spark, sf_dir):
     """Star contraction over the trade graph must equal a from-scratch
-    union-find on the same edges, including singleton components for
-    customers with no orders."""
-    from concordium_transaction_logger_spark.operators.similarity import (  # noqa: F401
-        load_table as _lt,  # keep import surface minimal; use spark reads below
-    )
-
+    union-find on the same edges. (On this corpus every customer has
+    orders, so the graph is one component — the singleton branch is
+    exercised by the orphan-corpus test below.)"""
     edges = [
         (r.src, r.dst)
         for r in graph._trade_edges(spark, sf_dir).collect()
@@ -253,3 +250,35 @@ def test_trade_graph_components_matches_union_find(spark, sf_dir):
     # the union-find equality above is the real check).
     assert sum(t[1] for t in expected) == len(nodes)
     assert expected[0][2] > 0 and expected[0][3] > 0
+
+
+def test_trade_graph_components_singletons(spark, sf_dir, tmp_path):
+    """The singleton branch (a customer with NO orders must surface as
+    its own 1-node component) — the base corpora never exercise it, so
+    this builds a corpus with one orphan customer appended."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    for t in (
+        "orders", "lineitem", "supplier", "region", "nation",
+        "part", "events", "documents", "embeddings",
+    ):
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orphan = cust.agg(F.max("c_custkey")).first()[0] + 1000
+    extra = cust.limit(1).select(
+        F.lit(orphan).cast(dict(cust.dtypes)["c_custkey"]).alias("c_custkey"),
+        *[c for c in cust.columns if c != "c_custkey"],
+    )
+    cust.unionByName(extra).write.parquet(f"{d}/customer.parquet")
+
+    rows = graph.trade_graph_components(spark, d).collect()
+    singles = {r.component_id: r for r in rows if r.n_nodes == 1}
+    assert orphan * 2 in singles
+    assert singles[orphan * 2].n_customers == 1
+    assert singles[orphan * 2].n_suppliers == 0
+    n_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    assert sum(r.n_nodes for r in rows) == cust.count() + 1 + n_supp
