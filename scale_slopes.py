@@ -104,7 +104,8 @@ def _scale_trade(spark, mult: int, out_dir: str) -> None:
         # keys reach STRIDE would make replica r's shifted range collide
         # with replica r+1's — duplicate keys and a tangled (not
         # disconnected-copies) graph, silently corrupting the slope.
-        top = df.agg(F.max(F.greatest(*[F.col(k) for k in keys]))).first()[0]
+        keycol = F.greatest(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
+        top = df.agg(F.max(keycol)).first()[0]
         if top >= STRIDE:
             raise ValueError(
                 f"{name}: max key {top} >= STRIDE {STRIDE}; raise STRIDE "
@@ -256,6 +257,7 @@ def main() -> None:
             # growing band-candidate graph; the sparse/sketch ops on the
             # document corpus like every text family.
             "trade_pagerank": graph.trade_pagerank,
+            "trade_components": graph.trade_graph_components,
             "dedup_triangles": graph.dedup_graph_triangles,
             "tfidf_cosine_pairs": dedup.tfidf_cosine_pairs,
             "cms_topk": textstats.token_cms_topk,
