@@ -19,13 +19,28 @@ _CACHES: dict[str, dict[tuple[int, str], tuple[Any, Any]]] = {}
 
 
 def _is_stopped(session: Any) -> bool:
-    """Dead ONLY on an affirmative isStopped() == True. A probe failure
-    (no ``sparkContext._jsc`` — e.g. a Spark Connect session) must read
-    as alive: classifying it dead would silently evict every cache entry
-    on every call, disabling all session indexes for that session type.
+    """Dead ONLY on an affirmative signal; a probe failure reads as
+    alive (classifying it dead would silently evict every cache entry on
+    every call, disabling all session indexes for that session type).
+
+    Two probes, most-specific first:
+
+    - ``session.is_stopped`` — the Spark Connect session's own liveness
+      property (plain Python, no JVM round-trip; classic sessions don't
+      have it and fall through). Without this probe a long-lived process
+      cycling Connect sessions would never sweep them and regrow exactly
+      the unbounded driver-memory cache _sweep_dead exists to prevent.
+    - ``sparkContext._jsc.sc().isStopped()`` — the classic JVM probe.
+
     The cost of the lenient default is bounded — a genuinely-stopped
-    session whose probe errors keeps its entries until process exit,
-    which is where a classic session's entries would die anyway."""
+    session whose probes BOTH error keeps its entries until process
+    exit, which is where a classic session's entries would die anyway."""
+    try:
+        v = session.is_stopped
+        if isinstance(v, bool):
+            return v
+    except Exception:
+        pass
     try:
         return session.sparkContext._jsc.sc().isStopped() is True
     except Exception:

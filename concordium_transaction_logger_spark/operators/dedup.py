@@ -417,6 +417,11 @@ def components_over_buckets(
     O(component diameter) rounds, and a pathological chain corpus can
     exceed any fixed budget — the loud error names
     :func:`star_components` (O(log² n) on any shape) as the fallback."""
+    if max_iter < 1:
+        # 0 rounds would fall through the loop with changed == 0 and
+        # return every doc as its own singleton — silently wrong, the
+        # exact failure mode the non-convergence raise exists to prevent
+        raise ValueError(f"components_over_buckets: max_iter must be >= 1, got {max_iter}")
     labels = (
         buckets.select("doc_id")
         .distinct()
@@ -737,11 +742,13 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair fan-out carries two ints per pair, never two source strings.
     (A distinct-mask pre-collapse was measured and dropped: at realistic
     source counts the extra aggregate costs more than the explode it
-    saves.) Per-source vocabulary sizes fall out of the same mask
-    frame — the sizes/pairs consumers instantiate the mask-aggregate
-    subtree more than once in the static plan, but it reads the persisted
-    session shingle index and AQE dedupes the exchanges at runtime
-    (measured: 7 reused query stages in the adaptive executed plan). The
+    saves.) Per-source vocabulary sizes are the DIAGONAL of the same
+    pair-cell aggregation (cell (i, i) = shingles containing source i),
+    so the whole matrix is one explode + one groupBy over the mask
+    frame; the |sources|²-bounded cell frame is localCheckpointed so
+    the sizes and pairs consumers never re-run the corpus-sized
+    lineage (previously two aggregate subtrees that AQE could only
+    partially dedup — r6 slope work). The
     mask is SEGMENTED: ceil(|sources|/64) longs, one bit_or aggregate
     per word — ≤64 sources keeps the single-long buffer of old, 128
     sources costs one extra long per shingle of aggregate state (tested
@@ -789,23 +796,33 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> ((element_at(marr, CAST(i DIV 64 AS INT) + 1) >> (i % 64)) & 1) = 1)"
     ).alias("bits")
     mc = masks.select(bits)
-    sizes = (
-        mc.select(F.explode("bits").alias("idx"))
-        .groupBy("idx")
-        .agg(F.count("*").alias("n_sh"))
-    )
+    # ONE explode + ONE groupBy over the mask frame: the upper triangle
+    # INCLUDING the diagonal — cell (i, i) counts shingles containing
+    # source i, i.e. the per-source vocabulary size, so the separate
+    # sizes aggregation (a second full pass over the shingle masks that
+    # AQE could only partially dedup against the pairs subtree) folds
+    # into the same shuffle. Total fan-out is identical: the old
+    # per-bit sizes explode IS the diagonal. The cell frame is
+    # |sources|²-bounded — localCheckpoint pins it so the sizes and
+    # pairs consumers below never re-run the corpus-sized lineage.
     pair = F.explode(
         F.expr(
             "flatten(transform(bits, (x, i) ->"
-            " transform(slice(bits, i + 2, size(bits)),"
+            " transform(slice(bits, i + 1, size(bits) - i),"
             " y -> struct(x AS ia, y AS ib))))"
         )
     ).alias("p")
-    pairs = (
-        mc.filter(F.size("bits") >= 2)
-        .select(pair)
+    cells = (
+        mc.select(pair)
         .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
-        .agg(F.count("*").alias("inter_shingles"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    sizes = cells.filter(F.col("ia") == F.col("ib")).select(
+        F.col("ia").alias("idx"), F.col("cnt").alias("n_sh")
+    )
+    pairs = cells.filter(F.col("ia") < F.col("ib")).withColumnRenamed(
+        "cnt", "inter_shingles"
     )
     sz = sizes.join(F.broadcast(srcidx), "idx")
     za = sz.select(

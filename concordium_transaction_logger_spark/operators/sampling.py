@@ -364,7 +364,16 @@ def dsir_weights(
         )
         .withColumn(
             "mean_score_millibits",
-            F.round(1000.0 * F.col("score_bits") / F.col("n_feats")).cast("long"),
+            # Integer round-half-away-from-zero (score_bits may be
+            # negative): matches what float ROUND computed in both
+            # engines, but with no float — exact .5 ties can't drift
+            # against a pure-Python integer reference.
+            F.expr(
+                "CASE WHEN score_bits >= 0"
+                " THEN (2000 * score_bits + n_feats) DIV (2 * n_feats)"
+                " ELSE -((-2000 * score_bits + n_feats) DIV (2 * n_feats))"
+                " END"
+            ).cast("long"),
         )
         .orderBy("doc_id")
     )

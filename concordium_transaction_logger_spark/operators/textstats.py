@@ -695,14 +695,36 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "mean_surprisal_millibits",
-            F.round(1000.0 * F.col("total_surprisal_bits") / F.col("n_tokens"))
-            .cast("long"),
+            # Integer half-up: (2000*s + n) DIV (2*n) == round(1000*s/n)
+            # with exact .5 ties going up — no float, so Spark, DuckDB and
+            # any pure-Python reference agree bit-for-bit (Python round()
+            # banker's-rounds the tie; float ROUND did not drift but kept
+            # one float expression in an otherwise integer-exact engine).
+            F.expr(
+                "(2000 * total_surprisal_bits + n_tokens) DIV (2 * n_tokens)"
+            ).cast("long"),
         )
         .orderBy("doc_id")
     )
 
 
-def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Bigram-LM vocabulary floor: corpus bigrams with fewer than this many
+#: occurrences are pruned from the model and their occurrences scored at
+#: the OOV backoff cost (bit-length of the corpus bigram total — a
+#: ~1/2N floor probability, strictly costlier than any kept bigram).
+#: Zipf makes hapax bigrams ~half the distinct vocabulary in natural
+#: text, so the floor halves the model table (the scoring join's build
+#: side) without touching the per-document occurrence counts — the
+#: 100 TB point is that the PRUNED model converges to a bounded
+#: vocabulary and the scoring join stays broadcast while the corpus
+#: grows. Part of the operator definition: the oracle prunes
+#: identically (registry._BIGRAM_CTES).
+BIGRAM_MIN_COUNT = 2
+
+
+def bigram_surprisal(
+    spark: SparkSession, sf_dir: str, min_count: int = BIGRAM_MIN_COUNT
+) -> DataFrame:
     """Conditional (bigram) LM document scoring — the sequence-level
     companion to :func:`unigram_surprisal`: a bigram LM is trained on
     the corpus itself and every document is scored by its mean
@@ -719,7 +741,13 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); occurrences pre-aggregate map-side to (doc_id, bg, k);
     the LM is a bigram-vocabulary-sized groupBy, context counts re-
     aggregate the bigram counts (never the corpus), and AQE broadcasts
-    the vocab side of the scoring join when it fits. Documents with
+    the vocab side of the scoring join when it fits. The
+    ``min_count`` vocabulary floor (BIGRAM_MIN_COUNT) prunes hapax
+    bigrams from the model — roughly half the distinct vocabulary
+    under Zipf — and scores their occurrences at the OOV backoff
+    (bitlen of the corpus bigram total, a ~1/2N floor probability), so
+    the scoring join's build side converges to a bounded vocabulary as
+    the corpus grows instead of scaling with it. Documents with
     fewer than two tokens have no bigrams and are absent from the
     output, exactly as in the oracle. Docstring spec refs: the tokens()
     expression is the shared one (oracle prologue ``toks``)."""
@@ -742,10 +770,13 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bc2 sums bpdt) — aggregating `big` directly would re-run the
     # tokenize+explode scan as a second subtree in the same plan
     c2 = per_doc.groupBy("bg").agg(F.sum("k").alias("cnt2"))
+    # OOV backoff cost: one row, from the full (pre-prune) count table
+    tot = c2.agg(F.sum("cnt2").cast("long").alias("tot"))
+    c2p = c2.filter(F.col("cnt2") >= min_count)
     prev = F.split(F.col("bg"), " ")[0]
-    c1 = c2.groupBy(prev.alias("prev")).agg(F.sum("cnt2").alias("cnt1"))
+    c1 = c2p.groupBy(prev.alias("prev")).agg(F.sum("cnt2").alias("cnt1"))
     bits_tbl = (
-        c2.withColumn("prev", prev)
+        c2p.withColumn("prev", prev)
         .join(c1, "prev")
         .select(
             "bg",
@@ -754,20 +785,25 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bits"),
         )
     )
+    oov_bits = F.length(F.bin(F.col("tot"))).cast("long")
+    eff_bits = F.coalesce(F.col("bits"), oov_bits)
     return (
-        per_doc.join(bits_tbl, "bg")
+        per_doc.join(bits_tbl, "bg", "left")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("long").alias("n_bigrams"),
-            F.sum(F.col("k") * F.col("bits")).cast("long").alias(
+            F.sum(F.col("k") * eff_bits).cast("long").alias(
                 "total_surprisal_bits"
             ),
-            F.max("bits").cast("long").alias("max_bigram_bits"),
+            F.max(eff_bits).cast("long").alias("max_bigram_bits"),
         )
         .withColumn(
             "mean_surprisal_millibits",
-            F.round(1000.0 * F.col("total_surprisal_bits") / F.col("n_bigrams"))
-            .cast("long"),
+            # Same integer half-up form as unigram_surprisal (see there).
+            F.expr(
+                "(2000 * total_surprisal_bits + n_bigrams) DIV (2 * n_bigrams)"
+            ).cast("long"),
         )
         .orderBy("doc_id")
     )

@@ -146,8 +146,12 @@ def query_account_over_layout(
         # The adaptivity check alone cannot catch a DROPPED bucketed
         # scan (a local sort adds no exchange), and for limit=None the
         # single-pruned-bucket property is what makes the partition-local
-        # sort a total order — assert the scan itself, loudly.
-        if "SelectedBucketsCount: 1 out of" not in pinned.toString():
+        # sort a total order — assert the scan itself, loudly. Probe the
+        # scan node's optionalBucketSet programmatically first (the
+        # executed-plan STRING rendering of bucket metadata is
+        # Spark-version formatting, not API); fall back to the string
+        # only if the node API itself moved.
+        if not _scan_pruned_to_one_bucket(pinned):
             raise AssertionError(
                 "query_account_over_layout: the pinned plan lost the "
                 "bucket-pruned scan (bucketing disabled on the session, or "
@@ -158,6 +162,36 @@ def query_account_over_layout(
         return df
     finally:
         spark.conf.set(key, prior)
+
+
+def _scan_pruned_to_one_bucket(pinned) -> bool:
+    """True iff the executed plan contains a bucketed file scan whose
+    bucket filter pruned to EXACTLY one bucket. Primary probe is the
+    scan node's own API (``bucketedScan`` + ``optionalBucketSet``
+    cardinality on FileSourceScanExec — leaves of the pinned plan);
+    fallback is a whitespace-tolerant match on the plan string, so a
+    Spark upgrade that reworks either the metadata text or the node API
+    (but not both) cannot make a healthy, correctly-bucketed point query
+    raise."""
+    try:
+        leaves = pinned.collectLeaves()
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            try:
+                if not node.bucketedScan():
+                    continue
+                obs = node.optionalBucketSet()
+                if obs.isDefined() and obs.get().cardinality() == 1:
+                    return True
+            except Exception:
+                continue
+    except Exception:
+        pass
+    import re
+
+    return bool(
+        re.search(r"SelectedBucketsCount\s*:\s*1\s+out\s+of", pinned.toString())
+    )
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:

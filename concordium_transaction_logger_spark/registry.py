@@ -285,7 +285,7 @@ sp AS (
 # Bigram-LM derivation shared by doc_bigram_surprisal and the
 # doc_perplexity_buckets decision: per-doc bigram counts, the corpus
 # bigram/context counts, and the bit-length-quantized surprisal table.
-_BIGRAM_CTES = """
+_BIGRAM_CTES = f"""
 , bocc AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, len(t) - 1),
@@ -294,11 +294,16 @@ _BIGRAM_CTES = """
 ),
 bpdt AS (SELECT doc_id, bg, COUNT(*) AS k FROM bocc GROUP BY doc_id, bg),
 bc2 AS (SELECT bg, SUM(k) AS cnt2 FROM bpdt GROUP BY bg),
+-- vocab floor (textstats.BIGRAM_MIN_COUNT): hapax bigrams leave the
+-- model; their occurrences score at the OOV backoff (bitlen of the
+-- corpus bigram total). Mirrors the engine definition exactly.
+boov AS (SELECT CAST(length(bin(SUM(cnt2))) AS BIGINT) AS oov FROM bc2),
+bc2p AS (SELECT bg, cnt2 FROM bc2 WHERE cnt2 >= {textstats.BIGRAM_MIN_COUNT}),
 bc1 AS (SELECT string_split(bg, ' ')[1] AS prev, SUM(cnt2) AS cnt1
-        FROM bc2 GROUP BY prev),
+        FROM bc2p GROUP BY prev),
 bbits AS (
-  SELECT bg, CAST(length(bin(c1.cnt1)) - length(bin(bc2.cnt2)) AS BIGINT) AS bits
-  FROM bc2 JOIN bc1 c1 ON string_split(bc2.bg, ' ')[1] = c1.prev
+  SELECT bg, CAST(length(bin(c1.cnt1)) - length(bin(bc2p.cnt2)) AS BIGINT) AS bits
+  FROM bc2p JOIN bc1 c1 ON string_split(bc2p.bg, ' ')[1] = c1.prev
 )"""
 
 
@@ -1677,7 +1682,7 @@ SELECT doc_id,
   CAST(SUM(k) AS BIGINT) AS n_tokens,
   CAST(SUM(k * bits) AS BIGINT) AS total_surprisal_bits,
   CAST(MAX(bits) AS BIGINT) AS max_token_bits,
-  CAST(ROUND(1000.0 * SUM(k * bits) / SUM(k)) AS BIGINT) AS mean_surprisal_millibits
+  CAST((2000 * SUM(k * bits) + SUM(k)) // (2 * SUM(k)) AS BIGINT) AS mean_surprisal_millibits
 FROM updt JOIN ubits USING (tok)
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -1691,10 +1696,11 @@ GROUP BY doc_id ORDER BY doc_id
             + """
 SELECT doc_id,
   CAST(SUM(k) AS BIGINT) AS n_bigrams,
-  CAST(SUM(k * bits) AS BIGINT) AS total_surprisal_bits,
-  CAST(MAX(bits) AS BIGINT) AS max_bigram_bits,
-  CAST(ROUND(1000.0 * SUM(k * bits) / SUM(k)) AS BIGINT) AS mean_surprisal_millibits
-FROM bpdt JOIN bbits USING (bg)
+  CAST(SUM(k * COALESCE(bits, (SELECT oov FROM boov))) AS BIGINT) AS total_surprisal_bits,
+  CAST(MAX(COALESCE(bits, (SELECT oov FROM boov))) AS BIGINT) AS max_bigram_bits,
+  CAST((2000 * SUM(k * COALESCE(bits, (SELECT oov FROM boov))) + SUM(k))
+       // (2 * SUM(k)) AS BIGINT) AS mean_surprisal_millibits
+FROM bpdt LEFT JOIN bbits USING (bg)
 GROUP BY doc_id ORDER BY doc_id
 """
         ),
@@ -1708,8 +1714,10 @@ GROUP BY doc_id ORDER BY doc_id
             _BIGRAM_CTES
             + """
 , bs AS (
-  SELECT doc_id, CAST(ROUND(1000.0 * SUM(k * bits) / SUM(k)) AS BIGINT) AS s
-  FROM bpdt JOIN bbits USING (bg) GROUP BY doc_id
+  SELECT doc_id,
+         CAST((2000 * SUM(k * COALESCE(bits, (SELECT oov FROM boov))) + SUM(k))
+              // (2 * SUM(k)) AS BIGINT) AS s
+  FROM bpdt LEFT JOIN bbits USING (bg) GROUP BY doc_id
 ),
 bhist AS (SELECT s, COUNT(*) AS cnt FROM bs GROUP BY s),
 bcum AS (SELECT s, cnt, SUM(cnt) OVER (ORDER BY s) AS cum,
@@ -2619,7 +2627,10 @@ dwb AS (
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
        CAST(SUM(w_bits) AS BIGINT) AS score_bits,
-       CAST(ROUND(1000.0 * SUM(w_bits) / COUNT(*)) AS BIGINT) AS mean_score_millibits
+       CAST(CASE WHEN SUM(w_bits) >= 0
+                 THEN (2000 * SUM(w_bits) + COUNT(*)) // (2 * COUNT(*))
+                 ELSE -((-2000 * SUM(w_bits) + COUNT(*)) // (2 * COUNT(*)))
+            END AS BIGINT) AS mean_score_millibits
 FROM db JOIN dwb USING (b)
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -3057,53 +3068,56 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # ---- round-5 rotation: 30 never-driver-checked entries take the
-    # slots of r04-green rows (all rotated-out names stay value-checked
-    # every pytest run by test_oracle_parity; ann_cosine_topk /
-    # doc_bm25_topk / embedding_kmeans_profile additionally stay
-    # transitively exercised by hybrid_rrf_topk and the semdedup/kmeans
-    # index path). Holdover (1): embedding_semdedup_pairs, the op whose
-    # default changed this round (scale-safe k).
-    # deduplication / span family
-    "doc_dup_components_star",
-    "doc_ngram_jaccard_exact",
-    "doc_fingerprints",
-    "doc_simhash_dup_pairs",
-    "doc_stop_shingles",
-    "doc_winnow_stop_fps",
-    # similarity / embedding family
-    "embedding_semdedup_pairs",
-    "embedding_label_centroids",
-    "embedding_lang_label_stats",
-    # retrieval (hybrid composes the BM25 and ANN modalities)
-    "hybrid_rrf_topk",
-    # PII curation step (new in round 5)
-    "doc_pii_stats",
-    "doc_pii_redact",
-    # text-analysis family
-    "doc_perceptron_eval",
-    "corpus_bpe_apply",
+    # ---- round-6 rotation: the ENTIRE remaining never-driver-checked
+    # backlog (25 oracle-backed entries after r5) takes slots, so after
+    # this round every oracle-backed registry entry has been
+    # driver-checked at least once across r01-r06 (backlog = 0). The
+    # final 6 slots hold this round's changed-definition ops as
+    # regression signals: doc_unigram_surprisal + doc_dsir_weights
+    # (float ROUND -> integer half-up/away-from-zero mean),
+    # corpus_source_overlap + corpus_bpe_merges (r6 slope-tightening
+    # targets), embedding_semdedup_pairs (k-default holdover
+    # continuity) and doc_duplicate_spans (the permille convention the
+    # r5 flake lived in). All rotated-out r5 names stay value-checked
+    # every pytest run by test_oracle_parity.
+    # relational / TPC-H / window family (the 13 never-checked rows)
+    "event_type_sliding",
+    "nation_pair_volume",
+    "disjunctive_part_revenue",
+    "part_margin_by_nation",
+    "peak_revenue_suppliers",
+    "ansi_sql_gateway",
+    "nation_participation_balance",
+    "forecast_revenue_change",
+    "returned_item_losses",
+    "concentrated_part_revenue",
+    "late_shipment_priority_split",
+    "cheapest_supplier_per_part",
+    "dominant_part_suppliers",
+    # text-analysis family (never-checked + this round's changed means)
+    "doc_bigram_surprisal",
+    "doc_perplexity_buckets",
+    "doc_unigram_surprisal",
     "doc_dsir_weights",
-    "doc_bigram_repetition",
-    "doc_source_profile",
-    "doc_split_counts",
-    # curation (per-source PII exposure rollup, new in round 5)
-    "source_pii_profile",
-    # multimodal plumbing
-    "media_byte_histogram",
-    "media_resize",
-    # events / streaming-shape analytics
-    "events_column_profile",
-    "event_funnel",
-    "weekly_retention",
-    "event_type_hourly",
-    "event_hourly_anomaly",
-    # relational / TPC-H / window family
-    "lone_late_supplier",
-    "nation_market_share",
-    "top_orders_per_customer",
-    "orders_trailing_month_count",
-    "promo_revenue_permille",
+    # chunking / dedup family
+    "doc_passage_chunks",
+    "doc_chunk_dup_groups",
+    "doc_duplicate_spans",
+    "doc_tfidf_cosine_pairs",
+    "corpus_source_overlap",
+    # decontamination
+    "doc_bloom_contamination",
+    "embedding_split_contamination",
+    # embedding family
+    "embedding_semdedup_survivors",
+    "embedding_semdedup_pairs",
+    # graph / sketch family
+    "graph_trade_pagerank",
+    "dedup_graph_triangles",
+    "trade_graph_components",
+    "token_cms_topk",
+    # tokenizer (r6 merge-batching target)
+    "corpus_bpe_merges",
 ]
 
 # Star-contraction components twin: identical output contract and oracle
@@ -3122,8 +3136,12 @@ def _pagerank_step(k: int) -> str:
     return f"""
 pr_r{k} AS (
   SELECT n.node,
+         -- HUGEINT product: the engine computes 850*r*w in DECIMAL(38,0)
+         -- (int64 can overflow once rank mass concentrates on a hub);
+         -- both engines are exact to 10^38 and the quotient fits BIGINT.
          CAST({graph.PR_BASE_MICRO} + COALESCE(
-                SUM(({graph.PR_DAMPING_PERMILLE} * r.r * e.w) // (1000 * e.wout)),
+                SUM((CAST({graph.PR_DAMPING_PERMILLE} AS HUGEINT) * r.r * e.w)
+                    // (CAST(1000 AS HUGEINT) * e.wout)),
                 0) AS BIGINT) AS r
   FROM pr_nodes n
   LEFT JOIN pr_e e ON e.dst = n.node

@@ -224,10 +224,22 @@ def merge_supply_upsert(
     concurrent deliveries both read 'not applied' and double-apply.)
     Without these arguments the call is the bare transactional MERGE
     (caller owns replay semantics)."""
+    # The inner GROUP BY collapses accidental duplicate stagings: the
+    # staging contract is one row per (key, ingest_batch) — deltas are
+    # pre-aggregated per batch before staging — so two rows for one
+    # (key, batch) can only be two deliveries of the SAME delta racing
+    # through stage_supply_deltas' delete+append (which are separate
+    # transactions). MAX keeps exactly one copy per (key, batch); the
+    # outer SUM then legitimately accumulates across distinct crashed
+    # batches left behind by stage->merge failures.
     refill = (
         f"DELETE FROM {staging}_agg",
         f"INSERT INTO {staging}_agg SELECT idx, subidx, token_id, "
-        f"SUM(total_supply) FROM {staging} GROUP BY idx, subidx, token_id",
+        f"SUM(total_supply) FROM ("
+        f"SELECT idx, subidx, token_id, ingest_batch, "
+        f"MAX(total_supply) AS total_supply FROM {staging} "
+        f"GROUP BY idx, subidx, token_id, ingest_batch"
+        f") s GROUP BY idx, subidx, token_id",
     )
     merge = f"""
 MERGE INTO {target} t USING {staging}_agg s

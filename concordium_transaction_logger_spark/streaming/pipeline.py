@@ -1064,34 +1064,49 @@ def compact_sink(
         # rests on the replay contract (same batch id ⇒ same rows, see
         # the corollary above); a sink that violated it (a writer that
         # lost its checkpoint and reused folded ids for NEW rows) would
-        # lose those rows silently. Verify the cheap necessary
-        # condition — per-batch row counts match — BEFORE any manifest
-        # or directory mutation, and refuse the migration loudly on a
-        # mismatch instead of destroying the evidence.
+        # lose those rows silently. Verify BEFORE any manifest or
+        # directory mutation, and refuse the migration loudly on a
+        # mismatch instead of destroying the evidence. The check is a
+        # per-batch CONTENT fingerprint — row count plus an
+        # order-independent XOR of a 64-bit row hash over the sorted
+        # data columns — not count alone: a replay that produced the
+        # same number of DIFFERENT rows (the r5-ADVICE hole) must also
+        # be refused, at the same one-aggregate-per-side cost.
         hidden = [b for b in _live_batches(path) if 0 <= b <= fold_from]
         if hidden:
-            vcounts = {
-                int(r["ingest_batch"]): int(r["n"])
-                for r in _batch_keyed(spark, vdir)
-                .filter(F.col("ingest_batch").isin(hidden))
+            vkeyed = _batch_keyed(spark, vdir)
+            data_cols = sorted(c for c in vkeyed.columns if c != "ingest_batch")
+            fp_aggs = lambda: [  # noqa: E731 — one definition, two plans
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64(*data_cols)).alias("fp"),
+            ]
+            vstats = {
+                int(r["ingest_batch"]): (int(r["n"]), r["fp"])
+                for r in vkeyed.filter(F.col("ingest_batch").isin(hidden))
                 .groupBy("ingest_batch")
-                .agg(F.count("*").alias("n"))
+                .agg(*fp_aggs())
                 .collect()
             }
             for b in hidden:
-                plain_n = spark.read.parquet(
-                    os.path.join(path, f"ingest_batch={b}")
-                ).count()
-                if plain_n != vcounts.get(b, 0):
+                row = (
+                    spark.read.parquet(os.path.join(path, f"ingest_batch={b}"))
+                    .agg(*fp_aggs())
+                    .first()
+                )
+                plain = (int(row["n"]), row["fp"])
+                if plain != vstats.get(b, (0, None)):
                     raise ValueError(
                         f"compact_sink: legacy migration refused — plain "
-                        f"partition ingest_batch={b} holds {plain_n} rows "
-                        f"but the compacted version holds "
-                        f"{vcounts.get(b, 0)} for that batch; a replay "
-                        f"must be row-identical (lost-checkpoint replays "
-                        f"that reuse folded batch ids for new rows must "
-                        f"target a fresh sink — see the contract "
-                        f"corollary in the compact_sink docstring)"
+                        f"partition ingest_batch={b} holds {plain[0]} rows "
+                        f"(content fp {plain[1]}) but the compacted "
+                        f"version holds "
+                        f"{vstats.get(b, (0, None))[0]} rows (fp "
+                        f"{vstats.get(b, (0, None))[1]}) for that batch; "
+                        f"a replay must be row-identical "
+                        f"(lost-checkpoint replays that reuse folded "
+                        f"batch ids for new rows must target a fresh "
+                        f"sink — see the contract corollary in the "
+                        f"compact_sink docstring)"
                     )
     else:
         fold_from = old_hwm
@@ -1553,7 +1568,11 @@ class StreamingCorpusIngest:
     #: row-local and order-free, so those rejects are never resurrected.
     _DEDUP_REASONS = ("exact_dup", "near_dup", "span_dup")
 
-    def reconcile(self) -> DataFrame:
+    def reconcile(
+        self,
+        components_kernel: str = "hashmin",
+        components_max_iter: int = 20,
+    ) -> DataFrame:
         """Re-run the BATCH verdict over everything the stream has seen
         and rewrite the sinks to it — the out-of-order reconciler the
         one-pass admission defers to (class docstring): a duplicate whose
@@ -1583,6 +1602,16 @@ class StreamingCorpusIngest:
         step: a later lost-checkpoint full replay re-applies the greedy
         verdict per batch and needs a fresh reconcile after it.
 
+        ``components_kernel`` picks the near-dup component algorithm:
+        ``"hashmin"`` (default — O(component diameter) rounds, capped at
+        ``components_max_iter``, raises loudly on non-convergence) or
+        ``"star"`` (Kiveris star contraction, O(log² n) rounds on ANY
+        shape — the switch for a long-diameter seen corpus, reachable
+        HERE rather than only from the error message's advice). The star
+        path builds its edge list as per-bucket stars (bucket-min doc ↔
+        member), Σ|bucket| edges — linear, never the Σ|bucket|² pair
+        space.
+
         Scale shape: one fingerprint aggregate, one component propagation
         over the candidate sliver, one span window pass — the same plans
         as the batch operators, reading the sink instead of the source;
@@ -1591,7 +1620,14 @@ class StreamingCorpusIngest:
             components_over_buckets,
             doc_band_buckets,
             span_admission_frame,
+            star_components,
         )
+
+        if components_kernel not in ("hashmin", "star"):
+            raise ValueError(
+                f"components_kernel must be 'hashmin' or 'star', "
+                f"got {components_kernel!r}"
+            )
 
         src = self.spark.read.parquet(self.source_dir)
         doc_cols = src.columns
@@ -1627,9 +1663,33 @@ class StreamingCorpusIngest:
             "exact_ok", F.col("doc_id") == F.col("fp_keeper")
         )
         if self.near_dup:
-            comp = components_over_buckets(
-                doc_band_buckets(corpus), corpus.select("doc_id")
-            ).select("doc_id", "component_id")
+            bkts = doc_band_buckets(corpus)
+            if components_kernel == "star":
+                bmin = bkts.groupBy("bucket").agg(F.min("doc_id").alias("a"))
+                edges = (
+                    bkts.join(bmin, "bucket")
+                    .select("a", F.col("doc_id").alias("b"))
+                    .filter(F.col("a") != F.col("b"))
+                )
+                core = star_components(edges).withColumnRenamed(
+                    "node", "doc_id"
+                )
+                comp = (
+                    corpus.select("doc_id")
+                    .join(core, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.coalesce("component_id", "doc_id").alias(
+                            "component_id"
+                        ),
+                    )
+                )
+            else:
+                comp = components_over_buckets(
+                    bkts,
+                    corpus.select("doc_id"),
+                    max_iter=components_max_iter,
+                ).select("doc_id", "component_id")
             verdict = verdict.join(comp, "doc_id").withColumn(
                 "near_ok", F.col("doc_id") == F.col("component_id")
             )

@@ -41,6 +41,12 @@ def _write_docs(spark, tmp_path, token_lists):
     return path
 
 
+def _half_up(num, den):
+    """round(num/den) with exact .5 ties going UP (num, den >= 0) — the
+    integer form (2*num + den) // (2*den) shared by op + oracle."""
+    return (2 * num + den) // (2 * den)
+
+
 def _py_duplicate_spans(token_lists, span_l):
     """Reference: hash every span_l-token window, mark windows occurring
     >= 2 times corpus-wide, merge overlapping windows per doc."""
@@ -64,7 +70,9 @@ def _py_duplicate_spans(token_lists, span_l):
             else:
                 segs.append([p, p + span_l])
         n_dup = sum(e - s for s, e in segs)
-        pm = round(1000.0 * n_dup / len(toks)) if toks else 0
+        # Integer half-up — Python round() banker's-rounds exact .5 ties
+        # (25000/16 -> 1562) while the engine and DuckDB round half-up.
+        pm = _half_up(1000 * n_dup, len(toks)) if toks else 0
         out[doc_id] = (len(toks), len(segs), n_dup, pm)
     return out
 
@@ -106,7 +114,7 @@ def _py_surprisal(token_lists):
             len(toks),
             s,
             max(bits[t] for t in toks),
-            round(1000.0 * s / len(toks)),
+            _half_up(1000 * s, len(toks)),
         )
     return out
 
@@ -135,6 +143,46 @@ def test_unigram_surprisal_matches_python_reference(spark, tmp_path, token_lists
         for r in textstats.unigram_surprisal(spark, sf).collect()
     }
     assert got == _py_surprisal(token_lists)
+
+
+def test_unigram_surprisal_half_up_on_exact_tie(spark, tmp_path):
+    """Seeded regression for the r5 hypothesis flake: 16 tokens carrying
+    25 total bits -> 25000/16 = 1562.5 exactly. The engine, the DuckDB
+    oracle and the Python reference must all say 1563 (half-up), where
+    Python's float round() says 1562 (banker's)."""
+    toks = ["aa"] * 13 + ["bb", "cc", "dd"]  # total 16 (5 bits);
+    # aa: count 13 -> 5-4 = 1 bit x13; bb/cc/dd: count 1 -> 4 bits x3 => s=25
+    sf = _write_docs(spark, tmp_path, [toks])
+    row = textstats.unigram_surprisal(spark, sf).collect()[0]
+    assert (row.n_tokens, row.total_surprisal_bits) == (16, 25)
+    assert row.mean_surprisal_millibits == 1563
+    assert _py_surprisal([toks])[0][3] == 1563
+
+
+def test_bigram_vocab_floor_scores_hapax_at_oov(spark, tmp_path):
+    """The r6 bigram-LM vocabulary floor: a corpus bigram below
+    BIGRAM_MIN_COUNT leaves the model and its occurrences score at the
+    OOV backoff (bitlen of the corpus bigram total), while repeated
+    bigrams keep the conditional bitlen(cnt1)-bitlen(cnt2) cost. Doc 0
+    repeats 'aa bb' (kept); doc 1's 'cc dd' is hapax (OOV)."""
+    sf = _write_docs(
+        spark, tmp_path, [["aa", "bb"] * 3, ["cc", "dd"]]
+    )
+    rows = {
+        r.doc_id: r for r in textstats.bigram_surprisal(spark, sf).collect()
+    }
+    # corpus bigrams: doc0 contributes 'aa bb'x3, 'bb aa'x2; doc1 'cc dd'x1
+    tot = 6
+    oov = tot.bit_length()
+    # kept: cnt('aa bb')=3, context 'aa' total=3 -> bits 2-2=0;
+    #       cnt('bb aa')=2, context 'bb' total=2 -> bits 2-2=0
+    assert rows[0].total_surprisal_bits == 0
+    assert rows[0].max_bigram_bits == 0
+    # hapax 'cc dd' pruned -> OOV cost
+    assert rows[1].n_bigrams == 1
+    assert rows[1].total_surprisal_bits == oov
+    assert rows[1].max_bigram_bits == oov
+    assert rows[1].mean_surprisal_millibits == 1000 * oov
 
 
 def test_duplicate_spans_planted_full_duplicate(spark, tmp_path):
@@ -241,7 +289,9 @@ def _py_dsir(token_lists, n_buckets=256, val_permille=100):
     out = {}
     for d, bs in feats.items():
         s = sum(w[b] for b in bs)
-        out[d] = (len(bs), s, round(1000.0 * s / len(bs)))
+        # Half away from zero (s may be negative), matching the engine.
+        pm = _half_up(1000 * s, len(bs)) if s >= 0 else -_half_up(-1000 * s, len(bs))
+        out[d] = (len(bs), s, pm)
     return out
 
 

@@ -54,6 +54,32 @@ def test_trade_pagerank_matches_python_reference(spark, sf_dir):
         assert r[n] == graph.PR_BASE_MICRO
 
 
+def test_pagerank_contribution_survives_int64_overflow_scale(spark):
+    """The r5-ADVICE overflow hazard: 850 * r * w with hub-concentrated
+    rank (r up to ~N*10^6) and unbounded trade counts exceeds int64 —
+    all-BIGINT arithmetic would raise under ANSI (Spark 4 default) and
+    wrap silently without it. The DECIMAL(38,0) product must instead
+    yield the exact quotient. w = wout = 5*10^12 makes 850 * 10^6 *
+    5*10^12 = 4.25*10^21 > 2^63; the correct contribution is just
+    850_000 (w/wout = 1)."""
+    from concordium_transaction_logger_spark.operators import graph
+
+    big_w = 5_000_000_000_000
+    e = spark.createDataFrame(
+        [(0, 1, big_w, big_w)], "src long, dst long, w long, wout long"
+    )
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    rows = {
+        (r.node_kind, r.node_key): r.rank_micro
+        for r in graph.pagerank_over_edges(e, nodes, iters=1, top=10).collect()
+    }
+    base = graph.PR_BASE_MICRO
+    damp = graph.PR_DAMPING_PERMILLE
+    # node 1 receives all of node 0's damped mass; node 0 only teleport
+    assert rows[("supplier", 0)] == base + (damp * graph.PR_MASS_MICRO) // 1000
+    assert rows[("customer", 0)] == base
+
+
 def test_dedup_graph_triangles_matches_bruteforce(spark, sf_dir):
     pairs = {
         (r.doc_a, r.doc_b)

@@ -141,6 +141,94 @@ def test_merge_upsert_accumulates_across_batches(spark, sf_dir, derby_url):
     )
 
 
+def test_merge_upsert_concurrent_double_delivery(spark, sf_dir, derby_url):
+    """Two CONCURRENT deliveries of one batch_id (the r5-verdict race:
+    a probe-then-merge spelling would let both read 'not applied' and
+    double-apply). The ledger INSERT is the first statement of the MERGE
+    transaction, so the loser blocks on the winner's uncommitted PK row,
+    gets the duplicate-key refusal when the winner commits, rolls back
+    having applied nothing, and clears only its re-staged copy. End
+    state: deltas applied exactly once, staging drained, one ledger row."""
+    import threading
+
+    jdbc.create_supply_schema(
+        spark, derby_url, "supply_staging_c", "supply_c", "supply_applied_c"
+    )
+    feed = derive.block_feed(spark, sf_dir)
+    deltas = (
+        derive.cis2_events(feed)
+        .groupBy("idx", "subidx", "token_id")
+        .agg(F.sum("amount").alias("total_supply"))
+    )
+    # both deliveries stage the same batch (delete+append collapses them)
+    for _ in range(2):
+        jdbc.stage_supply_deltas(
+            deltas, derby_url, "supply_staging_c", 0, driver=jdbc.DERBY_DRIVER
+        )
+    errs = []
+
+    def deliver():
+        try:
+            jdbc.merge_supply_upsert(
+                spark, derby_url, "supply_staging_c", "supply_c",
+                batch_id=0, ledger="supply_applied_c",
+            )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errs.append(ex)
+
+    threads = [threading.Thread(target=deliver) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = jdbc.read_jdbc(spark, derby_url, "supply_c", driver=jdbc.DERBY_DRIVER)
+    cols = ["idx", "subidx", "token_id", "total_supply"]
+    assert _sorted_rows(got, cols) == _sorted_rows(deltas, cols)
+    assert (
+        jdbc.read_jdbc(
+            spark, derby_url, "supply_staging_c", driver=jdbc.DERBY_DRIVER
+        ).count()
+        == 0
+    )
+    assert (
+        jdbc.query_scalar(spark, derby_url, "SELECT COUNT(*) FROM supply_applied_c")
+        == 1
+    )
+
+
+def test_merge_upsert_collapses_racing_duplicate_staging(spark, sf_dir, derby_url):
+    """The staging-side half of the concurrency story: two deliveries
+    racing through stage_supply_deltas' delete+append (separate
+    transactions) can leave a key's row staged TWICE for one
+    ingest_batch. The refill collapses exact per-(key, batch) duplicates
+    before summing across batches, so one MERGE applies the delta once —
+    while a genuinely distinct crashed batch for the same key still
+    accumulates."""
+    jdbc.create_supply_schema(
+        spark, derby_url, "supply_staging_r", "supply_r", "supply_applied_r"
+    )
+    jdbc.run_sql(
+        spark,
+        derby_url,
+        # batch 0 staged twice for the same key (the interleaved race)...
+        "INSERT INTO supply_staging_r VALUES (1, 0, 'tok', 70, 0)",
+        "INSERT INTO supply_staging_r VALUES (1, 0, 'tok', 70, 0)",
+        # ...plus a distinct crashed batch for the same key: must SUM
+        "INSERT INTO supply_staging_r VALUES (1, 0, 'tok', 5, 1)",
+    )
+    jdbc.merge_supply_upsert(
+        spark, derby_url, "supply_staging_r", "supply_r",
+        batch_id=2, ledger="supply_applied_r",
+    )
+    assert (
+        jdbc.query_scalar(
+            spark, derby_url, "SELECT total_supply FROM supply_r WHERE idx = 1"
+        )
+        == 75
+    )
+
+
 def test_jdbc_batch_writer_replay_converges(spark, sf_dir, derby_url):
     """The foreachBatch JDBC writer's exactly-once contract: a replayed
     micro-batch (at-least-once delivery) deletes its own stamped rows

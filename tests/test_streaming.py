@@ -944,6 +944,30 @@ def test_legacy_migration_refuses_contract_violating_replay(spark, sf_dir, dirs)
     }
     assert got == want, "reader view unchanged on refusal"
 
+    # the r5-ADVICE hole: SAME row count, DIFFERENT rows — a count-only
+    # check would silently GC these; the content fingerprint must refuse
+    top.withColumn("id", F.col("id") + 10_000_000).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, f"ingest_batch={folded_max}"))
+    with _pytest.raises(ValueError, match="legacy migration refused"):
+        pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    with open(manifest) as f:
+        assert f.read().split() == [vname], "manifest untouched on fp refusal"
+    got = {
+        r.id for r in pl.read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    }
+    assert got == want, "reader view unchanged on fp refusal"
+
+    # and a row-identical replay of the folded batch still migrates fine
+    top.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, f"ingest_batch={folded_max}")
+    )
+    pl.compact_sink(spark, dirs["out"], "summaries", target_files=1)
+    got = {
+        r.id for r in pl.read_sink(spark, dirs["out"], "summaries").select("id").collect()
+    }
+    assert got == want, "identical replay folds without doubling"
+
 
 def test_tail_follow_works_across_compactions(spark, sf_dir, dirs):
     """ST9 tail-read on a compacted sink: after compactions have folded
@@ -1348,6 +1372,58 @@ def test_reconcile_converges_disordered_near_dup_to_batch_survivors(
 
     assert ingest.reconcile().count() == 0, "reconcile must be a fixpoint"
     assert {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()} == want
+
+
+def test_reconcile_star_kernel_matches_hashmin_and_max_iter_is_exposed(
+    spark, sf_dir, dirs
+):
+    """The r5-ADVICE dial: reconcile() previously hardwired hash-min
+    components at max_iter=20, so a long-diameter seen corpus hard-failed
+    with advice ('use star_components') the caller had no parameter to
+    act on. Now: components_max_iter=1 must surface hash-min's loud
+    non-convergence error, components_kernel='star' must converge the
+    sink to the same batch survivor set on the same seen corpus, and a
+    bogus kernel name is refused before any work."""
+    import pytest
+
+    from concordium_transaction_logger_spark.operators import dedup
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {r["doc_id"] for r in dedup.dedup_survivors(spark, sf_dir).collect()}
+    slices = [
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+    ]
+    for sl in slices:
+        sl.coalesce(1).write.mode("append").parquet(dirs["source"])
+    ingest = StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        near_dup=True,
+    )
+    ingest.run_available_now()
+
+    with pytest.raises(ValueError, match="components_kernel"):
+        ingest.reconcile(components_kernel="bogus")
+    # an impossible round budget surfaces hash-min's own loud error
+    with pytest.raises(ValueError, match="did not converge"):
+        ingest.reconcile(components_max_iter=1)
+    # and a zero budget is refused outright (it would otherwise fall
+    # through the propagation loop and return all-singleton components)
+    with pytest.raises(ValueError, match="max_iter"):
+        ingest.reconcile(components_max_iter=0)
+
+    ingest.reconcile(components_kernel="star")
+    got = {r["doc_id"] for r in corpus_snapshot(spark, dirs["out"]).collect()}
+    assert got == want
+    assert ingest.reconcile(components_kernel="star").count() == 0
 
 
 def test_reconcile_converges_disordered_span_admission_to_batch_verdict(
