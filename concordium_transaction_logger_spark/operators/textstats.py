@@ -671,14 +671,17 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; everything after the scan is counts."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
     occ = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    per_doc_tok = occ.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
-    # The corpus total comes from a row-local size() sum over the doc scan —
-    # never from re-aggregating the occurrence lineage, which Spark would
-    # recompute as a separate subtree within the same plan.
-    tot = docs.select(
-        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_total")
+    # Pin the (doc_id, tok, k) frame ONCE and derive everything else
+    # from it — the corpus vocabulary (re-aggregate), the corpus total
+    # (one scalar sum), and the final scoring join. Unpinned, each
+    # consumer replays the tokenize + explode corpus pass as its own
+    # subtree (the bigram twin measured its slope riding on exactly
+    # those replays — r6 slope work).
+    per_doc_tok = (
+        occ.groupBy("doc_id", "tok").agg(F.count("*").alias("k")).localCheckpoint()
     )
-    cnt = occ.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = per_doc_tok.agg(F.sum("k").cast("long").alias("n_total"))
+    cnt = per_doc_tok.groupBy("tok").agg(F.sum("k").alias("cnt"))
     bits_tbl = cnt.crossJoin(F.broadcast(tot)).select(
         "tok",
         (F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt"))))
@@ -765,11 +768,18 @@ def bigram_surprisal(
         ),
     ).otherwise(F.array().cast("array<string>"))
     big = docs.select("doc_id", F.explode(bgs).alias("bg"))
-    per_doc = big.groupBy("doc_id", "bg").agg(F.count("*").alias("k"))
+    # Pin the (doc_id, bg, k) frame ONCE: it feeds the corpus count
+    # table AND the final scoring join, and the OOV total adds a third
+    # consumer — unpinned, each subtree replays the tokenize + bigram
+    # explode corpus pass (measured: the whole op's scale slope rode on
+    # the replays, not on any single pass).
+    per_doc = (
+        big.groupBy("doc_id", "bg").agg(F.count("*").alias("k")).localCheckpoint()
+    )
     # corpus counts RE-AGGREGATE the per-doc frame (the oracle's shape:
     # bc2 sums bpdt) — aggregating `big` directly would re-run the
     # tokenize+explode scan as a second subtree in the same plan
-    c2 = per_doc.groupBy("bg").agg(F.sum("k").alias("cnt2"))
+    c2 = per_doc.groupBy("bg").agg(F.sum("k").alias("cnt2")).localCheckpoint()
     # OOV backoff cost: one row, from the full (pre-prune) count table
     tot = c2.agg(F.sum("cnt2").cast("long").alias("tot"))
     c2p = c2.filter(F.col("cnt2") >= min_count)
@@ -1157,6 +1167,15 @@ def _bpe_fit(rep: DataFrame, n_merges: int):
     """The shared BPE fitting loop: returns (merge list, final symbol
     table). Each step is one pair-count aggregate + a 1-row argmax
     collect; merge application is a row-local literal replace."""
+    # Pin the word/frequency table ONCE before the loop: it is
+    # vocabulary-sized (one row per distinct token), but its lineage is
+    # the corpus-sized occurrence explode + groupBy — unpinned, every
+    # step's pair aggregate replays that corpus pass (n steps = n corpus
+    # scans; the whole bpe_train scale slope rode on this). Pinned, the
+    # corpus is read once and each merge step is vocabulary-sized work.
+    # The per-step replace chain stays lazy on top — row-local string
+    # edits over the pinned rows, nothing worth truncating.
+    rep = rep.localCheckpoint()
     merges = []
     for step in range(1, n_merges + 1):
         syms = F.split(

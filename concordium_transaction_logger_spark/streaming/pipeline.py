@@ -1868,7 +1868,10 @@ class StreamingCmsIngest:
     leaves the finer history's tail partitions stale, and because these
     rows are aggregate deltas the stale partitions DOUBLE-COUNT instead
     of merely duplicating rows — changing the batching mid-history
-    requires a sink reset. Because addition commutes, arrival ORDER is
+    requires a sink reset, and :func:`_guard_delta_batching` ENFORCES
+    that: each batch's source-file set is ledgered and a delivery whose
+    batching disagrees with the recorded history is refused before the
+    sink mutates. Because addition commutes, arrival ORDER is
     otherwise irrelevant: any fixed batching of the same documents
     converges to the batch-built sketch cell-for-cell (asserted in
     ``tests/test_streaming_cms.py``) — no admission races, no reconciler
@@ -1898,6 +1901,9 @@ class StreamingCmsIngest:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.textstats import cms_cells, tokens
 
+        _guard_delta_batching(
+            self.spark, self.out_dir, self.checkpoint_dir, batch_id
+        )
         occ = batch_df.select(F.explode(tokens(F.col("text"))).alias("tok"))
         (
             cms_cells(occ)
@@ -1913,6 +1919,91 @@ class StreamingCmsIngest:
             self.spark, self.source_dir, self.max_files_per_trigger
         )
         _await_available_now(reader, self.checkpoint_dir, self._process_batch, "append")
+
+
+def _guard_delta_batching(
+    spark: SparkSession, out_dir: str, checkpoint_dir: str, batch_id: int
+) -> None:
+    """Pin the batching identity of an ADDITIVE-delta sink (r5 stretch
+    item): because delta rows are aggregates, a replay whose batching is
+    COARSER than the recorded history double-counts — the coarse batch
+    overwrites its own partition with a bigger delta while the finer
+    history's tail partitions stay live. The row sinks merely duplicate
+    and converge; delta sinks corrupt. So each batch's SOURCE FILE set
+    is recorded in a ``<out_dir>_batches`` ledger and every delivery is
+    checked BEFORE it writes:
+
+    - known batch_id → the file set must be exactly the recorded one
+      (an identical replay; partition overwrite is then idempotent);
+    - new batch_id → every file must be unrecorded (genuinely new data).
+
+    Anything else — a coarse batch swallowing files of several recorded
+    batches, a finer re-split, a shuffled assignment — raises before
+    the sink mutates, naming the remedy (reset sink + checkpoint
+    together). The batch's file set comes from the stream's OWN source
+    WAL (``<checkpoint>/sources/0/<batchId>`` — committed before
+    foreachBatch runs; a micro-batch DataFrame's ``inputFiles()`` is
+    empty, so the plan can't tell us). Non-file sources have no such
+    WAL entry and skip the guard: the hazard is specifically the
+    file-stream re-batching shape."""
+    import json as _json
+
+    wal = os.path.join(checkpoint_dir, "sources", "0", str(int(batch_id)))
+    if not os.path.exists(wal):
+        return
+    files = []
+    with open(wal) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    files.append(_json.loads(line)["path"])
+                except (ValueError, KeyError):
+                    return  # unknown WAL dialect: don't guess
+    files = sorted(files)
+    if not files:
+        return
+    ledger_dir = out_dir.rstrip(os.sep) + "_batches"
+    recorded: dict[str, int] = {}
+    if os.path.isdir(ledger_dir) and any(
+        not e.startswith("_") for e in os.listdir(ledger_dir)
+    ):
+        recorded = {
+            r["file"]: int(r["ingest_batch"])
+            for r in spark.read.parquet(ledger_dir).collect()
+        }
+    mine = {f for f, b in recorded.items() if b == int(batch_id)}
+    if mine:
+        if set(files) != mine:
+            raise RuntimeError(
+                f"delta sink {out_dir}: batch {batch_id} replayed with a "
+                f"DIFFERENT source-file set than recorded "
+                f"({len(files)} files vs {len(mine)} recorded) — the "
+                f"batching changed mid-history, which double-counts "
+                f"aggregate deltas; reset the sink and checkpoint "
+                f"together to re-batch"
+            )
+    else:
+        clash = [f for f in files if f in recorded]
+        if clash:
+            raise RuntimeError(
+                f"delta sink {out_dir}: batch {batch_id} includes "
+                f"{len(clash)} source file(s) already recorded under "
+                f"other batch ids (e.g. {clash[0]} -> batch "
+                f"{recorded[clash[0]]}) — a coarser-batching replay "
+                f"would double-count aggregate deltas; reset the sink "
+                f"and checkpoint together to re-batch"
+            )
+    (
+        spark.createDataFrame(
+            [(f, int(batch_id)) for f in files], "file string, ingest_batch long"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(ledger_dir)
+    )
 
 
 def _delta_sink_view(spark: SparkSession, out_dir: str, schema) -> DataFrame:
@@ -1979,8 +2070,10 @@ class StreamingTradeGraphIngest:
     the served adjacency is SUM(w) per edge over all deltas. Addition
     commutes, so any fixed batching converges to the batch
     ``_trade_edges`` exactly — and the same coarser-batching replay
-    caveat applies (aggregate-delta rows double-count if the batching
-    changes mid-history; reset the sink to re-batch).
+    hazard applies (aggregate-delta rows double-count if the batching
+    changes mid-history), enforced by the same
+    :func:`_guard_delta_batching` file ledger: a re-batched replay is
+    refused loudly; reset the sink to re-batch.
 
     ``trade_pagerank_from_sink`` then runs the SAME rounds
     (:func:`operators.graph.pagerank_over_edges`) over the served
@@ -2008,6 +2101,9 @@ class StreamingTradeGraphIngest:
         from ..operators.graph import trade_pair_deltas
         from ..sources.tables import load_table
 
+        _guard_delta_batching(
+            self.spark, self.out_dir, self.checkpoint_dir, batch_id
+        )
         orders = load_table(self.spark, self.sf_dir, "orders")
         delta = trade_pair_deltas(batch_df, orders)
         (
