@@ -192,15 +192,18 @@ def pagerank_over_edges(
     for i in range(iters):
         contrib = e.join(ranks, e.src == ranks.node).select(
             F.col("dst").alias("node"),
-            # The product is computed in DECIMAL(38,0) (DuckDB: HUGEINT):
-            # rank mass scales with node count (r up to ~N*10^6 when it
-            # concentrates on a hub) and w is an unbounded trade count,
-            # so all-BIGINT 850*r*w can exceed int64 at the very scale
-            # this operator targets. The quotient is <= r (w <= wout,
-            # damping < 1), so it always fits back in BIGINT.
+            # Both sides of the DIV are computed in DECIMAL(38,0)
+            # (DuckDB: HUGEINT): rank mass scales with node count (r up
+            # to ~N*10^6 when it concentrates on a hub) and w is an
+            # unbounded trade count, so all-BIGINT 850*r*w can exceed
+            # int64 at the very scale this operator targets — and
+            # 1000*wout overflows int64 on its own once a node's
+            # out-weight passes ~9.2*10^15. The quotient is <= r
+            # (w <= wout, damping < 1), so it always fits back in
+            # BIGINT.
             F.expr(
                 f"CAST(({PR_DAMPING_PERMILLE} * CAST(r AS DECIMAL(38,0)) * w)"
-                f" DIV (1000 * wout) AS BIGINT)"
+                f" DIV (1000 * CAST(wout AS DECIMAL(38,0))) AS BIGINT)"
             ).alias("c"),
         )
         ranks = (

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
-from .textstats import tokens
+from .textstats import mean_millis_expr, tokens
 
 
 def _bucket(key: Column, salt: str) -> Column:
@@ -364,16 +364,7 @@ def dsir_weights(
         )
         .withColumn(
             "mean_score_millibits",
-            # Integer round-half-away-from-zero (score_bits may be
-            # negative): matches what float ROUND computed in both
-            # engines, but with no float — exact .5 ties can't drift
-            # against a pure-Python integer reference.
-            F.expr(
-                "CASE WHEN score_bits >= 0"
-                " THEN (2000 * score_bits + n_feats) DIV (2 * n_feats)"
-                " ELSE -((-2000 * score_bits + n_feats) DIV (2 * n_feats))"
-                " END"
-            ).cast("long"),
+            mean_millis_expr("score_bits", "n_feats", signed=True),
         )
         .orderBy("doc_id")
     )

@@ -698,17 +698,29 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "mean_surprisal_millibits",
-            # Integer half-up: (2000*s + n) DIV (2*n) == round(1000*s/n)
-            # with exact .5 ties going up — no float, so Spark, DuckDB and
-            # any pure-Python reference agree bit-for-bit (Python round()
-            # banker's-rounds the tie; float ROUND did not drift but kept
-            # one float expression in an otherwise integer-exact engine).
-            F.expr(
-                "(2000 * total_surprisal_bits + n_tokens) DIV (2 * n_tokens)"
-            ).cast("long"),
+            mean_millis_expr("total_surprisal_bits", "n_tokens"),
         )
         .orderBy("doc_id")
     )
+
+
+def mean_millis_expr(total: str, n: str, signed: bool = False) -> Column:
+    """``round(1000 * total / n)`` as a pure-integer Column — THE
+    engine's rounding convention, single-sourced: exact .5 ties go UP
+    for non-negative totals (``(2000*t + n) DIV (2*n)``) and AWAY FROM
+    ZERO when ``signed`` (DSIR scores can be negative). The DuckDB
+    oracles and the tests' Python references (``tests/
+    test_duplicate_spans._half_up``) spell the same formula; a float
+    ``ROUND`` would agree on every non-tie but leaves the convention
+    implicit, and Python's ``round()`` banker's-rounds the tie — the r5
+    property-test flake this form exists to prevent."""
+    up = f"(2000 * {total} + {n}) DIV (2 * {n})"
+    if not signed:
+        return F.expr(up).cast("long")
+    return F.expr(
+        f"CASE WHEN {total} >= 0 THEN {up}"
+        f" ELSE -((-2000 * {total} + {n}) DIV (2 * {n})) END"
+    ).cast("long")
 
 
 #: Bigram-LM vocabulary floor: corpus bigrams with fewer than this many
@@ -810,10 +822,7 @@ def bigram_surprisal(
         )
         .withColumn(
             "mean_surprisal_millibits",
-            # Same integer half-up form as unigram_surprisal (see there).
-            F.expr(
-                "(2000 * total_surprisal_bits + n_bigrams) DIV (2 * n_bigrams)"
-            ).cast("long"),
+            mean_millis_expr("total_surprisal_bits", "n_bigrams"),
         )
         .orderBy("doc_id")
     )

@@ -1068,8 +1068,11 @@ def compact_sink(
         # directory mutation, and refuse the migration loudly on a
         # mismatch instead of destroying the evidence. The check is a
         # per-batch CONTENT fingerprint — row count plus an
-        # order-independent XOR of a 64-bit row hash over the sorted
-        # data columns — not count alone: a replay that produced the
+        # order-independent SUM of a 64-bit row hash over the sorted
+        # data columns (summed in DECIMAL(38,0): exact, no ANSI
+        # overflow, and multiplicity-sensitive where an XOR fold would
+        # cancel even-multiplicity rows — [A, A, B] vs [C, C, B] XOR to
+        # the same value) — not count alone: a replay that produced the
         # same number of DIFFERENT rows (the r5-ADVICE hole) must also
         # be refused, at the same one-aggregate-per-side cost.
         hidden = [b for b in _live_batches(path) if 0 <= b <= fold_from]
@@ -1078,7 +1081,7 @@ def compact_sink(
             data_cols = sorted(c for c in vkeyed.columns if c != "ingest_batch")
             fp_aggs = lambda: [  # noqa: E731 — one definition, two plans
                 F.count("*").alias("n"),
-                F.bit_xor(F.xxhash64(*data_cols)).alias("fp"),
+                F.sum(F.xxhash64(*data_cols).cast("decimal(38,0)")).alias("fp"),
             ]
             vstats = {
                 int(r["ingest_batch"]): (int(r["n"]), r["fp"])
@@ -1901,9 +1904,7 @@ class StreamingCmsIngest:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.textstats import cms_cells, tokens
 
-        _guard_delta_batching(
-            self.spark, self.out_dir, self.checkpoint_dir, batch_id
-        )
+        _guard_delta_batching(self.out_dir, self.checkpoint_dir, batch_id)
         occ = batch_df.select(F.explode(tokens(F.col("text"))).alias("tok"))
         (
             cms_cells(occ)
@@ -1922,7 +1923,7 @@ class StreamingCmsIngest:
 
 
 def _guard_delta_batching(
-    spark: SparkSession, out_dir: str, checkpoint_dir: str, batch_id: int
+    out_dir: str, checkpoint_dir: str, batch_id: int
 ) -> None:
     """Pin the batching identity of an ADDITIVE-delta sink (r5 stretch
     item): because delta rows are aggregates, a replay whose batching is
@@ -1941,38 +1942,73 @@ def _guard_delta_batching(
     batches, a finer re-split, a shuffled assignment — raises before
     the sink mutates, naming the remedy (reset sink + checkpoint
     together). The batch's file set comes from the stream's OWN source
-    WAL (``<checkpoint>/sources/0/<batchId>`` — committed before
-    foreachBatch runs; a micro-batch DataFrame's ``inputFiles()`` is
-    empty, so the plan can't tell us). Non-file sources have no such
-    WAL entry and skip the guard: the hazard is specifically the
-    file-stream re-batching shape."""
+    WAL (``<checkpoint>/sources/0/<batchId>``, or the periodic
+    ``<batchId>.compact`` snapshot whose entries carry a per-file
+    ``batchId`` — committed before foreachBatch runs; a micro-batch
+    DataFrame's ``inputFiles()`` is empty, so the plan can't tell us).
+    Non-file sources have no such WAL entry and skip the guard: the
+    hazard is specifically the file-stream re-batching shape.
+
+    The ledger is a directory of tiny local JSON sidecars
+    (``batch-<id>.json``, written atomically via rename), deliberately
+    NOT a Spark table: the guard runs on every micro-batch, and a
+    parquet read + write pair per trigger would cost two Spark jobs to
+    bookkeep a file list. A sink that already holds batch partitions
+    with NO ledger at all is refused as unverifiable (a guard that
+    adopted the replay's batching as truth would fail open on exactly
+    the pre-ledger histories it cannot check)."""
     import json as _json
 
-    wal = os.path.join(checkpoint_dir, "sources", "0", str(int(batch_id)))
-    if not os.path.exists(wal):
+    bid = int(batch_id)
+    wal_dir = os.path.join(checkpoint_dir, "sources", "0")
+    wal = os.path.join(wal_dir, str(bid))
+    compact = wal + ".compact"
+    files: list[str] = []
+    if os.path.exists(wal):
+        path_of = None  # plain WAL: every entry belongs to this batch
+    elif os.path.exists(compact):
+        wal = compact  # snapshot: entries carry their own batchId
+        path_of = bid
+    else:
         return
-    files = []
     with open(wal) as fh:
         for line in fh:
             line = line.strip()
             if line.startswith("{"):
                 try:
-                    files.append(_json.loads(line)["path"])
-                except (ValueError, KeyError):
+                    entry = _json.loads(line)
+                    if path_of is None or int(entry.get("batchId", -1)) == path_of:
+                        files.append(entry["path"])
+                except (ValueError, KeyError, TypeError):
                     return  # unknown WAL dialect: don't guess
     files = sorted(files)
     if not files:
         return
     ledger_dir = out_dir.rstrip(os.sep) + "_batches"
     recorded: dict[str, int] = {}
-    if os.path.isdir(ledger_dir) and any(
-        not e.startswith("_") for e in os.listdir(ledger_dir)
-    ):
-        recorded = {
-            r["file"]: int(r["ingest_batch"])
-            for r in spark.read.parquet(ledger_dir).collect()
-        }
-    mine = {f for f, b in recorded.items() if b == int(batch_id)}
+    if os.path.isdir(ledger_dir):
+        for entry_name in os.listdir(ledger_dir):
+            if not entry_name.startswith("batch-"):
+                continue
+            with open(os.path.join(ledger_dir, entry_name)) as fh:
+                rec = _json.load(fh)
+            for f in rec["files"]:
+                recorded[f] = int(rec["ingest_batch"])
+    if not recorded:
+        parent, name = os.path.split(out_dir.rstrip(os.sep))
+        has_history = bool(_live_batches(out_dir)) or (
+            _sink_state(parent, name)[0] is not None
+        )
+        if has_history:
+            raise RuntimeError(
+                f"delta sink {out_dir}: existing batch history (plain "
+                f"partitions or a compaction manifest) but no batching "
+                f"ledger — this sink predates the re-batching guard and "
+                f"cannot be verified against the incoming stream; reset "
+                f"the sink and checkpoint together (or restore the "
+                f"sink's _batches ledger) before appending"
+            )
+    mine = {f for f, b in recorded.items() if b == bid}
     if mine:
         if set(files) != mine:
             raise RuntimeError(
@@ -1994,16 +2030,12 @@ def _guard_delta_batching(
                 f"would double-count aggregate deltas; reset the sink "
                 f"and checkpoint together to re-batch"
             )
-    (
-        spark.createDataFrame(
-            [(f, int(batch_id)) for f in files], "file string, ingest_batch long"
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(ledger_dir)
-    )
+    os.makedirs(ledger_dir, exist_ok=True)
+    final = os.path.join(ledger_dir, f"batch-{bid}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"ingest_batch": bid, "files": files}, fh)
+    os.replace(tmp, final)
 
 
 def _delta_sink_view(spark: SparkSession, out_dir: str, schema) -> DataFrame:
@@ -2101,9 +2133,7 @@ class StreamingTradeGraphIngest:
         from ..operators.graph import trade_pair_deltas
         from ..sources.tables import load_table
 
-        _guard_delta_batching(
-            self.spark, self.out_dir, self.checkpoint_dir, batch_id
-        )
+        _guard_delta_batching(self.out_dir, self.checkpoint_dir, batch_id)
         orders = load_table(self.spark, self.sf_dir, "orders")
         delta = trade_pair_deltas(batch_df, orders)
         (

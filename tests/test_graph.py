@@ -58,13 +58,16 @@ def test_pagerank_contribution_survives_int64_overflow_scale(spark):
     """The r5-ADVICE overflow hazard: 850 * r * w with hub-concentrated
     rank (r up to ~N*10^6) and unbounded trade counts exceeds int64 —
     all-BIGINT arithmetic would raise under ANSI (Spark 4 default) and
-    wrap silently without it. The DECIMAL(38,0) product must instead
-    yield the exact quotient. w = wout = 5*10^12 makes 850 * 10^6 *
-    5*10^12 = 4.25*10^21 > 2^63; the correct contribution is just
-    850_000 (w/wout = 1)."""
+    wrap silently without it. The DECIMAL(38,0) treatment covers BOTH
+    sides of the DIV. w = wout = 10^16 makes the numerator 850 * 10^6 *
+    10^16 = 8.5*10^24 > 2^63 AND the denominator 1000 * 10^16 =
+    10^19 > 2^63; the correct contribution is just 850_000
+    (w/wout = 1)."""
     from concordium_transaction_logger_spark.operators import graph
 
-    big_w = 5_000_000_000_000
+    # big enough that BOTH 850*r*w and the denominator's own 1000*wout
+    # exceed int64 — either all-BIGINT side would raise under ANSI
+    big_w = 10_000_000_000_000_000
     e = spark.createDataFrame(
         [(0, 1, big_w, big_w)], "src long, dst long, w long, wout long"
     )

@@ -144,6 +144,61 @@ def test_coarser_replay_is_refused_before_the_sink_mutates(spark, sf_dir, dirs):
     } == want, "refusal must precede any partition overwrite"
 
 
+def test_guard_ledgers_every_batch_across_wal_compaction(spark, sf_dir, dirs):
+    """Spark's FileStreamSource persists every compactInterval-th batch
+    (default 10) as ``<id>.compact`` instead of ``<id>`` — the guard
+    must parse that snapshot (filtering entries by their own batchId)
+    rather than silently skipping the batch, or 10% of all batches
+    would be permanently unguarded (the review finding). 12 single-file
+    batches must leave 12 ledger entries, including batch 9."""
+    import json
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    for i in range(12):
+        (
+            docs.filter(F.col("doc_id") % 12 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dirs["source"])
+        )
+    StreamingCmsIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    ledger = dirs["out"].rstrip("/") + "_batches"
+    entries = sorted(
+        int(f[len("batch-"):-len(".json")])
+        for f in os.listdir(ledger)
+        if f.startswith("batch-")
+    )
+    assert entries == list(range(12)), entries
+    # the compacted batch's entry holds exactly its own file, not the
+    # whole snapshot
+    with open(os.path.join(ledger, "batch-9.json")) as fh:
+        rec = json.load(fh)
+    assert rec["ingest_batch"] == 9 and len(rec["files"]) == 1
+
+
+def test_guard_refuses_pre_ledger_sink(spark, sf_dir, dirs):
+    """A delta sink whose history predates the ledger cannot be verified
+    against an incoming stream — adopting the replay's batching as truth
+    would fail open on exactly the unverifiable histories; the guard
+    must refuse until the sink (and checkpoint) are reset together."""
+    import shutil as _shutil
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    docs.coalesce(1).write.mode("append").parquet(dirs["source"])
+    StreamingCmsIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"]
+    ).run_available_now()
+    _shutil.rmtree(dirs["out"].rstrip("/") + "_batches")  # pre-r6 shape
+    _shutil.rmtree(dirs["ckpt"])
+    with pytest.raises(Exception, match="predates the re-batching guard"):
+        StreamingCmsIngest(
+            spark, dirs["source"], dirs["out"], dirs["ckpt"]
+        ).run_available_now()
+
+
 def test_cms_sink_survives_compaction(spark, sf_dir, dirs, tmp_path):
     """cms_from_sink must resolve the compaction manifest: after one (and
     two — the second GCs plain partitions below the hwm) compactions, and
