@@ -525,13 +525,19 @@ def star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             .distinct()
         )
 
+    # Convergence = edge-set equality. Both sets are distinct, so
+    # |new| == |old| plus ONE empty one-sided anti-join proves equality
+    # (equal-cardinality subset) — the count is a cheap aggregate and
+    # the anti-join only runs on rounds whose counts already match,
+    # instead of two full anti-joins every round.
+    prev_n = e.count()
     for _ in range(max_iter):
         new_e = star(star(e, large=True), large=False).localCheckpoint()
-        changed = (
-            new_e.join(e, ["a", "b"], "left_anti").limit(1).count()
-            + e.join(new_e, ["a", "b"], "left_anti").limit(1).count()
-        )
-        e = new_e
+        n = new_e.count()
+        changed = 1
+        if n == prev_n:
+            changed = new_e.join(e, ["a", "b"], "left_anti").limit(1).count()
+        e, prev_n = new_e, n
         if changed == 0:
             break
     else:
