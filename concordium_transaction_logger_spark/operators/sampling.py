@@ -338,9 +338,16 @@ def dsir_weights(
         b.alias("b"),
         (_bucket(F.col("doc_id"), salt) < val_permille).alias("is_val"),
     )
-    cc = occ.groupBy("b").agg(
-        F.count("*").alias("c_cnt"),
-        F.sum(F.when(F.col("is_val"), 1).otherwise(0)).alias("t_cnt"),
+    # n_buckets rows, but its lineage is a full index scan + groupBy:
+    # pin it so the totals aggregate and the weight table below don't
+    # each replay that scan as their own subtree.
+    cc = (
+        occ.groupBy("b")
+        .agg(
+            F.count("*").alias("c_cnt"),
+            F.sum(F.when(F.col("is_val"), 1).otherwise(0)).alias("t_cnt"),
+        )
+        .localCheckpoint()
     )
     tot = cc.agg(
         F.sum("c_cnt").alias("ctot"), F.sum("t_cnt").alias("ttot")
