@@ -1767,3 +1767,73 @@ def ansi_sql_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(ANSI_SHARED_SQL)
+
+
+#: Z-order layout dials: bits per dimension (the interleaved key is
+#: 2*ZORDER_BITS wide) and shard count 2**ZORDER_SHARD_BITS.
+ZORDER_BITS = 16
+ZORDER_SHARD_BITS = 6
+
+
+def event_zorder_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = ZORDER_BITS,
+    shard_bits: int = ZORDER_SHARD_BITS,
+) -> DataFrame:
+    """Z-order (Morton-curve) storage-layout manifest over the events
+    stream — the `OPTIMIZE ZORDER BY (user_id, ts)` step of a lakehouse
+    table, computed as a query so the layout decision is verifiable: each
+    event's (user_id, event-time-second) pair is min-max normalized to
+    ``bits``-bit integers, bit-interleaved into a Morton key, and the key
+    space split into 2**shard_bits equal shards. The manifest reports,
+    per shard, how many rows/users land there and how tight the shard's
+    user/time bounding box is — the point of multidimensional clustering:
+    a reader filtering on EITHER user_id OR a time range prunes most
+    shards, which neither a pure time-sort nor a pure user-sort gives.
+
+    Everything is integer-exact (normalization is integer DIV; the
+    interleave is an unrolled sum of disjoint single-bit terms), so the
+    DuckDB oracle computes the identical key bit-for-bit. The dimension
+    ranges come from ONE 1-row min/max aggregate broadcast back into the
+    scan-side key expression; the manifest itself is one partial-agg
+    groupBy on the shard id — two scans, no joins wider than the 1-row
+    broadcast, nothing driver-side. At 100 TB the same expressions feed
+    a ``repartitionByRange(z)``+write: the manifest and the layout are
+    the same plan, which is why the op earns its place in the registry
+    rather than living as a write-path flag."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000000000").alias("ts_s")
+    )
+    mm = ev.agg(
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+        F.min("ts_s").alias("t0"),
+        F.max("ts_s").alias("t1"),
+    )
+    top = (1 << bits) - 1
+    norm = ev.crossJoin(F.broadcast(mm)).select(
+        "user_id",
+        "ts_s",
+        F.expr(f"(user_id - u0) * {top} DIV greatest(1L, u1 - u0)").alias("zx"),
+        F.expr(f"(ts_s - t0) * {top} DIV greatest(1L, t1 - t0)").alias("zy"),
+    )
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright(zx, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright(zy, {i}) & 1, {2 * i + 1})")
+    z = " + ".join(terms)  # disjoint bit positions: + is exact OR
+    shard = f"({z}) DIV {1 << (2 * bits - shard_bits)}"
+    return (
+        norm.select(
+            "user_id", "ts_s", F.expr(shard).cast("long").alias("shard")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            (F.max("user_id") - F.min("user_id")).cast("long").alias("user_span"),
+            (F.max("ts_s") - F.min("ts_s")).cast("long").alias("ts_span_s"),
+        )
+        .orderBy("shard")
+    )

@@ -574,6 +574,41 @@ walk AS (
 comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)"""
 )
 
+def _zorder_sql() -> str:
+    """Generated oracle for relational.event_zorder_manifest — the same
+    min-max normalization, unrolled Morton interleave (disjoint single-
+    bit terms summed) and shard split, bit-for-bit."""
+    bits = relational.ZORDER_BITS
+    top = (1 << bits) - 1
+    shift = 1 << (2 * bits - relational.ZORDER_SHARD_BITS)
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((zx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((zy >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH zev AS (SELECT user_id, epoch_ms(ts) // 1000 AS ts_s FROM events),
+zmm AS (SELECT MIN(user_id) AS u0, MAX(user_id) AS u1,
+               MIN(ts_s) AS t0, MAX(ts_s) AS t1 FROM zev),
+znorm AS (
+  SELECT user_id, ts_s,
+         (user_id - (SELECT u0 FROM zmm)) * {top}
+           // greatest(1, (SELECT u1 FROM zmm) - (SELECT u0 FROM zmm)) AS zx,
+         (ts_s - (SELECT t0 FROM zmm)) * {top}
+           // greatest(1, (SELECT t1 FROM zmm) - (SELECT t0 FROM zmm)) AS zy
+  FROM zev
+),
+zsh AS (SELECT user_id, ts_s, ({z}) // {shift} AS shard FROM znorm)
+SELECT CAST(shard AS BIGINT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(MAX(user_id) - MIN(user_id) AS BIGINT) AS user_span,
+  CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS ts_span_s
+FROM zsh GROUP BY shard ORDER BY shard
+"""
+
+
+
 REGISTRY: dict[str, QueryDef] = {
     # ------------------------------------------------------------------
     # Reference read surface (SURVEY §2.3-§2.8; postgres.rs / main.rs)
@@ -1450,6 +1485,9 @@ FROM hourly
 ORDER BY event_type, hour_bucket
 """,
         bench=True,
+    ),
+    "event_zorder_manifest": QueryDef(
+        relational.event_zorder_manifest, _zorder_sql()
     ),
     "forecast_revenue_change": QueryDef(
         relational.forecast_revenue_change,
@@ -3102,7 +3140,10 @@ _DRIVER_PRIORITY = [
     # chunking / dedup family
     "doc_passage_chunks",
     "doc_chunk_dup_groups",
-    "doc_duplicate_spans",
+    # storage-layout family (new in r6 — slot keeps the never-checked
+    # backlog at zero; doc_duplicate_spans stays parity-checked and was
+    # driver-green in r04)
+    "event_zorder_manifest",
     "doc_tfidf_cosine_pairs",
     "corpus_source_overlap",
     # decontamination

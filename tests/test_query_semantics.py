@@ -154,3 +154,36 @@ def test_ntz_epoch_anchoring_is_session_tz_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", prior)
     assert utc_ms == ny_ms == cast_utc  # anchored, and == the UTC cast
     assert cast_ny != cast_utc  # the naive cast DOES shift — the fixed bug
+
+
+def test_zorder_manifest_partitions_rows_and_bounds_both_dimensions(spark, sf_dir):
+    """The point of the Morton layout: every shard's bounding box is
+    tight in BOTH dimensions simultaneously. With shards split on the
+    top 6 interleaved bits (y x y x y x), each shard is an 8x8-bucket
+    grid cell of the normalized (user, time) plane, so each shard's
+    user span AND time span must be at most ~1/8 of the global span
+    (asserted at the loose 1/4 to stay robust to rounding at the cell
+    edges) — a single-column sort can only ever bound one of the two.
+    The shards also exactly partition the rows."""
+    from concordium_transaction_logger_spark.operators.relational import (
+        event_zorder_manifest,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    man = event_zorder_manifest(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000000000").alias("ts_s")
+    )
+    g = ev.agg(
+        F.count("*").alias("n"),
+        (F.max("user_id") - F.min("user_id")).alias("uspan"),
+        (F.max("ts_s") - F.min("ts_s")).alias("tspan"),
+    ).first()
+    assert sum(r.n_events for r in man) == g.n
+    assert all(r.user_span <= g.uspan // 4 + 1 for r in man), [
+        (r.shard, r.user_span) for r in man if r.user_span > g.uspan // 4 + 1
+    ]
+    assert all(r.ts_span_s <= g.tspan // 4 + 1 for r in man), [
+        (r.shard, r.ts_span_s) for r in man if r.ts_span_s > g.tspan // 4 + 1
+    ]
+    assert all(r.n_users <= r.user_span + 1 for r in man)
