@@ -1775,6 +1775,38 @@ ZORDER_BITS = 16
 ZORDER_SHARD_BITS = 6
 
 
+def event_zorder_keys(
+    spark: SparkSession, sf_dir: str, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """(user_id, ts_s, z) for every event — the Morton key itself, the
+    frame :func:`event_zorder_manifest` summarizes and the frame a
+    layout rewrite feeds straight into ``repartitionByRange("z")`` +
+    ``sortWithinPartitions("z")`` + write (exercised end-to-end against
+    parquet footer min/max stats in ``tests/test_layout.py``)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000000000").alias("ts_s")
+    )
+    mm = ev.agg(
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+        F.min("ts_s").alias("t0"),
+        F.max("ts_s").alias("t1"),
+    )
+    top = (1 << bits) - 1
+    norm = ev.crossJoin(F.broadcast(mm)).select(
+        "user_id",
+        "ts_s",
+        F.expr(f"(user_id - u0) * {top} DIV greatest(1L, u1 - u0)").alias("zx"),
+        F.expr(f"(ts_s - t0) * {top} DIV greatest(1L, t1 - t0)").alias("zy"),
+    )
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright(zx, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright(zy, {i}) & 1, {2 * i + 1})")
+    z = " + ".join(terms)  # disjoint bit positions: + is exact OR
+    return norm.select("user_id", "ts_s", F.expr(z).cast("long").alias("z"))
+
+
 def event_zorder_manifest(
     spark: SparkSession,
     sf_dir: str,
@@ -1802,31 +1834,11 @@ def event_zorder_manifest(
     a ``repartitionByRange(z)``+write: the manifest and the layout are
     the same plan, which is why the op earns its place in the registry
     rather than living as a write-path flag."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000000000").alias("ts_s")
-    )
-    mm = ev.agg(
-        F.min("user_id").alias("u0"),
-        F.max("user_id").alias("u1"),
-        F.min("ts_s").alias("t0"),
-        F.max("ts_s").alias("t1"),
-    )
-    top = (1 << bits) - 1
-    norm = ev.crossJoin(F.broadcast(mm)).select(
-        "user_id",
-        "ts_s",
-        F.expr(f"(user_id - u0) * {top} DIV greatest(1L, u1 - u0)").alias("zx"),
-        F.expr(f"(ts_s - t0) * {top} DIV greatest(1L, t1 - t0)").alias("zy"),
-    )
-    terms = []
-    for i in range(bits):
-        terms.append(f"shiftleft(shiftright(zx, {i}) & 1, {2 * i})")
-        terms.append(f"shiftleft(shiftright(zy, {i}) & 1, {2 * i + 1})")
-    z = " + ".join(terms)  # disjoint bit positions: + is exact OR
-    shard = f"({z}) DIV {1 << (2 * bits - shard_bits)}"
+    keyed = event_zorder_keys(spark, sf_dir, bits)
+    shard_div = 1 << (2 * bits - shard_bits)
     return (
-        norm.select(
-            "user_id", "ts_s", F.expr(shard).cast("long").alias("shard")
+        keyed.select(
+            "user_id", "ts_s", F.expr(f"z DIV {shard_div}").cast("long").alias("shard")
         )
         .groupBy("shard")
         .agg(

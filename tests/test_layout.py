@@ -180,3 +180,70 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_enables_two_dimensional_file_pruning(spark, sf_dir, tmp_path):
+    """End-to-end proof the Z-order layout op pays off at the storage
+    layer: write events twice — once range-partitioned + sorted on the
+    Morton key, once on event time alone — and read back the parquet
+    FOOTER min/max stats per file (what any engine's scan pruning
+    consults). Under the time-only layout every user appears in ~every
+    file, so a user-equality scan prunes nothing; under the Z-layout
+    the same predicate must prune at least half the files — while the
+    time dimension stays prunable too (each file's time span bounded)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from concordium_transaction_logger_spark.operators.relational import (
+        event_zorder_keys,
+    )
+
+    keyed = event_zorder_keys(spark, sf_dir)
+    n_files = 16
+    zdir, tdir = str(tmp_path / "zorder"), str(tmp_path / "timesort")
+    (
+        keyed.repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(zdir)
+    )
+    (
+        keyed.repartitionByRange(n_files, "ts_s")
+        .sortWithinPartitions("ts_s")
+        .write.mode("overwrite")
+        .parquet(tdir)
+    )
+
+    def file_ranges(d, col):
+        out = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    # Probe the MAX user: the sf0.01 corpus has only ~a dozen distinct
+    # users, so mid-range users occupy most normalized buckets' files;
+    # the extremal user pins the x bits of the Morton key, which must
+    # confine it to the z ranges (files) whose x half-space matches —
+    # a quarter-ish of the key space regardless of user cardinality.
+    probe_user = keyed.agg(F.max("user_id")).first()[0]
+    z_hits = [r for r in file_ranges(zdir, "user_id") if r[0] <= probe_user <= r[1]]
+    t_hits = [r for r in file_ranges(tdir, "user_id") if r[0] <= probe_user <= r[1]]
+    assert len(t_hits) >= n_files - 4, "time sort leaves user unprunable"
+    assert len(z_hits) <= n_files // 2, (
+        f"z-layout should prune at least half the files for one user, "
+        f"hit {len(z_hits)}/{n_files}"
+    )
+    assert len(z_hits) < len(t_hits)
+    # the time dimension stays bounded under the Z layout as well: the
+    # median per-file time span is far under the global span
+    g = keyed.agg((F.max("ts_s") - F.min("ts_s")).alias("span")).first().span
+    spans = sorted(hi - lo for lo, hi in file_ranges(zdir, "ts_s"))
+    assert spans[len(spans) // 2] <= g // 2
