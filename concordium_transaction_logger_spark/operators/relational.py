@@ -1775,6 +1775,20 @@ ZORDER_BITS = 16
 ZORDER_SHARD_BITS = 6
 
 
+def zorder_bit_positions(bits: int = ZORDER_BITS) -> list:
+    """The Morton interleave's single source of truth: (dim, src_bit,
+    dst_bit) triples, dim in {'zx', 'zy'} — x on even positions, y on
+    odd. Both the Spark expression (:func:`event_zorder_keys`) and the
+    DuckDB oracle (registry._zorder_sql) render their dialect's
+    shift-and-mask from THIS list, so a bit-layout edit cannot drift
+    between engines."""
+    out = []
+    for i in range(bits):
+        out.append(("zx", i, 2 * i))
+        out.append(("zy", i, 2 * i + 1))
+    return out
+
+
 def event_zorder_keys(
     spark: SparkSession, sf_dir: str, bits: int = ZORDER_BITS
 ) -> DataFrame:
@@ -1799,10 +1813,10 @@ def event_zorder_keys(
         F.expr(f"(user_id - u0) * {top} DIV greatest(1L, u1 - u0)").alias("zx"),
         F.expr(f"(ts_s - t0) * {top} DIV greatest(1L, t1 - t0)").alias("zy"),
     )
-    terms = []
-    for i in range(bits):
-        terms.append(f"shiftleft(shiftright(zx, {i}) & 1, {2 * i})")
-        terms.append(f"shiftleft(shiftright(zy, {i}) & 1, {2 * i + 1})")
+    terms = [
+        f"shiftleft(shiftright({d}, {i}) & 1, {p})"
+        for d, i, p in zorder_bit_positions(bits)
+    ]
     z = " + ".join(terms)  # disjoint bit positions: + is exact OR
     return norm.select("user_id", "ts_s", F.expr(z).cast("long").alias("z"))
 

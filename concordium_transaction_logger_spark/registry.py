@@ -581,10 +581,10 @@ def _zorder_sql() -> str:
     bits = relational.ZORDER_BITS
     top = (1 << bits) - 1
     shift = 1 << (2 * bits - relational.ZORDER_SHARD_BITS)
-    terms = []
-    for i in range(bits):
-        terms.append(f"(((zx >> {i}) & 1) << {2 * i})")
-        terms.append(f"(((zy >> {i}) & 1) << {2 * i + 1})")
+    terms = [
+        f"((({d} >> {i}) & 1) << {p})"
+        for d, i, p in relational.zorder_bit_positions(bits)
+    ]
     z = " + ".join(terms)
     return f"""
 WITH zev AS (SELECT user_id, epoch_ms(ts) // 1000 AS ts_s FROM events),
@@ -3115,9 +3115,11 @@ _DRIVER_PRIORITY = [
     # (float ROUND -> integer half-up/away-from-zero mean),
     # corpus_source_overlap + corpus_bpe_merges (r6 slope-tightening
     # targets), embedding_semdedup_pairs (k-default holdover
-    # continuity) and doc_duplicate_spans (the permille convention the
-    # r5 flake lived in). All rotated-out r5 names stay value-checked
-    # every pytest run by test_oracle_parity.
+    # continuity) and event_zorder_manifest (the new-in-r6 storage-
+    # layout family — slotting it keeps the never-checked backlog at
+    # zero; doc_duplicate_spans, r04-green, was considered for the
+    # slot but stays parity-checked only). All rotated-out r5 names
+    # stay value-checked every pytest run by test_oracle_parity.
     # relational / TPC-H / window family (the 13 never-checked rows)
     "event_type_sliding",
     "nation_pair_volume",

@@ -200,7 +200,8 @@ def test_zorder_layout_enables_two_dimensional_file_pruning(spark, sf_dir, tmp_p
         event_zorder_keys,
     )
 
-    keyed = event_zorder_keys(spark, sf_dir)
+    # four consumers below (two writes + two aggregates): pin once
+    keyed = event_zorder_keys(spark, sf_dir).localCheckpoint()
     n_files = 16
     zdir, tdir = str(tmp_path / "zorder"), str(tmp_path / "timesort")
     (
