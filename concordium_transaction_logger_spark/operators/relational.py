@@ -1789,6 +1789,50 @@ def zorder_bit_positions(bits: int = ZORDER_BITS) -> list:
     return out
 
 
+def _zorder_norm_expr(col: str, lo: str, hi: str, top: int) -> str:
+    """Min-max normalize ``col`` to [0, top] with INTEGER arithmetic that
+    cannot overflow int64: both the coordinate offset and the dimension
+    span are computed in DECIMAL before the ``* top`` scale-up. With
+    BIGINT arithmetic, any dimension span over 2**47 (hashed/snowflake
+    64-bit ids — exactly the 100 TB id shape) overflows ``offset * 65535``
+    and ANSI Spark raises; worse, ``hi - lo`` itself overflows when the
+    ids straddle zero by more than 2**63. DECIMAL(30,0) holds the full
+    2**64 span (20 digits) and the *65535 product (25 digits) exactly;
+    ``DIV`` on decimals is Spark's integral divide and returns BIGINT.
+    Operands are non-negative (col >= lo), so floor == truncate and the
+    DuckDB oracle's HUGEINT ``//`` computes the identical value."""
+    off = f"CAST(CAST({col} AS DECIMAL(38,0)) - {lo} AS DECIMAL(30,0))"
+    span = f"CAST(CAST({hi} AS DECIMAL(38,0)) - {lo} AS DECIMAL(30,0))"
+    return f"{off} * {top} DIV greatest(CAST(1 AS DECIMAL(30,0)), {span})"
+
+
+def zorder_keys_frame(ev: DataFrame, bits: int = ZORDER_BITS) -> DataFrame:
+    """The Morton-key kernel over any (user_id, ts_s) frame: min-max
+    normalize each dimension to ``bits`` bits (overflow-proof DECIMAL
+    arithmetic — see :func:`_zorder_norm_expr`), then bit-interleave.
+    Split from :func:`event_zorder_keys` so the overflow-scale unit test
+    can drive synthetic hub-scale id spans directly."""
+    mm = ev.agg(
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+        F.min("ts_s").alias("t0"),
+        F.max("ts_s").alias("t1"),
+    )
+    top = (1 << bits) - 1
+    norm = ev.crossJoin(F.broadcast(mm)).select(
+        "user_id",
+        "ts_s",
+        F.expr(_zorder_norm_expr("user_id", "u0", "u1", top)).alias("zx"),
+        F.expr(_zorder_norm_expr("ts_s", "t0", "t1", top)).alias("zy"),
+    )
+    terms = [
+        f"shiftleft(shiftright({d}, {i}) & 1, {p})"
+        for d, i, p in zorder_bit_positions(bits)
+    ]
+    z = " + ".join(terms)  # disjoint bit positions: + is exact OR
+    return norm.select("user_id", "ts_s", F.expr(z).cast("long").alias("z"))
+
+
 def event_zorder_keys(
     spark: SparkSession, sf_dir: str, bits: int = ZORDER_BITS
 ) -> DataFrame:
@@ -1800,25 +1844,7 @@ def event_zorder_keys(
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("ts DIV 1000000000").alias("ts_s")
     )
-    mm = ev.agg(
-        F.min("user_id").alias("u0"),
-        F.max("user_id").alias("u1"),
-        F.min("ts_s").alias("t0"),
-        F.max("ts_s").alias("t1"),
-    )
-    top = (1 << bits) - 1
-    norm = ev.crossJoin(F.broadcast(mm)).select(
-        "user_id",
-        "ts_s",
-        F.expr(f"(user_id - u0) * {top} DIV greatest(1L, u1 - u0)").alias("zx"),
-        F.expr(f"(ts_s - t0) * {top} DIV greatest(1L, t1 - t0)").alias("zy"),
-    )
-    terms = [
-        f"shiftleft(shiftright({d}, {i}) & 1, {p})"
-        for d, i, p in zorder_bit_positions(bits)
-    ]
-    z = " + ".join(terms)  # disjoint bit positions: + is exact OR
-    return norm.select("user_id", "ts_s", F.expr(z).cast("long").alias("z"))
+    return zorder_keys_frame(ev, bits)
 
 
 def event_zorder_manifest(

@@ -586,16 +586,24 @@ def _zorder_sql() -> str:
         for d, i, p in relational.zorder_bit_positions(bits)
     ]
     z = " + ".join(terms)
+
+    # HUGEINT (int128) mirrors the Spark side's DECIMAL(30,0) treatment:
+    # BIGINT `(coord - lo) * top` overflows past 2**47 spans, and the
+    # span itself past 2**63 — operands are non-negative so HUGEINT //
+    # and Spark's decimal DIV floor to the identical value bit-for-bit.
+    def norm(col: str, lo: str, hi: str) -> str:
+        off = f"(CAST({col} AS HUGEINT) - (SELECT {lo} FROM zmm))"
+        span = f"(CAST((SELECT {hi} FROM zmm) AS HUGEINT) - (SELECT {lo} FROM zmm))"
+        return f"CAST({off} * {top} // greatest(1, {span}) AS BIGINT)"
+
     return f"""
 WITH zev AS (SELECT user_id, epoch_ms(ts) // 1000 AS ts_s FROM events),
 zmm AS (SELECT MIN(user_id) AS u0, MAX(user_id) AS u1,
                MIN(ts_s) AS t0, MAX(ts_s) AS t1 FROM zev),
 znorm AS (
   SELECT user_id, ts_s,
-         (user_id - (SELECT u0 FROM zmm)) * {top}
-           // greatest(1, (SELECT u1 FROM zmm) - (SELECT u0 FROM zmm)) AS zx,
-         (ts_s - (SELECT t0 FROM zmm)) * {top}
-           // greatest(1, (SELECT t1 FROM zmm) - (SELECT t0 FROM zmm)) AS zy
+         {norm("user_id", "u0", "u1")} AS zx,
+         {norm("ts_s", "t0", "t1")} AS zy
   FROM zev
 ),
 zsh AS (SELECT user_id, ts_s, ({z}) // {shift} AS shard FROM znorm)

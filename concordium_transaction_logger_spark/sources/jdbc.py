@@ -231,13 +231,21 @@ def merge_supply_upsert(
     # through stage_supply_deltas' delete+append (which are separate
     # transactions). MAX keeps exactly one copy per (key, batch); the
     # outer SUM then legitimately accumulates across distinct crashed
-    # batches left behind by stage->merge failures.
+    # batches left behind by stage->merge failures. The contract itself
+    # is ENFORCED, not assumed (r6 ADVICE): two DIFFERENT values for one
+    # (key, batch) trip the CASE's divide-by-zero inside the SAME
+    # transaction — caught below and re-raised with the contract message
+    # — instead of MAX silently keeping the larger delta. (/1 on the
+    # legal path is BIGINT-exact; an in-txn arithmetic fault is the one
+    # portable way to make a SQL statement assert, with no TOCTOU window
+    # a separate pre-check SELECT would leave.)
     refill = (
         f"DELETE FROM {staging}_agg",
         f"INSERT INTO {staging}_agg SELECT idx, subidx, token_id, "
         f"SUM(total_supply) FROM ("
         f"SELECT idx, subidx, token_id, ingest_batch, "
-        f"MAX(total_supply) AS total_supply FROM {staging} "
+        f"MAX(total_supply) / (CASE WHEN COUNT(DISTINCT total_supply) = 1 "
+        f"THEN 1 ELSE 0 END) AS total_supply FROM {staging} "
         f"GROUP BY idx, subidx, token_id, ingest_batch"
         f") s GROUP BY idx, subidx, token_id",
     )
@@ -250,7 +258,11 @@ VALUES (s.idx, s.subidx, s.token_id, s.total_supply)
 """
     drain = (f"DELETE FROM {staging}", f"DELETE FROM {staging}_agg")
     if batch_id is None or ledger is None:
-        run_sql(spark, url, *refill, merge, *drain)
+        try:
+            run_sql(spark, url, *refill, merge, *drain)
+        except Exception as ex:
+            _reraise_staging_contract(staging, ex)
+            raise
         return
     try:
         run_sql(
@@ -262,6 +274,7 @@ VALUES (s.idx, s.subidx, s.token_id, s.total_supply)
             *drain,
         )
     except Exception as ex:
+        _reraise_staging_contract(staging, ex)
         if not _is_duplicate_key(ex):
             raise
         # replay of an already-applied batch: the ledger PK refused the
@@ -270,6 +283,22 @@ VALUES (s.idx, s.subidx, s.token_id, s.total_supply)
         run_sql(
             spark, url, f"DELETE FROM {staging} WHERE ingest_batch = {int(batch_id)}"
         )
+
+
+def _reraise_staging_contract(staging: str, ex: Exception) -> None:
+    """Translate the refill's in-transaction divide-by-zero assertion
+    (SQLState 22012; the only division in the statement set) into the
+    contract error it encodes — the transaction has already rolled back,
+    nothing was applied."""
+    s = str(ex)
+    if "22012" in s or "divide by zero" in s.lower():
+        raise RuntimeError(
+            f"supply staging contract violated: {staging} holds two "
+            f"DIFFERENT total_supply values for one (idx, subidx, "
+            f"token_id, ingest_batch) — duplicate stagings of a batch "
+            f"must be byte-identical replays; refusing to merge (MAX "
+            f"would silently drop one delta). Nothing was applied."
+        ) from ex
 
 
 def _is_duplicate_key(ex: Exception) -> bool:

@@ -270,3 +270,53 @@ def test_run_sql_is_one_transaction(spark, derby_url):
         )
     n = jdbc.read_jdbc(spark, derby_url, "tx_probe", driver=jdbc.DERBY_DRIVER).count()
     assert n == 0, "failed call must leave no partial effects"
+
+
+def test_merge_refuses_conflicting_duplicate_stagings(spark, derby_url):
+    """The r6-ADVICE silent-MAX hole: the staging contract says duplicate
+    rows for one (key, ingest_batch) are byte-identical replay copies —
+    if any path ever stages two DIFFERENT deltas for the same (key,
+    batch), the merge must refuse loudly inside the transaction (nothing
+    applied, ledger insert rolled back) instead of MAX silently keeping
+    the larger value; equal duplicates must still collapse and merge."""
+    jdbc.create_supply_schema(
+        spark, derby_url, "supply_cv_stg", "supply_cv", "supply_cv_led"
+    )
+    jdbc.run_sql(
+        spark,
+        derby_url,
+        "INSERT INTO supply_cv_stg VALUES (1, 0, 'tok', 100, 0)",
+        "INSERT INTO supply_cv_stg VALUES (1, 0, 'tok', 250, 0)",
+    )
+    with pytest.raises(RuntimeError, match="staging contract violated"):
+        jdbc.merge_supply_upsert(
+            spark, derby_url, "supply_cv_stg", "supply_cv",
+            batch_id=0, ledger="supply_cv_led",
+        )
+    # atomic refusal: no target rows, ledger insert rolled back,
+    # staging intact for forensics
+    assert jdbc.query_scalar(spark, derby_url, "SELECT COUNT(*) FROM supply_cv") == 0
+    assert (
+        jdbc.query_scalar(spark, derby_url, "SELECT COUNT(*) FROM supply_cv_led") == 0
+    )
+    assert (
+        jdbc.query_scalar(spark, derby_url, "SELECT COUNT(*) FROM supply_cv_stg") == 2
+    )
+    # the legal shape — byte-identical duplicate staging — still merges
+    jdbc.run_sql(
+        spark,
+        derby_url,
+        "DELETE FROM supply_cv_stg",
+        "INSERT INTO supply_cv_stg VALUES (1, 0, 'tok', 100, 0)",
+        "INSERT INTO supply_cv_stg VALUES (1, 0, 'tok', 100, 0)",
+    )
+    jdbc.merge_supply_upsert(
+        spark, derby_url, "supply_cv_stg", "supply_cv",
+        batch_id=0, ledger="supply_cv_led",
+    )
+    assert (
+        jdbc.query_scalar(
+            spark, derby_url, "SELECT total_supply FROM supply_cv WHERE idx = 1"
+        )
+        == 100
+    )
