@@ -132,6 +132,43 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # Noise-aware round-over-round comparison (r6-verdict item: a single
+    # prior run is itself a ±20% sample, so comparing two single shots
+    # manufactures phantom regressions). The baseline is the PER-QUERY
+    # MEAN over every BENCH_HISTORY run at this sf; a query is flagged
+    # only when this run's min-of-two exceeds 1.3x that mean — outside
+    # the documented hypervisor noise band. The report names the
+    # baseline it used so the comparison is auditable.
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist_runs: list[dict[str, float]] = []
+    hist_path = os.path.join(here, "BENCH_HISTORY.jsonl")
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            for ln in f:
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue
+                if rec.get("sf") == sf and isinstance(rec.get("queries"), dict):
+                    hist_runs.append(rec["queries"])
+    baseline = {
+        name: sum(r[name] for r in hist_runs if name in r)
+        / max(1, sum(1 for r in hist_runs if name in r))
+        for name in timings
+        if any(name in r for r in hist_runs)
+    }
+    flagged = {
+        name: {"sec": timings[name], "hist_mean": round(baseline[name], 3)}
+        for name in timings
+        if name in baseline
+        and baseline[name] > 0.05  # sub-50ms queries: pure jitter
+        and timings[name] > 1.3 * baseline[name]
+    }
+    noise_cmp = {
+        "baseline": f"per-query mean over {len(hist_runs)} BENCH_HISTORY "
+        f"runs at sf={sf}, flag threshold 1.3x",
+        "flagged": flagged,
+    }
     # Full per-query detail goes to a file; run history appends so
     # run-to-run variance is measurable (see SCALE.md "bench variance").
     detail = {
@@ -142,8 +179,8 @@ def main() -> None:
         "passes": passes,
         "sf": sf,
         "cpus": cpus(),
+        "noise_cmp": noise_cmp,
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
     with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
@@ -161,6 +198,11 @@ def main() -> None:
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
+        # noise-normalized verdict first (never truncated): how many
+        # queries exceed 1.3x their BENCH_HISTORY mean, over how many
+        # baseline runs — the full table is in BENCH_DETAIL.json
+        "noise_flagged": len(flagged),
+        "noise_baseline_runs": len(hist_runs),
         "queries": {k: timings[k] for k in BENCH_HEADLINE},
         "sf": sf,
     }

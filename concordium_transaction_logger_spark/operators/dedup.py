@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .textstats import fingerprints, tokens
+from .textstats import fingerprints, mean_millis_expr, permille_expr, tokens
 
 MINHASH_K = 8
 BAND_ROWS = 4  # 2 bands of 4 minhashes each
@@ -186,10 +186,7 @@ def ngram_jaccard_pairs(
         .join(F.broadcast(nb), "doc_b")
         .withColumn(
             "jaccard_permille",
-            F.round(
-                1000.0 * F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                0,
-            ).cast("long"),
+            mean_millis_expr("n_inter", "n_a + n_b - n_inter"),
         )
         .filter(F.col("jaccard_permille") >= threshold_permille)
         .select("doc_a", "doc_b", "n_inter", "jaccard_permille")
@@ -339,9 +336,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             agree.cast("long").alias("n_agree"),
-            F.round(1000.0 * agree / MINHASH_K, 0)
-            .cast("long")
-            .alias("est_jaccard_permille"),
+        )
+        .withColumn(
+            "est_jaccard_permille",
+            mean_millis_expr("n_agree", str(MINHASH_K)),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -723,8 +721,8 @@ def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n_docs"),
             d.alias("n_distinct"),
             (n - d).alias("dup_docs"),
-            F.round(1000.0 * (n - d) / n, 0).cast("long").alias("dup_permille"),
         )
+        .withColumn("dup_permille", permille_expr("dup_docs", "n_docs"))
         .orderBy("source")
     )
 
@@ -876,8 +874,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             uniq.alias("n_unique"),
         )
         .withColumn(
-            "novelty_permille",
-            F.round(1000.0 * F.col("n_unique") / F.col("n_shingles"), 0).cast("long"),
+            "novelty_permille", permille_expr("n_unique", "n_shingles")
         )
         .orderBy("doc_id")
     )
@@ -949,13 +946,7 @@ def duplicate_spans(
         "n_tokens",
         "n_dup_spans",
         "n_dup_tokens",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(1000.0 * F.col("n_dup_tokens") / F.col("n_tokens")),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("dup_permille"),
+        permille_expr("n_dup_tokens", "n_tokens").alias("dup_permille"),
     ).orderBy("doc_id")
 
 
@@ -1087,10 +1078,7 @@ def span_admission_frame(
         .groupBy("doc_id")
         .agg(F.sum(F.col("e") - F.col("s")).cast("long").alias("n_dup_tokens"))
     )
-    pm = F.when(
-        F.col("n_tokens") > 0,
-        F.round(1000.0 * F.coalesce(F.col("n_dup_tokens"), F.lit(0)) / F.col("n_tokens")),
-    ).otherwise(F.lit(0)).cast("long")
+    pm = permille_expr("coalesce(n_dup_tokens, 0)", "n_tokens")
     return (
         tok.select("doc_id", F.size(t).cast("long").alias("n_tokens"))
         .join(per_doc, "doc_id", "left")
@@ -1190,23 +1178,35 @@ def tfidf_cosine_pairs(
     # The weight table feeds THREE consumers (norms + both inverted-index
     # join sides) — checkpoint it so tokenize → tf → idf runs once, not
     # once per subtree (the engine's standard reused-heavy-frame rule).
+    # The term rides as its xxhash64 from here on (the shingle_index
+    # ``shh`` trick the docstring promises): the checkpointed bytes and
+    # the self-join shuffle carry an 8-byte key instead of a ~30-byte
+    # shingle string — the postings frame is THE linear cost of this op,
+    # so its row width is the slope dial (r7 target: 0.58 -> <=0.5).
+    # ``keep`` folds the df cap into one boolean so df never rides past
+    # this select.
     w = (
         tf.join(idf, "tok")
-        .select("doc_id", "tok", "df", (F.col("tf") * F.col("idf_bits")).alias("w"))
+        .select(
+            "doc_id",
+            F.xxhash64("tok").alias("th"),
+            (F.col("df") <= max_df).alias("keep"),
+            (F.col("tf") * F.col("idf_bits")).alias("w"),
+        )
         .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
     )
-    inv = w.filter(F.col("df") <= max_df).select("doc_id", "tok", "w")
+    inv = w.filter(F.col("keep")).select("doc_id", "th", "w")
     a = inv.select(
-        F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa")
+        F.col("doc_id").alias("doc_a"), "th", F.col("w").alias("wa")
     )
     b = inv.select(
-        F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb")
+        F.col("doc_id").alias("doc_b"), "th", F.col("w").alias("wb")
     )
     dots = (
-        a.join(b, "tok")
+        a.join(b, "th")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .textstats import mean_millis_expr, permille_expr
 
 
 def _ntz_epoch_ms(c: Column) -> Column:
@@ -1115,9 +1116,9 @@ def nation_market_share(
             "o_year",
             "nation_cents",
             "total_cents",
-            F.round(1000.0 * F.col("nation_cents") / F.col("total_cents"), 0)
-            .cast("long")
-            .alias("share_permille"),
+            permille_expr("nation_cents", "total_cents").alias(
+                "share_permille"
+            ),
         )
         .orderBy("o_year")
     )
@@ -1145,9 +1146,9 @@ def promo_revenue_permille(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "promo_cents",
             "total_cents",
-            F.round(1000.0 * F.col("promo_cents") / F.col("total_cents"), 0)
-            .cast("long")
-            .alias("promo_permille"),
+            permille_expr("promo_cents", "total_cents").alias(
+                "promo_permille"
+            ),
         )
     )
 
@@ -1660,15 +1661,19 @@ def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_bucket")
         .rangeBetween(-24, -1)
     )
-    trailing = F.avg("n_events").over(w)
+    # ratio vs the trailing AVG, kept integer-exact: avg = sum/cnt, so
+    # round(1000*n/avg) = the shared formula over (n*cnt, sum); an empty
+    # trailing window leaves sum NULL and the ratio NULL, as before
     return (
-        hourly.select(
+        hourly.withColumn("t_sum", F.sum("n_events").over(w))
+        .withColumn("t_cnt", F.count("n_events").over(w))
+        .select(
             "event_type",
             "hour_bucket",
             "n_events",
-            F.round(1000.0 * F.col("n_events") / trailing, 0)
-            .cast("long")
-            .alias("ratio_permille"),
+            mean_millis_expr("n_events * t_cnt", "t_sum").alias(
+                "ratio_permille"
+            ),
         )
         .orderBy("event_type", "hour_bucket")
     )

@@ -129,8 +129,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataF
             F.sum("n_tokens").alias("bin_tokens"),
         )
         .withColumn(
-            "fill_permille",
-            F.round(1000.0 * F.col("bin_tokens") / F.lit(budget), 0).cast("long"),
+            "fill_permille", mean_millis_expr("bin_tokens", str(budget))
         )
         .orderBy("source", "bin_id")
     )
@@ -177,11 +176,10 @@ def mixture_plan(spark: SparkSession, sf_dir: str, cap_permille: int = 4000) -> 
     Shape: one partial agg to |langs| rows, the global total re-aggregated
     from the rollup (1 row) and broadcast back — the Q11 concentration
     shape, so the fact table is scanned once and never re-shuffled. The
-    repeat factor is ``round(1000 * target / have)`` computed in IEEE
-    doubles — cross-engine exact because the oracle performs the
-    IDENTICAL double ops (the money-cents precedent, ingest/oracle.py),
-    not because the quotient is integral — and is capped so a vanishing
-    slice can't demand unbounded epochs."""
+    repeat factor is ``round(1000 * target / have)`` spelled with the
+    engine's one integer rounding formula (textstats.mean_millis_expr,
+    algebraically 1000*total / (n_langs*lang_tokens)); capped so a
+    vanishing slice can't demand unbounded epochs."""
     docs = load_table(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(
         F.sum(F.size(tokens(F.col("text")))).alias("lang_tokens")
@@ -190,9 +188,11 @@ def mixture_plan(spark: SparkSession, sf_dir: str, cap_permille: int = 4000) -> 
         F.sum("lang_tokens").alias("total_tokens"),
         F.count("*").alias("n_langs"),
     )
-    target = F.col("total_tokens").cast("long") / F.col("n_langs")
+    # the two-step float spelling (total/n_langs, then /lang_tokens) is
+    # algebraically 1000*total / (n_langs*lang_tokens) — one integer
+    # rounding via the engine's shared formula
     repeat = F.least(
-        F.round(1000.0 * target / F.col("lang_tokens"), 0).cast("long"),
+        mean_millis_expr("total_tokens", "n_langs * lang_tokens"),
         F.lit(cap_permille).cast("long"),
     )
     return (
@@ -200,7 +200,10 @@ def mixture_plan(spark: SparkSession, sf_dir: str, cap_permille: int = 4000) -> 
         .select(
             "lang",
             "lang_tokens",
-            F.round(target, 0).cast("long").alias("target_tokens"),
+            # round(total/n_langs): the shared formula at scale 1
+            F.expr("(2 * total_tokens + n_langs) DIV (2 * n_langs)")
+            .cast("long")
+            .alias("target_tokens"),
             repeat.alias("repeat_permille"),
         )
         .orderBy("lang")
@@ -230,7 +233,7 @@ def curation_verdict(
     base = docs.select(
         "doc_id",
         F.md5("text").alias("fp"),
-        gate_reason(F.col("text")).alias("gate_reason"),
+        gate_reason("text").alias("gate_reason"),
         classifier_score(F.col("text")).alias("q"),
         _bucket(F.col("doc_id"), salt).alias("bucket"),
     )

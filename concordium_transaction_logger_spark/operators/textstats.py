@@ -62,10 +62,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn(
         "mean_token_len_permille",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(1000.0 * F.col("chars_in_tokens") / F.col("n_tokens"), 0).cast("long"),
-        ).otherwise(F.lit(0)),
+        permille_expr("chars_in_tokens", "n_tokens"),
     )
 
 
@@ -82,17 +79,26 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.length(F.regexp_replace(lower, "[^0-9]", ""))
     space = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
     stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
-    permille = lambda num, den: F.when(
-        den > 0, F.round(1000.0 * num / den, 0).cast("long")
-    ).otherwise(F.lit(0))
-    return docs.select(
+    # raw counts get names first so the shared integer rounding formula
+    # (permille_expr) applies uniformly; Catalyst collapses the two
+    # selects into one projection
+    raw = docs.select(
         "doc_id",
         n.cast("long").alias("n_chars"),
         F.size(t).cast("long").alias("n_tokens"),
-        permille(alpha, n).alias("alpha_permille"),
-        permille(digit, n).alias("digit_permille"),
-        permille(space, n).alias("space_permille"),
-        permille(stop, F.size(t)).alias("stopword_permille"),
+        alpha.cast("long").alias("alpha_n"),
+        digit.cast("long").alias("digit_n"),
+        space.cast("long").alias("space_n"),
+        stop.cast("long").alias("stop_n"),
+    )
+    return raw.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        permille_expr("alpha_n", "n_chars").alias("alpha_permille"),
+        permille_expr("digit_n", "n_chars").alias("digit_permille"),
+        permille_expr("space_n", "n_chars").alias("space_permille"),
+        permille_expr("stop_n", "n_tokens").alias("stopword_permille"),
     )
 
 
@@ -206,27 +212,41 @@ GATE_MIN_ALPHA_PERMILLE = 500
 GATE_MAX_DIGIT_PERMILLE = 300
 
 
-def gate_reason(text) -> "F.Column":
-    """The quality-gate verdict as a pure column expression over the text
-    column — the *first* failing rule is the reason (rule order is part
-    of the contract). Shared by the batch :func:`quality_gate` query and
-    the streaming curation ingest, so both paths gate identically."""
-    lower = F.lower(text)
-    n = F.length(text)
-    alpha_pm = F.when(
-        n > 0,
-        F.round(1000.0 * F.length(F.regexp_replace(lower, "[^a-z]", "")) / n, 0),
-    ).otherwise(F.lit(0)).cast("long")
-    digit_pm = F.when(
-        n > 0,
-        F.round(1000.0 * F.length(F.regexp_replace(lower, "[^0-9]", "")) / n, 0),
-    ).otherwise(F.lit(0)).cast("long")
+def gate_reason_sql(text: str = "text", dialect: str = "spark") -> str:
+    """The quality-gate verdict as ONE SQL string rendered for either
+    dialect — the Spark op (via ``F.expr``) and every DuckDB oracle
+    consume THIS text, so the rule order, the thresholds, and the
+    integer rounding convention cannot drift (the oracle previously
+    carried four hand-copies of the CASE). The *first* failing rule is
+    the reason; per-milles use the engine's one rounding formula
+    (:func:`mean_millis_expr`'s ``(2000*t + n) DIV (2*n)``)."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    div = "//" if dialect == "duckdb" else "DIV"
+    n = f"length({text})"
+    alpha = f"length(regexp_replace(lower({text}), '[^a-z]', ''{g}))"
+    digit = f"length(regexp_replace(lower({text}), '[^0-9]', ''{g}))"
+
+    def pm(cnt: str) -> str:
+        return (
+            f"(CASE WHEN {n} > 0 "
+            f"THEN (2000 * {cnt} + {n}) {div} (2 * {n}) ELSE 0 END)"
+        )
+
     return (
-        F.when(n < GATE_MIN_CHARS, F.lit("too_short"))
-        .when(alpha_pm < GATE_MIN_ALPHA_PERMILLE, F.lit("low_alpha"))
-        .when(digit_pm > GATE_MAX_DIGIT_PERMILLE, F.lit("digit_heavy"))
-        .otherwise(F.lit("ok"))
+        f"CASE WHEN {n} < {GATE_MIN_CHARS} THEN 'too_short' "
+        f"WHEN {pm(alpha)} < {GATE_MIN_ALPHA_PERMILLE} THEN 'low_alpha' "
+        f"WHEN {pm(digit)} > {GATE_MAX_DIGIT_PERMILLE} THEN 'digit_heavy' "
+        f"ELSE 'ok' END"
     )
+
+
+def gate_reason(text: str = "text") -> "F.Column":
+    """The quality-gate verdict as a pure column expression over the
+    named text column. Shared by the batch :func:`quality_gate` query
+    and the streaming curation ingest, so both paths gate identically —
+    and rendered from :func:`gate_reason_sql`, so the oracle gates
+    identically too."""
+    return F.expr(gate_reason_sql(text, "spark"))
 
 
 def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +258,7 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verdict is a narrow (doc_id, verdict, reason) frame, so
     downstream anti-joins against rejects broadcast."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
-    reason = gate_reason(F.col("text"))
+    reason = gate_reason("text")
     return docs.select(
         "doc_id",
         reason.alias("reason"),
@@ -372,14 +392,10 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.round(1000.0 * F.col("n_distinct") / F.col("n_tokens"), 0)
-        .cast("long")
-        .alias("distinct_permille"),
+        permille_expr("n_distinct", "n_tokens").alias("distinct_permille"),
         F.col("m.best_tok").alias("top_token"),
         F.col("m.best_c").alias("top_count"),
-        F.round(1000.0 * F.col("m.best_c") / F.col("n_tokens"), 0)
-        .cast("long")
-        .alias("top_share_permille"),
+        permille_expr("m.best_c", "n_tokens").alias("top_share_permille"),
     ).orderBy("doc_id")
 
 
@@ -454,9 +470,10 @@ def bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             nb.alias("n_bigrams"),
             nd.alias("n_distinct_bigrams"),
-            F.when(nb > 0, F.round(1000.0 * (nb - nd) / nb, 0).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("dup_permille"),
+        )
+        .withColumn(
+            "dup_permille",
+            permille_expr("n_bigrams - n_distinct_bigrams", "n_bigrams"),
         )
         .orderBy("doc_id")
     )
@@ -600,10 +617,7 @@ def source_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n_pii") > 0).cast("long")).alias("docs_with_pii"),
         )
         .withColumn(
-            "pii_doc_permille",
-            F.round(1000.0 * F.col("docs_with_pii") / F.col("n_docs"), 0).cast(
-                "long"
-            ),
+            "pii_doc_permille", permille_expr("docs_with_pii", "n_docs")
         )
         .orderBy("source")
     )
@@ -641,14 +655,16 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     w = Window.partitionBy("lang")
-    return cm.select(
-        "lang",
-        "pred_lang",
-        "n",
-        F.round(1000.0 * F.col("n") / F.sum("n").over(w), 0)
-        .cast("long")
-        .alias("share_permille"),
-    ).orderBy("lang", "pred_lang")
+    return (
+        cm.withColumn("lang_total", F.sum("n").over(w))
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            permille_expr("n", "lang_total").alias("share_permille"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
 
 
 def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,13 +730,25 @@ def mean_millis_expr(total: str, n: str, signed: bool = False) -> Column:
     ``ROUND`` would agree on every non-tie but leaves the convention
     implicit, and Python's ``round()`` banker's-rounds the tie — the r5
     property-test flake this form exists to prevent."""
-    up = f"(2000 * {total} + {n}) DIV (2 * {n})"
+    up = f"(2000 * ({total}) + ({n})) DIV (2 * ({n}))"
     if not signed:
         return F.expr(up).cast("long")
     return F.expr(
         f"CASE WHEN {total} >= 0 THEN {up}"
-        f" ELSE -((-2000 * {total} + {n}) DIV (2 * {n})) END"
+        f" ELSE -((-2000 * ({total}) + ({n})) DIV (2 * ({n}))) END"
     ).cast("long")
+
+
+def permille_expr(total: str, n: str) -> Column:
+    """:func:`mean_millis_expr` with the ``n == 0 -> 0`` guard — the
+    per-mille-ratio spelling every ratio column in the engine uses (the
+    r6 verdict's consistency item: integer-only outputs, ONE rounding
+    formula; ``registry._mm_sql`` is the DuckDB rendering)."""
+    return (
+        F.when(F.expr(n) > 0, mean_millis_expr(total, n))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
 
 
 #: Bigram-LM vocabulary floor: corpus bigrams with fewer than this many
@@ -1017,7 +1045,7 @@ def perceptron_train(
     feats = fplan.persist()
     labels = docs.select(
         "doc_id",
-        F.when(gate_reason(F.col("text")) == "ok", F.lit(1))
+        F.when(gate_reason("text") == "ok", F.lit(1))
         .otherwise(F.lit(-1))
         .cast("long")
         .alias("y"),
@@ -1064,7 +1092,7 @@ def perceptron_eval(
     feats = fplan.persist()
     labels = docs.select(
         "doc_id",
-        F.when(gate_reason(F.col("text")) == "ok", F.lit(1))
+        F.when(gate_reason("text") == "ok", F.lit(1))
         .otherwise(F.lit(-1))
         .cast("long")
         .alias("y"),
@@ -1089,8 +1117,7 @@ def perceptron_eval(
                 .alias("n_correct"),
             )
             .withColumn(
-                "acc_permille",
-                F.round(1000.0 * F.col("n_correct") / F.col("n_docs")).cast("long"),
+                "acc_permille", permille_expr("n_correct", "n_docs")
             )
             .orderBy("split")
             # two-row result: checkpoint is free, and it must not lazily
@@ -1263,8 +1290,7 @@ def bpe_apply(
             F.sum("np").cast("long").alias("n_pieces"),
         )
         .withColumn(
-            "pieces_per_kchar",
-            F.round(1000.0 * F.col("n_pieces") / F.col("n_chars")).cast("long"),
+            "pieces_per_kchar", permille_expr("n_pieces", "n_chars")
         )
         .orderBy("doc_id")
     )

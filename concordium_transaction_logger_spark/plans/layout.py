@@ -37,6 +37,33 @@ def write_summaries_partitioned(summaries: DataFrame, path: str) -> None:
     )
 
 
+def write_events_zordered(
+    spark: SparkSession, sf_dir: str, path: str, n_files: int = 64
+) -> None:
+    """Z-order (Morton-curve) layout rewrite of the events table — the
+    `OPTIMIZE ZORDER BY (user_id, ts)` step as one call: the SAME key
+    expressions the manifest query reports on
+    (relational.event_zorder_keys — overflow-proof DECIMAL
+    normalization, single-sourced bit interleave) feed
+    ``repartitionByRange(z)`` + in-partition sort + write, so the
+    manifest and the layout are literally one plan. After the rewrite a
+    reader filtering on EITHER user_id OR a time range prunes most
+    files via parquet footer min/max stats — proven end-to-end in
+    ``tests/test_layout.py`` (two-dimensional pruning the one-column
+    sorts can't give). ``n_files`` targets one file per range
+    partition; at 100 TB you raise it to the cluster's write
+    parallelism and nothing else changes."""
+    from ..operators.relational import event_zorder_keys
+
+    keyed = event_zorder_keys(spark, sf_dir)
+    (
+        keyed.repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_ati_bucketed(ati: DataFrame, table_name: str, n_buckets: int = 32) -> None:
     """Bucket-by-account, sort-by-id layout — the PK(account, id) analog
     (m0001-initial.sql:18). Readers joining or filtering on account skip

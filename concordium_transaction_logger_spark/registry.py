@@ -82,6 +82,19 @@ def _nested_pii_replace(col: str) -> str:
     return expr
 
 
+def _mm_sql(total: str, n: str, guard: bool = True) -> str:
+    """DuckDB rendering of ``textstats.mean_millis_expr`` — THE per-mille
+    rounding formula (``(2000*t + n) // (2*n)``, exact .5 UP), so every
+    oracle ratio rounds identically to the Spark op with zero float
+    intermediates. ``guard=True`` adds the ``n == 0 -> 0`` branch of
+    ``textstats.permille_expr``; ``guard=False`` lets a NULL/zero
+    denominator propagate (the windowed-ratio ops keep NULL)."""
+    core = f"(2000 * ({total}) + ({n})) // (2 * ({n}))"
+    if guard:
+        return f"CAST(CASE WHEN ({n}) > 0 THEN {core} ELSE 0 END AS BIGINT)"
+    return f"CAST({core} AS BIGINT)"
+
+
 def _simhash_core() -> str:
     """The per-doc simhash SELECT, shared by the signature query and the
     banded-pairs oracle."""
@@ -157,7 +170,7 @@ def _lang_confusion_sql() -> str:
 ),
 lcm AS (SELECT lang, pred_lang, COUNT(*) AS n FROM lpred GROUP BY lang, pred_lang)
 SELECT lang, pred_lang, n,
-  CAST(ROUND(1000.0 * n / SUM(n) OVER (PARTITION BY lang)) AS BIGINT) AS share_permille
+  {_mm_sql("n", "SUM(n) OVER (PARTITION BY lang)")} AS share_permille
 FROM lcm
 ORDER BY lang, pred_lang
 """
@@ -171,10 +184,10 @@ def _quality_sql() -> str:
 SELECT doc_id,
   length(text) AS n_chars,
   len(t) AS n_tokens,
-  CASE WHEN length(text) > 0 THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) AS BIGINT) ELSE 0 END AS alpha_permille,
-  CASE WHEN length(text) > 0 THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^0-9]', '', 'g')) / length(text)) AS BIGINT) ELSE 0 END AS digit_permille,
-  CASE WHEN length(text) > 0 THEN CAST(ROUND(1000.0 * length(regexp_replace(text, '[^ ]', '', 'g')) / length(text)) AS BIGINT) ELSE 0 END AS space_permille,
-  CASE WHEN len(t) > 0 THEN CAST(ROUND(1000.0 * len(list_filter(t, x -> list_contains([{stop_list}], x))) / len(t)) AS BIGINT) ELSE 0 END AS stopword_permille
+  {_mm_sql("length(regexp_replace(lower(text), '[^a-z]', '', 'g'))", "length(text)")} AS alpha_permille,
+  {_mm_sql("length(regexp_replace(lower(text), '[^0-9]', '', 'g'))", "length(text)")} AS digit_permille,
+  {_mm_sql("length(regexp_replace(text, '[^ ]', '', 'g'))", "length(text)")} AS space_permille,
+  {_mm_sql("len(list_filter(t, x -> list_contains([" + stop_list + "], x)))", "len(t)")} AS stopword_permille
 FROM documents JOIN toks USING (doc_id)
 ORDER BY doc_id
 """
@@ -353,7 +366,7 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
        CAST(SUM(np) AS BIGINT) AS n_pieces,
-       CAST(ROUND(1000.0 * SUM(np) / SUM(length(tok))) AS BIGINT) AS pieces_per_kchar
+       CAST(CASE WHEN (SUM(length(tok))) > 0 THEN (2000 * (SUM(np)) + (SUM(length(tok)))) // (2 * (SUM(length(tok)))) ELSE 0 END AS BIGINT) AS pieces_per_kchar
 FROM bocc JOIN bnp USING (tok)
 GROUP BY doc_id
 ORDER BY doc_id
@@ -408,14 +421,7 @@ def _perceptron_eval_sql() -> str:
 clab AS MATERIALIZED (
   SELECT doc_id,
     CASE WHEN (
-      CASE WHEN length(text) < 100 THEN 'too_short'
-           WHEN (CASE WHEN length(text) > 0
-                      THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) AS BIGINT)
-                      ELSE 0 END) < 500 THEN 'low_alpha'
-           WHEN (CASE WHEN length(text) > 0
-                      THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^0-9]', '', 'g')) / length(text)) AS BIGINT)
-                      ELSE 0 END) > 300 THEN 'digit_heavy'
-           ELSE 'ok' END) = 'ok' THEN 1 ELSE -1 END AS y,
+      {textstats.gate_reason_sql("text", "duckdb")}) = 'ok' THEN 1 ELSE -1 END AS y,
     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#v1'), 1, 8)) AS BIGINT)
       % 1000 < 100 AS is_val
   FROM documents
@@ -459,7 +465,7 @@ fm AS (
 SELECT CASE WHEN c.is_val THEN 'val' ELSE 'train' END AS split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN c.y * fm.margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-       CAST(ROUND(1000.0 * SUM(CASE WHEN c.y * fm.margin > 0 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS acc_permille
+       CAST(CASE WHEN (COUNT(*)) > 0 THEN (2000 * (SUM(CASE WHEN c.y * fm.margin > 0 THEN 1 ELSE 0 END)) + (COUNT(*))) // (2 * (COUNT(*))) ELSE 0 END AS BIGINT) AS acc_permille
 FROM clab c JOIN fm USING (doc_id)
 GROUP BY split
 ORDER BY split
@@ -486,14 +492,7 @@ def _perceptron_sql() -> str:
 clab AS MATERIALIZED (
   SELECT doc_id,
     CASE WHEN (
-      CASE WHEN length(text) < 100 THEN 'too_short'
-           WHEN (CASE WHEN length(text) > 0
-                      THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) AS BIGINT)
-                      ELSE 0 END) < 500 THEN 'low_alpha'
-           WHEN (CASE WHEN length(text) > 0
-                      THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^0-9]', '', 'g')) / length(text)) AS BIGINT)
-                      ELSE 0 END) > 300 THEN 'digit_heavy'
-           ELSE 'ok' END) = 'ok' THEN 1 ELSE -1 END AS y
+      {textstats.gate_reason_sql("text", "duckdb")}) = 'ok' THEN 1 ELSE -1 END AS y
   FROM documents
 ),
 ccw AS MATERIALIZED (
@@ -574,13 +573,12 @@ walk AS (
 comp AS (SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node)"""
 )
 
-def _zorder_sql() -> str:
-    """Generated oracle for relational.event_zorder_manifest — the same
-    min-max normalization, unrolled Morton interleave (disjoint single-
-    bit terms summed) and shard split, bit-for-bit."""
+def _zorder_cte() -> str:
+    """Shared Morton-key CTE: the same min-max normalization and
+    unrolled bit interleave as relational.zorder_keys_frame, bit-for-
+    bit — consumed by BOTH the keys oracle and the manifest oracle."""
     bits = relational.ZORDER_BITS
     top = (1 << bits) - 1
-    shift = 1 << (2 * bits - relational.ZORDER_SHARD_BITS)
     terms = [
         f"((({d} >> {i}) & 1) << {p})"
         for d, i, p in relational.zorder_bit_positions(bits)
@@ -606,7 +604,29 @@ znorm AS (
          {norm("ts_s", "t0", "t1")} AS zy
   FROM zev
 ),
-zsh AS (SELECT user_id, ts_s, ({z}) // {shift} AS shard FROM znorm)
+zkeys AS (SELECT user_id, ts_s, CAST({z} AS BIGINT) AS z FROM znorm)"""
+
+
+def _zorder_keys_sql() -> str:
+    """Generated oracle for relational.event_zorder_keys — the Morton
+    key itself, per event (the frame the write-path helper
+    ``layout.write_events_zordered`` range-partitions on)."""
+    return (
+        _zorder_cte()
+        + """
+SELECT user_id, ts_s, z FROM zkeys ORDER BY user_id, ts_s, z
+"""
+    )
+
+
+def _zorder_sql() -> str:
+    """Generated oracle for relational.event_zorder_manifest — the
+    shared Morton-key CTE plus the shard split and per-shard rollup."""
+    shift = 1 << (2 * relational.ZORDER_BITS - relational.ZORDER_SHARD_BITS)
+    return (
+        _zorder_cte()
+        + f""",
+zsh AS (SELECT user_id, ts_s, z // {shift} AS shard FROM zkeys)
 SELECT CAST(shard AS BIGINT) AS shard,
   CAST(COUNT(*) AS BIGINT) AS n_events,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -614,6 +634,7 @@ SELECT CAST(shard AS BIGINT) AS shard,
   CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS ts_span_s
 FROM zsh GROUP BY shard ORDER BY shard
 """
+    )
 
 
 
@@ -1183,18 +1204,11 @@ ORDER BY q_permille
     "doc_quality_gate": QueryDef(
         textstats.quality_gate,
         wrap(
-            """
+            f"""
 SELECT doc_id, reason, reason = 'ok' AS accept
 FROM (
   SELECT doc_id,
-    CASE WHEN length(text) < 100 THEN 'too_short'
-         WHEN (CASE WHEN length(text) > 0
-                    THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) AS BIGINT)
-                    ELSE 0 END) < 500 THEN 'low_alpha'
-         WHEN (CASE WHEN length(text) > 0
-                    THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^0-9]', '', 'g')) / length(text)) AS BIGINT)
-                    ELSE 0 END) > 300 THEN 'digit_heavy'
-         ELSE 'ok' END AS reason
+    {textstats.gate_reason_sql("text", "duckdb")} AS reason
   FROM documents)
 ORDER BY doc_id
 """
@@ -1356,7 +1370,7 @@ WITH vols AS (
 SELECT o_year,
   CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS nation_cents,
   CAST(SUM(vol) AS BIGINT) AS total_cents,
-  CAST(ROUND(1000.0 * SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) / SUM(vol)) AS BIGINT) AS share_permille
+  CAST(CASE WHEN (SUM(vol)) > 0 THEN (2000 * (SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)) + (SUM(vol))) // (2 * (SUM(vol))) ELSE 0 END AS BIGINT) AS share_permille
 FROM vols
 GROUP BY o_year
 ORDER BY o_year
@@ -1369,8 +1383,8 @@ ORDER BY o_year
 SELECT
   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
   CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-  CAST(ROUND(1000.0 * SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) ELSE 0 END)
-       / SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))) AS BIGINT) AS promo_permille
+  CAST(CASE WHEN (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))) > 0 THEN (2000 * (SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) ELSE 0 END)
+      ) + (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)))) // (2 * (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)))) ELSE 0 END AS BIGINT) AS promo_permille
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 """,
@@ -1486,16 +1500,26 @@ WITH hourly AS (
   GROUP BY event_type, hour_bucket
 )
 SELECT event_type, hour_bucket, n_events,
-  CAST(ROUND(1000.0 * n_events / AVG(n_events) OVER (
-    PARTITION BY event_type ORDER BY hour_bucket
-    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)) AS BIGINT) AS ratio_permille
+  CAST((2000 * (n_events * COUNT(n_events) OVER tw) + (SUM(n_events) OVER tw))
+       // (2 * (SUM(n_events) OVER tw)) AS BIGINT) AS ratio_permille
 FROM hourly
+WINDOW tw AS (
+    PARTITION BY event_type ORDER BY hour_bucket
+    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
 ORDER BY event_type, hour_bucket
 """,
         bench=True,
     ),
     "event_zorder_manifest": QueryDef(
         relational.event_zorder_manifest, _zorder_sql()
+    ),
+    "event_zorder_keys": QueryDef(
+        # per-event Morton keys, deterministically ordered for the
+        # hash compare (ties impossible: (user_id, ts_s) -> one z)
+        lambda spark, sf: relational.event_zorder_keys(spark, sf).orderBy(
+            "user_id", "ts_s", "z"
+        ),
+        _zorder_keys_sql(),
     ),
     "forecast_revenue_change": QueryDef(
         relational.forecast_revenue_change,
@@ -1655,7 +1679,7 @@ ORDER BY o_custkey, rank
 SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq_tokens,
   COALESCE(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT), 0) AS chars_in_tokens,
   CASE WHEN len(t) > 0
-       THEN CAST(ROUND(1000.0 * COALESCE(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT), 0) / len(t)) AS BIGINT)
+       THEN CAST((2000 * (COALESCE(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT), 0)) + (len(t))) // (2 * (len(t))) AS BIGINT)
        ELSE 0 END AS mean_token_len_permille
 FROM toks ORDER BY doc_id
 """
@@ -1681,10 +1705,10 @@ rep_ranked AS (
 SELECT doc_id,
   CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(n_distinct AS BIGINT) AS n_distinct,
-  CAST(ROUND(1000.0 * n_distinct / n_tokens) AS BIGINT) AS distinct_permille,
+  CAST(CASE WHEN (n_tokens) > 0 THEN (2000 * (n_distinct) + (n_tokens)) // (2 * (n_tokens)) ELSE 0 END AS BIGINT) AS distinct_permille,
   tok AS top_token,
   CAST(c AS BIGINT) AS top_count,
-  CAST(ROUND(1000.0 * c / n_tokens) AS BIGINT) AS top_share_permille
+  CAST(CASE WHEN (n_tokens) > 0 THEN (2000 * (c) + (n_tokens)) // (2 * (n_tokens)) ELSE 0 END AS BIGINT) AS top_share_permille
 FROM rep_ranked WHERE rn = 1
 ORDER BY doc_id
 """
@@ -1883,8 +1907,9 @@ ORDER BY doc_a, doc_b
             "CAST(SUM(n_pii) AS BIGINT) AS total_pii, "
             "CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)"
             " AS docs_with_pii, "
-            "CAST(ROUND(1000.0 * SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END)"
-            " / COUNT(*)) AS BIGINT) AS pii_doc_permille "
+            "CAST(CASE WHEN COUNT(*) > 0 THEN (2000 * (SUM(CASE WHEN"
+            " n_pii > 0 THEN 1 ELSE 0 END)) + (COUNT(*))) // (2 *"
+            " (COUNT(*))) ELSE 0 END AS BIGINT) AS pii_doc_permille "
             "FROM (SELECT source, "
             + " + ".join(
                 f"len(regexp_extract_all(text, '{pat}'))"
@@ -1923,7 +1948,7 @@ HAVING COUNT(*) > {textstats.WINNOW_MAX_DF} ORDER BY fp
         """
 SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
   COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_docs,
-  CAST(ROUND(1000.0 * (COUNT(*) - COUNT(DISTINCT md5(text))) / COUNT(*)) AS BIGINT) AS dup_permille
+  CAST(CASE WHEN (COUNT(*)) > 0 THEN (2000 * ((COUNT(*) - COUNT(DISTINCT md5(text)))) + (COUNT(*))) // (2 * (COUNT(*))) ELSE 0 END AS BIGINT) AS dup_permille
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -2001,8 +2026,8 @@ WITH per_lang AS (
   SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_langs FROM per_lang
 )
 SELECT lang, lang_tokens,
-  CAST(ROUND(CAST(total_tokens AS DOUBLE) / n_langs) AS BIGINT) AS target_tokens,
-  LEAST(CAST(ROUND(1000.0 * (CAST(total_tokens AS DOUBLE) / n_langs) / lang_tokens) AS BIGINT),
+  CAST((2 * total_tokens + n_langs) // (2 * n_langs) AS BIGINT) AS target_tokens,
+  LEAST(CAST((2000 * (total_tokens) + (n_langs * lang_tokens)) // (2 * (n_langs * lang_tokens)) AS BIGINT),
         CAST(4000 AS BIGINT)) AS repeat_permille
 FROM per_lang, t
 ORDER BY lang
@@ -2074,13 +2099,13 @@ ORDER BY doc_id
 capped AS (SELECT * FROM shingles WHERE sh NOT IN (SELECT sh FROM stop)),
 cap_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id)
 SELECT da AS doc_a, db AS doc_b, i AS n_inter,
-       CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) AS jaccard_permille
+       CAST((2000 * (i) + ((x.n_sh + y.n_sh - i))) // (2 * ((x.n_sh + y.n_sh - i))) AS BIGINT) AS jaccard_permille
 FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2) t
 JOIN cap_sizes x ON x.doc_id = da
 JOIN cap_sizes y ON y.doc_id = db
-WHERE CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) >= 500
+WHERE CAST((2000 * (i) + ((x.n_sh + y.n_sh - i))) // (2 * ((x.n_sh + y.n_sh - i))) AS BIGINT) >= 500
 ORDER BY doc_a, doc_b
 """
         ),
@@ -2094,7 +2119,7 @@ ORDER BY doc_a, doc_b
 , dfc AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh)
 SELECT doc_id, COUNT(*) AS n_shingles,
        CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-       CAST(ROUND(1000.0 * SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+       CAST(CASE WHEN (COUNT(*)) > 0 THEN (2000 * (SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)) + (COUNT(*))) // (2 * (COUNT(*))) ELSE 0 END AS BIGINT)
          AS novelty_permille
 FROM shingles JOIN dfc USING (sh)
 GROUP BY doc_id ORDER BY doc_id
@@ -2139,7 +2164,7 @@ SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
        COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
        CASE WHEN len(t.t) > 0
-            THEN CAST(ROUND(1000.0 * COALESCE(p.n_dup_tokens, 0) / len(t.t)) AS BIGINT)
+            THEN CAST((2000 * (COALESCE(p.n_dup_tokens, 0)) + (len(t.t))) // (2 * (len(t.t))) AS BIGINT)
             ELSE 0 END AS dup_permille
 FROM toks t LEFT JOIN dper_doc p USING (doc_id)
 ORDER BY doc_id
@@ -2185,10 +2210,10 @@ aper_doc AS (
 SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
        COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
        CASE WHEN len(t.t) > 0
-            THEN CAST(ROUND(1000.0 * COALESCE(p.n_dup_tokens, 0) / len(t.t)) AS BIGINT)
+            THEN CAST((2000 * (COALESCE(p.n_dup_tokens, 0)) + (len(t.t))) // (2 * (len(t.t))) AS BIGINT)
             ELSE 0 END AS dup_permille,
        CASE WHEN (CASE WHEN len(t.t) > 0
-                       THEN CAST(ROUND(1000.0 * COALESCE(p.n_dup_tokens, 0) / len(t.t)) AS BIGINT)
+                       THEN CAST((2000 * (COALESCE(p.n_dup_tokens, 0)) + (len(t.t))) // (2 * (len(t.t))) AS BIGINT)
                        ELSE 0 END) > {dedup.SPAN_MAX_DUP_PERMILLE}
             THEN 'reject' ELSE 'admit' END AS verdict
 FROM toks t LEFT JOIN aper_doc p USING (doc_id)
@@ -2255,13 +2280,13 @@ HAVING COUNT(*) > {dedup.DEFAULT_MAX_DF} ORDER BY sh
         wrap(
             """
 SELECT da AS doc_a, db AS doc_b, i AS n_inter,
-       CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) AS jaccard_permille
+       CAST((2000 * (i) + ((x.n_sh + y.n_sh - i))) // (2 * ((x.n_sh + y.n_sh - i))) AS BIGINT) AS jaccard_permille
 FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2) t
 JOIN sh_sizes x ON x.doc_id = da
 JOIN sh_sizes y ON y.doc_id = db
-WHERE CAST(ROUND(1000.0 * i / (x.n_sh + y.n_sh - i)) AS BIGINT) >= 500
+WHERE CAST((2000 * (i) + ((x.n_sh + y.n_sh - i))) // (2 * ((x.n_sh + y.n_sh - i))) AS BIGINT) >= 500
 ORDER BY doc_a, doc_b
 """
         ),
@@ -2310,14 +2335,14 @@ SELECT p.doc_a, p.doc_b,
              (CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END) +
              (CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END) +
              (CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree,
-       CAST(ROUND(1000.0 * ((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END) +
+       CAST((2000 * (((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END) +
              (CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END) +
              (CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END) +
              (CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END) +
              (CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END) +
              (CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END) +
              (CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END)) / 8) AS BIGINT)
+             (CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END))) + (8)) // (2 * (8)) AS BIGINT)
          AS est_jaccard_permille
 FROM bpairs p JOIN mh x ON x.doc_id = p.doc_a JOIN mh y ON y.doc_id = p.doc_b
 ORDER BY doc_a, doc_b
@@ -2387,7 +2412,7 @@ pkc AS (
 )
 SELECT source, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-       CAST(ROUND(1000.0 * SUM(n_tokens) / 256) AS BIGINT) AS fill_permille
+       CAST((2000 * (SUM(n_tokens)) + (256)) // (2 * (256)) AS BIGINT) AS fill_permille
 FROM pkc GROUP BY source, bin_id
 ORDER BY source, bin_id
 """
@@ -2516,7 +2541,7 @@ SELECT doc_id,
   CAST(len(b) AS BIGINT) AS n_bigrams,
   CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct_bigrams,
   CASE WHEN len(b) > 0
-       THEN CAST(ROUND(1000.0 * (len(b) - len(list_distinct(b))) / len(b)) AS BIGINT)
+       THEN CAST((2000 * ((len(b) - len(list_distinct(b)))) + (len(b))) // (2 * (len(b))) AS BIGINT)
        ELSE 0 END AS dup_permille
 FROM bg
 ORDER BY doc_id
@@ -2579,17 +2604,10 @@ ORDER BY doc_id
     ),
     "corpus_curation_verdict": QueryDef(
         sampling.curation_verdict,
-        """
+        f"""
 WITH base AS (
   SELECT doc_id, md5(text) AS fp,
-    CASE WHEN length(text) < 100 THEN 'too_short'
-         WHEN (CASE WHEN length(text) > 0
-                    THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) AS BIGINT)
-                    ELSE 0 END) < 500 THEN 'low_alpha'
-         WHEN (CASE WHEN length(text) > 0
-                    THEN CAST(ROUND(1000.0 * length(regexp_replace(lower(text), '[^0-9]', '', 'g')) / length(text)) AS BIGINT)
-                    ELSE 0 END) > 300 THEN 'digit_heavy'
-         ELSE 'ok' END AS gate_reason,
+    {textstats.gate_reason_sql("text", "duckdb")} AS gate_reason,
     CAST(COALESCE(list_sum(list_transform(
         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
         tok -> CAST(('0x' || substr(md5(tok || '#w1'), 1, 8)) AS BIGINT) % 21 - 10)), 0) AS BIGINT) AS q,
@@ -3114,60 +3132,54 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # ---- round-6 rotation: the ENTIRE remaining never-driver-checked
-    # backlog (25 oracle-backed entries after r5) takes slots, so after
-    # this round every oracle-backed registry entry has been
-    # driver-checked at least once across r01-r06 (backlog = 0). The
-    # final 6 slots hold this round's changed-definition ops as
-    # regression signals: doc_unigram_surprisal + doc_dsir_weights
-    # (float ROUND -> integer half-up/away-from-zero mean),
-    # corpus_source_overlap + corpus_bpe_merges (r6 slope-tightening
-    # targets), embedding_semdedup_pairs (k-default holdover
-    # continuity) and event_zorder_manifest (the new-in-r6 storage-
-    # layout family — slotting it keeps the never-checked backlog at
-    # zero; doc_duplicate_spans, r04-green, was considered for the
-    # slot but stays parity-checked only). All rotated-out r5 names
-    # stay value-checked every pytest run by test_oracle_parity.
-    # relational / TPC-H / window family (the 13 never-checked rows)
-    "event_type_sliding",
-    "nation_pair_volume",
-    "disjunctive_part_revenue",
-    "part_margin_by_nation",
-    "peak_revenue_suppliers",
-    "ansi_sql_gateway",
-    "nation_participation_balance",
-    "forecast_revenue_change",
-    "returned_item_losses",
-    "concentrated_part_revenue",
-    "late_shipment_priority_split",
-    "cheapest_supplier_per_part",
-    "dominant_part_suppliers",
-    # text-analysis family (never-checked + this round's changed means)
-    "doc_bigram_surprisal",
-    "doc_perplexity_buckets",
-    "doc_unigram_surprisal",
-    "doc_dsir_weights",
-    # chunking / dedup family
-    "doc_passage_chunks",
-    "doc_chunk_dup_groups",
-    # storage-layout family (new in r6 — slot keeps the never-checked
-    # backlog at zero; doc_duplicate_spans stays parity-checked and was
-    # driver-green in r04)
+    # ---- round-7 rotation: the never-checked backlog is ZERO (judge-
+    # verified over r01-r06), so every rotating slot now holds a
+    # CHANGED-DEFINITION op as a regression signal. This round the
+    # integer-rounding convention became total (every per-mille ratio —
+    # op AND oracle — moved from float ROUND(1000.0*x/y) to the one
+    # formula (2000*t+n) DIV (2*n); see textstats.mean_millis_expr /
+    # _mm_sql), the quality gate was single-sourced
+    # (textstats.gate_reason_sql renders BOTH dialects), and the Z-order
+    # normalization moved to overflow-proof DECIMAL/HUGEINT — so the
+    # slots are exactly the ops those changes touched, plus the round's
+    # slope targets for continuity. All rotated-out names stay
+    # value-checked every pytest run by test_oracle_parity.
+    # convention migration: textstats family
+    "doc_token_stats",
+    "doc_quality",
+    "doc_quality_gate",
+    "doc_quality_classifier",
+    "doc_perceptron_train",
+    "doc_perceptron_eval",
+    "doc_lang_confusion",
+    "doc_repetition_profile",
+    "doc_bigram_repetition",
+    "source_pii_profile",
+    "corpus_bpe_apply",
+    # convention migration: relational family
+    "nation_market_share",
+    "promo_revenue_permille",
+    "event_hourly_anomaly",
+    # convention migration: sampling family
+    "corpus_mixture_plan",
+    "doc_pack_sequences",
+    "corpus_curation_verdict",
+    # convention migration: dedup family
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_jaccard_estimate",
+    "doc_ngram_novelty",
+    "corpus_dedup_stats",
+    "doc_duplicate_spans",
+    "doc_span_admission",
+    "doc_dedup_clean_text",
+    # Z-order overflow fix (keys newly registered this round)
+    "event_zorder_keys",
     "event_zorder_manifest",
+    # slope targets / continuity
     "doc_tfidf_cosine_pairs",
     "corpus_source_overlap",
-    # decontamination
-    "doc_bloom_contamination",
-    "embedding_split_contamination",
-    # embedding family
-    "embedding_semdedup_survivors",
-    "embedding_semdedup_pairs",
-    # graph / sketch family
-    "graph_trade_pagerank",
-    "dedup_graph_triangles",
-    "trade_graph_components",
-    "token_cms_topk",
-    # tokenizer (r6 merge-batching target)
+    "doc_bigram_surprisal",
+    "doc_unigram_surprisal",
     "corpus_bpe_merges",
 ]
 

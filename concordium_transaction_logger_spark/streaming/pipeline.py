@@ -717,11 +717,16 @@ class StreamingAnomaly:
                 "left",
             )
             .groupBy("event_type", "window_start_ms", "n_events")
-            .agg(F.avg("h_n").alias("trailing_avg"))
+            .agg(
+                F.sum("h_n").alias("t_sum"), F.count("h_n").alias("t_cnt")
+            )
         )
-        ratio = F.round(1000.0 * F.col("n_events") / F.col("trailing_avg"), 0).cast(
-            "long"
-        )
+        # integer twin of the batch op's trailing ratio (relational
+        # anomaly_ratio): round(1000*n/avg) = shared formula over
+        # (n*cnt, sum); empty history leaves sum NULL -> ratio NULL
+        from ..operators.textstats import mean_millis_expr
+
+        ratio = mean_millis_expr("n_events * t_cnt", "t_sum")
         # EVERY evaluated window is written, alerting or not: the
         # window-keyed overwrite then retracts a stale alert when fuller
         # history drops the ratio back under the threshold — an
@@ -1475,6 +1480,7 @@ class StreamingCorpusIngest:
                 doc_span_occurrences,
                 tokens,
             )
+            from ..operators.textstats import permille_expr
 
             sp = doc_span_occurrences(batch_df).persist()
             sp_state = sp
@@ -1518,7 +1524,7 @@ class StreamingCorpusIngest:
             span_rejects = (
                 n_tok.join(dup_tok, "doc_id")
                 .filter(
-                    F.round(1000.0 * F.col("n_dup_tokens") / F.col("n_tokens"))
+                    permille_expr("n_dup_tokens", "n_tokens")
                     > SPAN_MAX_DUP_PERMILLE
                 )
                 .select("doc_id")

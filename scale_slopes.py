@@ -129,15 +129,40 @@ def _scale_trade(spark, mult: int, out_dir: str) -> None:
         )
 
 
+def _scale_events(spark, mult: int, out_dir: str) -> None:
+    """Replicated events for the storage-layout family: replica r shifts
+    event_id and user_id by r*STRIDE (the user DIMENSION grows with the
+    corpus — the realistic shape for the Z-order normalization) while
+    the time span stays fixed (a bigger fleet, not a longer history)."""
+    ev = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    parts = [
+        ev.select(
+            (F.col("event_id") + r * STRIDE).alias("event_id"),
+            (F.col("user_id") + r * STRIDE).alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        )
+        for r in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+
 def build_corpus(
     spark, mult: int, out_dir: str, boilerplate: bool = False, trade: bool = False
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     scale_trade = trade and mult > 1
+    scale_events = trade and mult > 1  # the timed corpora scale both
     for name in TABLES:
         if name in ("documents", "embeddings"):
             continue
         if scale_trade and name in TRADE_KEYS:
+            continue
+        if scale_events and name == "events":
             continue
         os.symlink(
             os.path.join(BASE_SF, f"{name}.parquet"),
@@ -145,6 +170,8 @@ def build_corpus(
         )
     if scale_trade:
         _scale_trade(spark, mult, out_dir)
+    if scale_events:
+        _scale_events(spark, mult, out_dir)
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
     parts = []
     for r in range(mult):
@@ -204,6 +231,7 @@ def main() -> None:
     from concordium_transaction_logger_spark.operators import (
         dedup,
         graph,
+        relational,
         retrieval,
         sampling,
         similarity,
@@ -261,6 +289,11 @@ def main() -> None:
             "dedup_triangles": graph.dedup_graph_triangles,
             "tfidf_cosine_pairs": dedup.tfidf_cosine_pairs,
             "cms_topk": textstats.token_cms_topk,
+            # storage-layout family (r7): the manifest IS the layout plan
+            # (two scans + 1-row broadcast + one partial-agg groupBy) —
+            # measured on the replicated events table (user span grows
+            # with the corpus, exercising the DECIMAL normalization)
+            "zorder_manifest": relational.event_zorder_manifest,
         }
 
     def boiler_families(m: int):

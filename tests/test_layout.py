@@ -200,16 +200,12 @@ def test_zorder_layout_enables_two_dimensional_file_pruning(spark, sf_dir, tmp_p
         event_zorder_keys,
     )
 
-    # four consumers below (two writes + two aggregates): pin once
+    # three consumers below (one write + two aggregates): pin once
     keyed = event_zorder_keys(spark, sf_dir).localCheckpoint()
     n_files = 16
     zdir, tdir = str(tmp_path / "zorder"), str(tmp_path / "timesort")
-    (
-        keyed.repartitionByRange(n_files, "z")
-        .sortWithinPartitions("z")
-        .write.mode("overwrite")
-        .parquet(zdir)
-    )
+    # the one-call write-path helper IS the layout under test
+    layout.write_events_zordered(spark, sf_dir, zdir, n_files=n_files)
     (
         keyed.repartitionByRange(n_files, "ts_s")
         .sortWithinPartitions("ts_s")

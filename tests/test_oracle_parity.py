@@ -119,3 +119,32 @@ def test_driver_slot_ordering_covers_every_family():
     llm_prefixes = ("doc_", "corpus_", "ann_", "embedding_", "media_")
     n_llm = sum(any(n.startswith(p) for p in llm_prefixes) for n in first50)
     assert n_llm >= 10, f"only {n_llm} LLM-pipeline ops in the driver window"
+
+
+def test_integer_rounding_convention_is_total():
+    """r6-verdict consistency item: per-mille ratios use ONE integer
+    rounding formula (textstats.mean_millis_expr / registry._mm_sql's
+    ``(2000*t + n) // (2*n)``) — no float ``round(1000.0 * ...)`` may
+    exist in any operator OR any oracle. (Money-cents conversion and
+    cosine similarity over float embeddings are different conventions:
+    cents is ``ROUND(x*100)`` on DECIMAL money, cosine is inherently
+    float input — both deliberately out of this invariant's scope.)"""
+    import pathlib
+    import re
+
+    root = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "concordium_transaction_logger_spark"
+    )
+    bad = []
+    pat = re.compile(r"F\.round\(1000\.0|ROUND\(1000\.0 \*")
+    for f in sorted(root.rglob("*.py")):
+        for i, ln in enumerate(f.read_text().splitlines(), 1):
+            if pat.search(ln):
+                bad.append(f"{f.name}:{i}")
+    from concordium_transaction_logger_spark.registry import REGISTRY
+
+    for name, qd in sorted(REGISTRY.items()):
+        if qd.oracle and "ROUND(1000.0" in qd.oracle:
+            bad.append(f"oracle:{name}")
+    assert not bad, f"float per-mille sites remain: {bad}"

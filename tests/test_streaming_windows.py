@@ -135,12 +135,15 @@ def test_streaming_anomaly_matches_batch_expectation(spark, sf_dir, tmp_path):
             "left",
         )
         .groupBy("event_type", "window_start_ms", "n_events")
-        .agg(F.avg("h_n").alias("trailing_avg"))
+        .agg(F.sum("h_n").alias("t_sum"), F.count("h_n").alias("t_cnt"))
         .select(
             "event_type",
             "window_start_ms",
             "n_events",
-            F.round(1000.0 * F.col("n_events") / F.col("trailing_avg"), 0)
+            # the engine's one integer rounding formula (mean_millis_expr)
+            F.expr(
+                "(2000 * n_events * t_cnt + t_sum) DIV (2 * t_sum)"
+            )
             .cast("long")
             .alias("ratio_permille"),
         )
