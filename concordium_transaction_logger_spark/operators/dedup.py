@@ -1154,20 +1154,39 @@ def tfidf_cosine_pairs(
     docs = load_table(spark, sf_dir, "documents")
     parallelism = spark.sparkContext.defaultParallelism
     t = F.col("t")
-    grams = gram_strings(t, SHINGLE)
+    # Shingle construction is fully VECTORIZED (the bigram_surprisal
+    # treatment): arrays_zip of SHINGLE shifted slices — no higher-order
+    # lambda (a transform() measured ~3 µs/element of interpreted-lambda
+    # overhead) — and the term is hashed to an 8-byte xxhash64 key by
+    # whole-stage-codegen right after the explode (multi-column xxhash64
+    # chains per column, so no concat ambiguity). No shuffle in this op
+    # ever carries a shingle string: the tf groupBy, the df groupBy, the
+    # idf join, the checkpoint, and the inverted-index self-join all
+    # move (doc_id, th) longs. The DuckDB oracle keeps the strings —
+    # identical results modulo 64-bit collisions.
+    gram_len = F.greatest(F.lit(0), F.size(t) - (SHINGLE - 1))
+    gram_zip = F.arrays_zip(
+        *[F.slice(t, k + 1, gram_len) for k in range(SHINGLE)]
+    )
     occ = (
         docs.repartition(parallelism, "doc_id")
         .select("doc_id", tokens(F.col("text")).alias("t"))
         .filter(F.size(t) >= SHINGLE)
-        .select("doc_id", F.explode(grams).alias("tok"))
+        .select("doc_id", F.explode(gram_zip).alias("g"))
+        .select(
+            "doc_id",
+            F.xxhash64(
+                *[F.col("g")[str(k)] for k in range(SHINGLE)]
+            ).alias("th"),
+        )
     )
-    tf = occ.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    tf = occ.groupBy("doc_id", "th").agg(F.count("*").cast("long").alias("tf"))
     n_docs = docs.select(F.count("*").cast("long").alias("n_docs"))
-    df = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    df = tf.groupBy("th").agg(F.count("*").cast("long").alias("df"))
     idf = (
         df.crossJoin(F.broadcast(n_docs))
         .select(
-            "tok",
+            "th",
             "df",
             (F.length(F.bin(F.col("n_docs"))) - F.length(F.bin(F.col("df"))))
             .cast("long")
@@ -1186,10 +1205,10 @@ def tfidf_cosine_pairs(
     # ``keep`` folds the df cap into one boolean so df never rides past
     # this select.
     w = (
-        tf.join(idf, "tok")
+        tf.join(idf, "th")
         .select(
             "doc_id",
-            F.xxhash64("tok").alias("th"),
+            "th",
             (F.col("df") <= max_df).alias("keep"),
             (F.col("tf") * F.col("idf_bits")).alias("w"),
         )

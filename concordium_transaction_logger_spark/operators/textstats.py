@@ -796,40 +796,54 @@ def bigram_surprisal(
     expression is the shared one (oracle prologue ``toks``)."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
     arr = tokens(F.col("text"))
-    # sequence(1, n-1) DESCENDS when n < 2 in Spark (DuckDB's
-    # generate_series is empty) — guard the short-doc case explicitly
-    bgs = F.when(
-        F.size(arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    big = docs.select("doc_id", F.explode(bgs).alias("bg"))
-    # Pin the (doc_id, bg, k) frame ONCE: it feeds the corpus count
+    # Bigram construction is fully VECTORIZED: arrays_zip of the token
+    # array against itself shifted by one (two slices — no higher-order
+    # lambda; a transform() with per-element hashing measured ~3 µs/elem
+    # of interpreted-lambda overhead, 10.9 s vs 0.7 s for this shape at
+    # the 10x corpus), and both the bigram and its context token are
+    # hashed to 8-byte xxhash64 keys by whole-stage-codegen right after
+    # the explode — no bigram string ever shuffles; the LM tables, the
+    # context re-aggregation and the scoring join all move longs. The
+    # DuckDB oracle keeps counting the strings — identical values
+    # modulo 64-bit collisions. greatest(0, n-1) guards the slice
+    # length for 0/1-token docs (they emit no bigrams, as in the
+    # oracle).
+    n_arr = F.size(arr)
+    pair_len = F.greatest(F.lit(0), n_arr - 1)
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, pair_len), F.slice(arr, 2, pair_len)
+    )
+    big = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id",
+        F.xxhash64(F.col("p")["0"], F.col("p")["1"]).alias("bgh"),
+        F.xxhash64(F.col("p")["0"]).alias("ph"),
+    )
+    # Pin the (doc_id, bgh, ph, k) frame ONCE: it feeds the corpus count
     # table AND the final scoring join, and the OOV total adds a third
     # consumer — unpinned, each subtree replays the tokenize + bigram
     # explode corpus pass (measured: the whole op's scale slope rode on
     # the replays, not on any single pass).
     per_doc = (
-        big.groupBy("doc_id", "bg").agg(F.count("*").alias("k")).localCheckpoint()
+        big.groupBy("doc_id", "bgh", "ph")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint()
     )
     # corpus counts RE-AGGREGATE the per-doc frame (the oracle's shape:
     # bc2 sums bpdt) — aggregating `big` directly would re-run the
     # tokenize+explode scan as a second subtree in the same plan
-    c2 = per_doc.groupBy("bg").agg(F.sum("k").alias("cnt2")).localCheckpoint()
+    c2 = (
+        per_doc.groupBy("bgh", "ph")
+        .agg(F.sum("k").alias("cnt2"))
+        .localCheckpoint()
+    )
     # OOV backoff cost: one row, from the full (pre-prune) count table
     tot = c2.agg(F.sum("cnt2").cast("long").alias("tot"))
     c2p = c2.filter(F.col("cnt2") >= min_count)
-    prev = F.split(F.col("bg"), " ")[0]
-    c1 = c2p.groupBy(prev.alias("prev")).agg(F.sum("cnt2").alias("cnt1"))
+    c1 = c2p.groupBy("ph").agg(F.sum("cnt2").alias("cnt1"))
     bits_tbl = (
-        c2p.withColumn("prev", prev)
-        .join(c1, "prev")
+        c2p.join(c1, "ph")
         .select(
-            "bg",
+            "bgh",
             (F.length(F.bin(F.col("cnt1"))) - F.length(F.bin(F.col("cnt2"))))
             .cast("long")
             .alias("bits"),
@@ -838,7 +852,7 @@ def bigram_surprisal(
     oov_bits = F.length(F.bin(F.col("tot"))).cast("long")
     eff_bits = F.coalesce(F.col("bits"), oov_bits)
     return (
-        per_doc.join(bits_tbl, "bg", "left")
+        per_doc.join(bits_tbl, "bgh", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
