@@ -729,13 +729,25 @@ def mean_millis_expr(total: str, n: str, signed: bool = False) -> Column:
     test_duplicate_spans._half_up``) spell the same formula; a float
     ``ROUND`` would agree on every non-tie but leaves the convention
     implicit, and Python's ``round()`` banker's-rounds the tie — the r5
-    property-test flake this form exists to prevent."""
-    up = f"(2000 * ({total}) + ({n})) DIV (2 * ({n}))"
+    property-test flake this form exists to prevent.
+
+    The ``2000 * total`` blow-up runs in DECIMAL, not BIGINT: a money
+    total past ~4.6e15 (TPC-H revenue cents at a few-TB SF) would wrap
+    the int64 product silently with ANSI off — the same overflow class
+    the Z-order normalization was cured of (``_zorder_norm_expr``).
+    DECIMAL(20,0) holds any int64 input exactly, the *2000 product
+    widens to DECIMAL(25,0) with no clipping, and decimal ``DIV`` is
+    Spark's integral divide returning BIGINT, so the result type is
+    unchanged. The DuckDB twin (``registry._mm_sql``) widens to HUGEINT
+    for the same reason."""
+    t20 = f"CAST(({total}) AS DECIMAL(20,0))"
+    n20 = f"CAST(({n}) AS DECIMAL(20,0))"
+    up = f"(2000 * {t20} + {n20}) DIV (2 * {n20})"
     if not signed:
         return F.expr(up).cast("long")
     return F.expr(
         f"CASE WHEN {total} >= 0 THEN {up}"
-        f" ELSE -((-2000 * ({total}) + ({n})) DIV (2 * ({n}))) END"
+        f" ELSE -((-2000 * {t20} + {n20}) DIV (2 * {n20})) END"
     ).cast("long")
 
 

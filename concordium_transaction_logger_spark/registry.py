@@ -88,11 +88,30 @@ def _mm_sql(total: str, n: str, guard: bool = True) -> str:
     oracle ratio rounds identically to the Spark op with zero float
     intermediates. ``guard=True`` adds the ``n == 0 -> 0`` branch of
     ``textstats.permille_expr``; ``guard=False`` lets a NULL/zero
-    denominator propagate (the windowed-ratio ops keep NULL)."""
-    core = f"(2000 * ({total}) + ({n})) // (2 * ({n}))"
+    denominator propagate (the windowed-ratio ops keep NULL).
+
+    The blow-up runs in HUGEINT, mirroring the Spark side's DECIMAL
+    widening: ``2000 * total`` on a money sum past ~4.6e15 would abort
+    DuckDB's checked BIGINT arithmetic (and silently wrap Spark's) —
+    the Z-order normalization's overflow class, fixed the same way."""
+    t = f"CAST(({total}) AS HUGEINT)"
+    core = f"(2000 * {t} + ({n})) // (2 * CAST(({n}) AS HUGEINT))"
     if guard:
         return f"CAST(CASE WHEN ({n}) > 0 THEN {core} ELSE 0 END AS BIGINT)"
     return f"CAST({core} AS BIGINT)"
+
+
+def _mm_signed_sql(total: str, n: str) -> str:
+    """DuckDB rendering of ``mean_millis_expr(signed=True)`` — exact .5
+    AWAY FROM ZERO (DSIR scores can be negative), same HUGEINT widening.
+    No zero-guard: signed call sites guard their own denominators."""
+    t = f"CAST(({total}) AS HUGEINT)"
+    nh = f"CAST(({n}) AS HUGEINT)"
+    return (
+        f"CAST(CASE WHEN ({total}) >= 0"
+        f" THEN (2000 * {t} + {nh}) // (2 * {nh})"
+        f" ELSE -((-2000 * {t} + {nh}) // (2 * {nh})) END AS BIGINT)"
+    )
 
 
 def _simhash_core() -> str:
@@ -366,7 +385,7 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
        CAST(SUM(np) AS BIGINT) AS n_pieces,
-       CAST(CASE WHEN (SUM(length(tok))) > 0 THEN (2000 * (SUM(np)) + (SUM(length(tok)))) // (2 * (SUM(length(tok)))) ELSE 0 END AS BIGINT) AS pieces_per_kchar
+       {_mm_sql("SUM(np)", "SUM(length(tok))")} AS pieces_per_kchar
 FROM bocc JOIN bnp USING (tok)
 GROUP BY doc_id
 ORDER BY doc_id
@@ -465,7 +484,7 @@ fm AS (
 SELECT CASE WHEN c.is_val THEN 'val' ELSE 'train' END AS split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN c.y * fm.margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-       CAST(CASE WHEN (COUNT(*)) > 0 THEN (2000 * (SUM(CASE WHEN c.y * fm.margin > 0 THEN 1 ELSE 0 END)) + (COUNT(*))) // (2 * (COUNT(*))) ELSE 0 END AS BIGINT) AS acc_permille
+       {_mm_sql("SUM(CASE WHEN c.y * fm.margin > 0 THEN 1 ELSE 0 END)", "COUNT(*)")} AS acc_permille
 FROM clab c JOIN fm USING (doc_id)
 GROUP BY split
 ORDER BY split
@@ -544,6 +563,13 @@ ORDER BY c.doc_id
 # the LSH edge set, shared by every oracle that consumes the candidate
 # graph (jaccard estimate, components/survivors/verdict, triangles).
 # KEEP IN LOCKSTEP with dedup._band_cols / dedup.minhash_band_pairs.
+#: Per-pair MinHash agreement count (x vs y over the 8 signature limbs) —
+#: shared by the n_agree column and its est_jaccard_permille ratio so the
+#: two can't drift.
+_MH_AGREE = " + ".join(
+    f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
 _BPAIRS_SQL = """
 , bpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1352,7 +1378,7 @@ ORDER BY supp_nation, cust_nation, ship_year
     ),
     "nation_market_share": QueryDef(
         relational.nation_market_share,
-        """
+        f"""
 WITH vols AS (
   SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
          CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS vol,
@@ -1370,7 +1396,7 @@ WITH vols AS (
 SELECT o_year,
   CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS nation_cents,
   CAST(SUM(vol) AS BIGINT) AS total_cents,
-  CAST(CASE WHEN (SUM(vol)) > 0 THEN (2000 * (SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)) + (SUM(vol))) // (2 * (SUM(vol))) ELSE 0 END AS BIGINT) AS share_permille
+  {_mm_sql("SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)", "SUM(vol)")} AS share_permille
 FROM vols
 GROUP BY o_year
 ORDER BY o_year
@@ -1379,12 +1405,11 @@ ORDER BY o_year
     ),
     "promo_revenue_permille": QueryDef(
         relational.promo_revenue_permille,
-        """
+        f"""
 SELECT
   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
   CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-  CAST(CASE WHEN (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))) > 0 THEN (2000 * (SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) ELSE 0 END)
-      ) + (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)))) // (2 * (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)))) ELSE 0 END AS BIGINT) AS promo_permille
+  {_mm_sql("SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) ELSE 0 END)", "SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))")} AS promo_permille
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 """,
@@ -1493,15 +1518,14 @@ ORDER BY o_orderkey
     ),
     "event_hourly_anomaly": QueryDef(
         relational.event_hourly_anomaly,
-        """
+        f"""
 WITH hourly AS (
   SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket, COUNT(*) AS n_events
   FROM events
   GROUP BY event_type, hour_bucket
 )
 SELECT event_type, hour_bucket, n_events,
-  CAST((2000 * (n_events * COUNT(n_events) OVER tw) + (SUM(n_events) OVER tw))
-       // (2 * (SUM(n_events) OVER tw)) AS BIGINT) AS ratio_permille
+  {_mm_sql("n_events * COUNT(n_events) OVER tw", "SUM(n_events) OVER tw", guard=False)} AS ratio_permille
 FROM hourly
 WINDOW tw AS (
     PARTITION BY event_type ORDER BY hour_bucket
@@ -1675,12 +1699,10 @@ ORDER BY o_custkey, rank
     "doc_token_stats": QueryDef(
         textstats.token_stats,
         wrap(
-            """
+            f"""
 SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq_tokens,
   COALESCE(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT), 0) AS chars_in_tokens,
-  CASE WHEN len(t) > 0
-       THEN CAST((2000 * (COALESCE(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT), 0)) + (len(t))) // (2 * (len(t))) AS BIGINT)
-       ELSE 0 END AS mean_token_len_permille
+  {_mm_sql("COALESCE(CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT), 0)", "len(t)")} AS mean_token_len_permille
 FROM toks ORDER BY doc_id
 """
         ),
@@ -1689,7 +1711,7 @@ FROM toks ORDER BY doc_id
     "doc_repetition_profile": QueryDef(
         textstats.repetition_profile,
         wrap(
-            """
+            f"""
 , rep_cnt AS (
   SELECT doc_id, tok, COUNT(*) AS c
   FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
@@ -1705,10 +1727,10 @@ rep_ranked AS (
 SELECT doc_id,
   CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(n_distinct AS BIGINT) AS n_distinct,
-  CAST(CASE WHEN (n_tokens) > 0 THEN (2000 * (n_distinct) + (n_tokens)) // (2 * (n_tokens)) ELSE 0 END AS BIGINT) AS distinct_permille,
+  {_mm_sql("n_distinct", "n_tokens")} AS distinct_permille,
   tok AS top_token,
   CAST(c AS BIGINT) AS top_count,
-  CAST(CASE WHEN (n_tokens) > 0 THEN (2000 * (c) + (n_tokens)) // (2 * (n_tokens)) ELSE 0 END AS BIGINT) AS top_share_permille
+  {_mm_sql("c", "n_tokens")} AS top_share_permille
 FROM rep_ranked WHERE rn = 1
 ORDER BY doc_id
 """
@@ -1737,7 +1759,7 @@ ORDER BY doc_id
     "doc_unigram_surprisal": QueryDef(
         textstats.unigram_surprisal,
         wrap(
-            """
+            f"""
 , uocc AS (SELECT doc_id, unnest(t) AS tok FROM toks),
 updt AS (SELECT doc_id, tok, COUNT(*) AS k FROM uocc GROUP BY doc_id, tok),
 ucnt AS (SELECT tok, SUM(k) AS cnt FROM updt GROUP BY tok),
@@ -1752,7 +1774,7 @@ SELECT doc_id,
   CAST(SUM(k) AS BIGINT) AS n_tokens,
   CAST(SUM(k * bits) AS BIGINT) AS total_surprisal_bits,
   CAST(MAX(bits) AS BIGINT) AS max_token_bits,
-  CAST((2000 * SUM(k * bits) + SUM(k)) // (2 * SUM(k)) AS BIGINT) AS mean_surprisal_millibits
+  {_mm_sql("SUM(k * bits)", "SUM(k)", guard=False)} AS mean_surprisal_millibits
 FROM updt JOIN ubits USING (tok)
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -1763,13 +1785,12 @@ GROUP BY doc_id ORDER BY doc_id
         textstats.bigram_surprisal,
         wrap(
             _BIGRAM_CTES
-            + """
+            + f"""
 SELECT doc_id,
   CAST(SUM(k) AS BIGINT) AS n_bigrams,
   CAST(SUM(k * COALESCE(bits, (SELECT oov FROM boov))) AS BIGINT) AS total_surprisal_bits,
   CAST(MAX(COALESCE(bits, (SELECT oov FROM boov))) AS BIGINT) AS max_bigram_bits,
-  CAST((2000 * SUM(k * COALESCE(bits, (SELECT oov FROM boov))) + SUM(k))
-       // (2 * SUM(k)) AS BIGINT) AS mean_surprisal_millibits
+  {_mm_sql("SUM(k * COALESCE(bits, (SELECT oov FROM boov)))", "SUM(k)", guard=False)} AS mean_surprisal_millibits
 FROM bpdt LEFT JOIN bbits USING (bg)
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -1782,11 +1803,10 @@ GROUP BY doc_id ORDER BY doc_id
         textstats.perplexity_buckets,
         wrap(
             _BIGRAM_CTES
-            + """
+            + f"""
 , bs AS (
   SELECT doc_id,
-         CAST((2000 * SUM(k * COALESCE(bits, (SELECT oov FROM boov))) + SUM(k))
-              // (2 * SUM(k)) AS BIGINT) AS s
+         {_mm_sql("SUM(k * COALESCE(bits, (SELECT oov FROM boov)))", "SUM(k)", guard=False)} AS s
   FROM bpdt LEFT JOIN bbits USING (bg) GROUP BY doc_id
 ),
 bhist AS (SELECT s, COUNT(*) AS cnt FROM bs GROUP BY s),
@@ -1907,9 +1927,8 @@ ORDER BY doc_a, doc_b
             "CAST(SUM(n_pii) AS BIGINT) AS total_pii, "
             "CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)"
             " AS docs_with_pii, "
-            "CAST(CASE WHEN COUNT(*) > 0 THEN (2000 * (SUM(CASE WHEN"
-            " n_pii > 0 THEN 1 ELSE 0 END)) + (COUNT(*))) // (2 *"
-            " (COUNT(*))) ELSE 0 END AS BIGINT) AS pii_doc_permille "
+            + _mm_sql("SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END)", "COUNT(*)")
+            + " AS pii_doc_permille "
             "FROM (SELECT source, "
             + " + ".join(
                 f"len(regexp_extract_all(text, '{pat}'))"
@@ -1945,10 +1964,10 @@ HAVING COUNT(*) > {textstats.WINNOW_MAX_DF} ORDER BY fp
     # ------------------------------------------------------------------
     "corpus_dedup_stats": QueryDef(
         dedup.corpus_dedup_stats,
-        """
+        f"""
 SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
   COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_docs,
-  CAST(CASE WHEN (COUNT(*)) > 0 THEN (2000 * ((COUNT(*) - COUNT(DISTINCT md5(text)))) + (COUNT(*))) // (2 * (COUNT(*))) ELSE 0 END AS BIGINT) AS dup_permille
+  {_mm_sql("COUNT(*) - COUNT(DISTINCT md5(text))", "COUNT(*)")} AS dup_permille
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -2017,7 +2036,7 @@ LIMIT {retrieval.TOP_K}
     ),
     "corpus_mixture_plan": QueryDef(
         sampling.mixture_plan,
-        """
+        f"""
 WITH per_lang AS (
   SELECT lang,
     CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS lang_tokens
@@ -2027,7 +2046,7 @@ WITH per_lang AS (
 )
 SELECT lang, lang_tokens,
   CAST((2 * total_tokens + n_langs) // (2 * n_langs) AS BIGINT) AS target_tokens,
-  LEAST(CAST((2000 * (total_tokens) + (n_langs * lang_tokens)) // (2 * (n_langs * lang_tokens)) AS BIGINT),
+  LEAST({_mm_sql("total_tokens", "n_langs * lang_tokens", guard=False)},
         CAST(4000 AS BIGINT)) AS repeat_permille
 FROM per_lang, t
 ORDER BY lang
@@ -2099,13 +2118,13 @@ ORDER BY doc_id
 capped AS (SELECT * FROM shingles WHERE sh NOT IN (SELECT sh FROM stop)),
 cap_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id)
 SELECT da AS doc_a, db AS doc_b, i AS n_inter,
-       CAST((2000 * (i) + ((x.n_sh + y.n_sh - i))) // (2 * ((x.n_sh + y.n_sh - i))) AS BIGINT) AS jaccard_permille
+       {_mm_sql("i", "x.n_sh + y.n_sh - i", guard=False)} AS jaccard_permille
 FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2) t
 JOIN cap_sizes x ON x.doc_id = da
 JOIN cap_sizes y ON y.doc_id = db
-WHERE CAST((2000 * (i) + ((x.n_sh + y.n_sh - i))) // (2 * ((x.n_sh + y.n_sh - i))) AS BIGINT) >= 500
+WHERE {_mm_sql("i", "x.n_sh + y.n_sh - i", guard=False)} >= 500
 ORDER BY doc_a, doc_b
 """
         ),
@@ -2115,11 +2134,11 @@ ORDER BY doc_a, doc_b
     "doc_ngram_novelty": QueryDef(
         dedup.ngram_novelty,
         wrap(
-            """
+            f"""
 , dfc AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh)
 SELECT doc_id, COUNT(*) AS n_shingles,
        CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-       CAST(CASE WHEN (COUNT(*)) > 0 THEN (2000 * (SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)) + (COUNT(*))) // (2 * (COUNT(*))) ELSE 0 END AS BIGINT)
+       {_mm_sql("SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)", "COUNT(*)")}
          AS novelty_permille
 FROM shingles JOIN dfc USING (sh)
 GROUP BY doc_id ORDER BY doc_id
@@ -2163,9 +2182,7 @@ dper_doc AS (
 SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
        COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
-       CASE WHEN len(t.t) > 0
-            THEN CAST((2000 * (COALESCE(p.n_dup_tokens, 0)) + (len(t.t))) // (2 * (len(t.t))) AS BIGINT)
-            ELSE 0 END AS dup_permille
+       {_mm_sql("COALESCE(p.n_dup_tokens, 0)", "len(t.t)")} AS dup_permille
 FROM toks t LEFT JOIN dper_doc p USING (doc_id)
 ORDER BY doc_id
 """
@@ -2209,12 +2226,8 @@ aper_doc AS (
 )
 SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
        COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
-       CASE WHEN len(t.t) > 0
-            THEN CAST((2000 * (COALESCE(p.n_dup_tokens, 0)) + (len(t.t))) // (2 * (len(t.t))) AS BIGINT)
-            ELSE 0 END AS dup_permille,
-       CASE WHEN (CASE WHEN len(t.t) > 0
-                       THEN CAST((2000 * (COALESCE(p.n_dup_tokens, 0)) + (len(t.t))) // (2 * (len(t.t))) AS BIGINT)
-                       ELSE 0 END) > {dedup.SPAN_MAX_DUP_PERMILLE}
+       {_mm_sql("COALESCE(p.n_dup_tokens, 0)", "len(t.t)")} AS dup_permille,
+       CASE WHEN ({_mm_sql("COALESCE(p.n_dup_tokens, 0)", "len(t.t)")}) > {dedup.SPAN_MAX_DUP_PERMILLE}
             THEN 'reject' ELSE 'admit' END AS verdict
 FROM toks t LEFT JOIN aper_doc p USING (doc_id)
 ORDER BY doc_id
@@ -2278,15 +2291,15 @@ HAVING COUNT(*) > {dedup.DEFAULT_MAX_DF} ORDER BY sh
     "doc_ngram_jaccard_exact": QueryDef(
         lambda spark, sf: dedup.ngram_jaccard_pairs(spark, sf, 500, max_df=None),
         wrap(
-            """
+            f"""
 SELECT da AS doc_a, db AS doc_b, i AS n_inter,
-       CAST((2000 * (i) + ((x.n_sh + y.n_sh - i))) // (2 * ((x.n_sh + y.n_sh - i))) AS BIGINT) AS jaccard_permille
+       {_mm_sql("i", "x.n_sh + y.n_sh - i", guard=False)} AS jaccard_permille
 FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2) t
 JOIN sh_sizes x ON x.doc_id = da
 JOIN sh_sizes y ON y.doc_id = db
-WHERE CAST((2000 * (i) + ((x.n_sh + y.n_sh - i))) // (2 * ((x.n_sh + y.n_sh - i))) AS BIGINT) >= 500
+WHERE {_mm_sql("i", "x.n_sh + y.n_sh - i", guard=False)} >= 500
 ORDER BY doc_a, doc_b
 """
         ),
@@ -2325,24 +2338,10 @@ ORDER BY doc_a, doc_b
     "doc_minhash_jaccard_estimate": QueryDef(
         dedup.minhash_jaccard_estimate,
         wrap(
-            _BPAIRS_SQL + """
+            _BPAIRS_SQL + f"""
 SELECT p.doc_a, p.doc_b,
-       CAST(((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree,
-       CAST((2000 * (((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END) +
-             (CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END))) + (8)) // (2 * (8)) AS BIGINT)
+       CAST({_MH_AGREE} AS BIGINT) AS n_agree,
+       {_mm_sql(_MH_AGREE, "8", guard=False)}
          AS est_jaccard_permille
 FROM bpairs p JOIN mh x ON x.doc_id = p.doc_a JOIN mh y ON y.doc_id = p.doc_b
 ORDER BY doc_a, doc_b
@@ -2399,7 +2398,7 @@ ORDER BY doc_id
     "doc_pack_sequences": QueryDef(
         sampling.pack_sequences,
         wrap(
-            """
+            f"""
 , pk AS (
   SELECT d.source, d.doc_id, len(t.t) AS n_tokens
   FROM documents d JOIN toks t ON d.doc_id = t.doc_id
@@ -2412,7 +2411,7 @@ pkc AS (
 )
 SELECT source, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-       CAST((2000 * (SUM(n_tokens)) + (256)) // (2 * (256)) AS BIGINT) AS fill_permille
+       {_mm_sql("SUM(n_tokens)", "256", guard=False)} AS fill_permille
 FROM pkc GROUP BY source, bin_id
 ORDER BY source, bin_id
 """
@@ -2524,7 +2523,7 @@ ORDER BY doc_id
     ),
     "doc_bigram_repetition": QueryDef(
         textstats.bigram_repetition,
-        """
+        f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
@@ -2540,9 +2539,7 @@ bg AS (
 SELECT doc_id,
   CAST(len(b) AS BIGINT) AS n_bigrams,
   CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct_bigrams,
-  CASE WHEN len(b) > 0
-       THEN CAST((2000 * ((len(b) - len(list_distinct(b)))) + (len(b))) // (2 * (len(b))) AS BIGINT)
-       ELSE 0 END AS dup_permille
+  {_mm_sql("len(b) - len(list_distinct(b))", "len(b)")} AS dup_permille
 FROM bg
 ORDER BY doc_id
 """,
@@ -2691,10 +2688,7 @@ dwb AS (
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
        CAST(SUM(w_bits) AS BIGINT) AS score_bits,
-       CAST(CASE WHEN SUM(w_bits) >= 0
-                 THEN (2000 * SUM(w_bits) + COUNT(*)) // (2 * COUNT(*))
-                 ELSE -((-2000 * SUM(w_bits) + COUNT(*)) // (2 * COUNT(*)))
-            END AS BIGINT) AS mean_score_millibits
+       {_mm_signed_sql("SUM(w_bits)", "COUNT(*)")} AS mean_score_millibits
 FROM db JOIN dwb USING (b)
 GROUP BY doc_id ORDER BY doc_id
 """

@@ -244,8 +244,15 @@ def merge_supply_upsert(
         f"INSERT INTO {staging}_agg SELECT idx, subidx, token_id, "
         f"SUM(total_supply) FROM ("
         f"SELECT idx, subidx, token_id, ingest_batch, "
-        f"MAX(total_supply) / (CASE WHEN COUNT(DISTINCT total_supply) = 1 "
-        f"THEN 1 ELSE 0 END) AS total_supply FROM {staging} "
+        # the assertion divides the CONSTANT 1, never MAX(): division is
+        # strict, so NULL / 0 (an all-NULL group) would return NULL
+        # silently instead of raising — the constant numerator keeps the
+        # divide-by-zero loud for both holes (a NULL alongside a value,
+        # and an all-NULL group)
+        f"MAX(total_supply) * (1 / (CASE WHEN "
+        f"COUNT(DISTINCT total_supply) = 1 "
+        f"AND COUNT(*) = COUNT(total_supply) "
+        f"THEN 1 ELSE 0 END)) AS total_supply FROM {staging} "
         f"GROUP BY idx, subidx, token_id, ingest_batch"
         f") s GROUP BY idx, subidx, token_id",
     )
@@ -290,14 +297,18 @@ def _reraise_staging_contract(staging: str, ex: Exception) -> None:
     (SQLState 22012; the only division in the statement set) into the
     contract error it encodes — the transaction has already rolled back,
     nothing was applied."""
-    s = str(ex)
-    if "22012" in s or "divide by zero" in s.lower():
+    s = str(ex).lower()
+    # Derby/py4j surface the SQLState; Postgres' PSQLException message
+    # carries neither the state nor Derby's wording — it spells the
+    # fault "division by zero", so match all three.
+    if "22012" in s or "divide by zero" in s or "division by zero" in s:
         raise RuntimeError(
             f"supply staging contract violated: {staging} holds two "
-            f"DIFFERENT total_supply values for one (idx, subidx, "
-            f"token_id, ingest_batch) — duplicate stagings of a batch "
-            f"must be byte-identical replays; refusing to merge (MAX "
-            f"would silently drop one delta). Nothing was applied."
+            f"DIFFERENT total_supply values (or a NULL) for one (idx, "
+            f"subidx, token_id, ingest_batch) — duplicate stagings of a "
+            f"batch must be byte-identical non-NULL replays; refusing "
+            f"to merge (MAX would silently drop one delta). Nothing "
+            f"was applied."
         ) from ex
 
 

@@ -2118,6 +2118,29 @@ def _guard_delta_batching(
         for f in rec["files"]:
             recorded[f] = int(rec["ingest_batch"])
     if not recorded:
+        # Ledgers written before r7 lived at the SIBLING path
+        # <out>_batches (outside the sink, so a sink reset missed them
+        # — the r6-ADVICE dead-end). Adopt any legacy records and
+        # migrate them into the sink so (a) healthy pre-move sinks keep
+        # appending instead of being refused as pre-ledger, and (b) the
+        # next reset clears the whole history in one rm.
+        legacy_dir = out + "_batches"
+        for entry_name in oio.listdir(legacy_dir):
+            if not entry_name.startswith("batch-") or entry_name.endswith(
+                ".tmp"
+            ):
+                continue
+            rec = _json.loads(oio.read_text(legacy_dir + "/" + entry_name))
+            b = int(rec["ingest_batch"])
+            for f in rec["files"]:
+                recorded[f] = b
+            oio.write_text_atomic(
+                ledger_dir + f"/batch-{b}.json",
+                _json.dumps(
+                    {"ingest_batch": b, "files": sorted(rec["files"])}
+                ),
+            )
+    if not recorded:
         has_history = any(
             d.startswith("ingest_batch=") for d in oio.listdir(out)
         ) or oio.exists(out + ".MANIFEST")

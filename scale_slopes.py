@@ -135,6 +135,17 @@ def _scale_events(spark, mult: int, out_dir: str) -> None:
     corpus — the realistic shape for the Z-order normalization) while
     the time span stays fixed (a bigger fleet, not a longer history)."""
     ev = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    # Same collision hazard _scale_trade guards against: a base corpus
+    # whose ids reach STRIDE would alias replica r's shifted range into
+    # replica r+1's, silently tangling the scaled corpus.
+    top = ev.agg(
+        F.max(F.greatest(F.col("event_id"), F.col("user_id")))
+    ).first()[0]
+    if top >= STRIDE:
+        raise ValueError(
+            f"events: max id {top} >= STRIDE {STRIDE}; raise STRIDE "
+            "before replicating this base corpus"
+        )
     parts = [
         ev.select(
             (F.col("event_id") + r * STRIDE).alias("event_id"),

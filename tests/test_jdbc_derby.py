@@ -320,3 +320,43 @@ def test_merge_refuses_conflicting_duplicate_stagings(spark, derby_url):
         )
         == 100
     )
+
+
+def test_merge_refuses_null_deltas(spark, derby_url):
+    """The two NULL holes in the contract assertion (r7 review): a NULL
+    delta alongside a real value passes COUNT(DISTINCT)=1 and MAX would
+    silently drop it; an all-NULL group makes the old spelling evaluate
+    NULL / 0, which strict SQL division returns as NULL without raising.
+    Both must refuse loudly with the contract message, atomically."""
+    jdbc.create_supply_schema(
+        spark, derby_url, "supply_nv_stg", "supply_nv", "supply_nv_led"
+    )
+    # hole 1: NULL alongside a real value for one (key, batch)
+    jdbc.run_sql(
+        spark,
+        derby_url,
+        "INSERT INTO supply_nv_stg VALUES (1, 0, 'tok', NULL, 0)",
+        "INSERT INTO supply_nv_stg VALUES (1, 0, 'tok', 100, 0)",
+    )
+    with pytest.raises(RuntimeError, match="staging contract violated"):
+        jdbc.merge_supply_upsert(
+            spark, derby_url, "supply_nv_stg", "supply_nv",
+            batch_id=0, ledger="supply_nv_led",
+        )
+    assert jdbc.query_scalar(spark, derby_url, "SELECT COUNT(*) FROM supply_nv") == 0
+    assert (
+        jdbc.query_scalar(spark, derby_url, "SELECT COUNT(*) FROM supply_nv_led") == 0
+    )
+    # hole 2: an all-NULL group (the misreported divide-by-zero shape)
+    jdbc.run_sql(
+        spark,
+        derby_url,
+        "DELETE FROM supply_nv_stg",
+        "INSERT INTO supply_nv_stg VALUES (2, 0, 'tok', NULL, 0)",
+    )
+    with pytest.raises(RuntimeError, match="staging contract violated"):
+        jdbc.merge_supply_upsert(
+            spark, derby_url, "supply_nv_stg", "supply_nv",
+            batch_id=0, ledger="supply_nv_led",
+        )
+    assert jdbc.query_scalar(spark, derby_url, "SELECT COUNT(*) FROM supply_nv") == 0

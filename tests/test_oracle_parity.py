@@ -148,3 +148,101 @@ def test_integer_rounding_convention_is_total():
         if qd.oracle and "ROUND(1000.0" in qd.oracle:
             bad.append(f"oracle:{name}")
     assert not bad, f"float per-mille sites remain: {bad}"
+
+
+def test_rounding_formula_is_single_sourced():
+    """Every per-mille site must RENDER from the helpers — no hand-inlined
+    ``(2000 * t + n) // (2 * n)`` copy may exist in registry.py source
+    (they drift: the r7 code review found ~18 of them after the helper
+    landed) or in operator source outside the two sanctioned renderers
+    (textstats.mean_millis_expr and textstats.gate_reason_sql, which IS
+    the shared dialect renderer both engines consume)."""
+    import pathlib
+    import re
+
+    root = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "concordium_transaction_logger_spark"
+    )
+    allowed = {
+        # the renderers themselves (pm is gate_reason_sql's inner helper)
+        ("registry.py", "_mm_sql"),
+        ("registry.py", "_mm_signed_sql"),
+        ("textstats.py", "mean_millis_expr"),
+        ("textstats.py", "gate_reason_sql"),
+        ("textstats.py", "pm"),
+    }
+    pat = re.compile(r"2000\s*\*")
+    bad = []
+    for f in sorted(root.rglob("*.py")):
+        fn = "<module>"
+        for i, ln in enumerate(f.read_text().splitlines(), 1):
+            m = re.match(r"\s*def\s+(\w+)", ln)
+            if m:
+                fn = m.group(1)
+            if ln.lstrip().startswith("#"):
+                continue  # prose references to the formula are fine
+            if pat.search(ln) and (f.name, fn) not in allowed:
+                bad.append(f"{f.name}:{i} (in {fn})")
+    assert not bad, f"hand-inlined rounding-formula copies: {bad}"
+
+
+def test_rounding_formula_survives_hub_scale_totals(spark):
+    """The F1 overflow regression: ``2000 * total`` on a money sum past
+    ~4.6e15 cents (TPC-H few-TB territory) must NOT wrap int64 — both
+    dialects widen (Spark DECIMAL(20,0), DuckDB HUGEINT) and must agree
+    with Python's arbitrary-precision reference, signed variant
+    included. Mirrors the Z-order treatment (tests/test_layout.py)."""
+    import duckdb
+
+    from concordium_transaction_logger_spark.operators.textstats import (
+        mean_millis_expr,
+    )
+    from concordium_transaction_logger_spark.registry import (
+        _mm_signed_sql,
+        _mm_sql,
+    )
+
+    i64max = (1 << 63) - 1
+    cases = [
+        (5_000_000_000_000_000, 7_000_000_000_000_000),  # the wrap regime
+        (i64max, i64max),
+        (i64max - 1, i64max),
+        (1, 2),  # exact .5 tie -> up
+        (4_611_686_018_427_387_904, 9_223_372_036_854_775_807),  # 2^62
+    ]
+    signed_cases = [
+        (-3, 2),
+        (-9_000_000_000_000_000_000, 7_000_000_000_000_000_000),
+        (-1, 3),
+    ]
+
+    def py_up(t, n):
+        return (2000 * t + n) // (2 * n)
+
+    def py_signed(t, n):
+        return py_up(t, n) if t >= 0 else -((-2000 * t + n) // (2 * n))
+
+    df = spark.createDataFrame(cases, "t long, n long")
+    got = {
+        (r.t, r.n): r.m
+        for r in df.select(
+            "t", "n", mean_millis_expr("t", "n").alias("m")
+        ).collect()
+    }
+    for t, n in cases:
+        duck = duckdb.sql(f"SELECT {_mm_sql(str(t), str(n))} v").fetchone()[0]
+        assert got[(t, n)] == py_up(t, n) == duck, (t, n)
+
+    dfs = spark.createDataFrame(signed_cases, "t long, n long")
+    gots = {
+        (r.t, r.n): r.m
+        for r in dfs.select(
+            "t", "n", mean_millis_expr("t", "n", signed=True).alias("m")
+        ).collect()
+    }
+    for t, n in signed_cases:
+        duck = duckdb.sql(
+            f"SELECT {_mm_signed_sql(str(t), str(n))} v"
+        ).fetchone()[0]
+        assert gots[(t, n)] == py_signed(t, n) == duck, (t, n)

@@ -200,6 +200,60 @@ def test_guard_refuses_pre_ledger_sink(spark, sf_dir, dirs):
         ).run_available_now()
 
 
+def test_guard_adopts_and_migrates_legacy_sibling_ledger(spark, sf_dir, dirs):
+    """Ledgers written before r7 lived at the SIBLING path
+    ``<out>_batches``; a healthy pre-move sink must keep appending —
+    adopted as recorded history, then migrated INSIDE the sink so the
+    reset-sink-and-checkpoint remedy clears it (the r7 review found the
+    move had orphaned every r6 sink into the 'predates the guard'
+    refusal). The migrated records must still refuse a coarser replay."""
+    import os
+    import shutil as _shutil
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    for i in range(2):
+        (
+            docs.filter(F.col("doc_id") % 2 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dirs["source"])
+        )
+    StreamingCmsIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    want = {
+        (r.j, r.col): r.cell_n for r in cms_from_sink(spark, dirs["out"]).collect()
+    }
+    # recreate the r6 shape: ledger at the sibling path, not in the sink
+    new_ledger = os.path.join(dirs["out"], "_batches")
+    legacy = dirs["out"].rstrip("/") + "_batches"
+    _shutil.move(new_ledger, legacy)
+    # a third delivery must be ACCEPTED (not refused as pre-ledger) ...
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["source"])
+    StreamingCmsIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    # ... and the legacy records now live inside the sink again
+    migrated = sorted(
+        f for f in os.listdir(new_ledger) if f.startswith("batch-")
+    )
+    assert migrated == ["batch-0.json", "batch-1.json", "batch-2.json"]
+    # migrated history still guards: a coarser replay over the recorded
+    # files refuses before the sink mutates
+    _shutil.rmtree(dirs["ckpt"])
+    coarse = StreamingCmsIngest(spark, dirs["source"], dirs["out"], dirs["ckpt"])
+    with pytest.raises(Exception, match="double-count|DIFFERENT source-file"):
+        coarse.run_available_now()
+    got = {
+        (r.j, r.col): r.cell_n
+        for r in cms_from_sink(spark, dirs["out"]).collect()
+    }
+    for k, v in want.items():
+        assert got[k] >= v  # batch 2's cells added once, nothing doubled
+
+
 def test_cms_sink_survives_compaction(spark, sf_dir, dirs, tmp_path):
     """cms_from_sink must resolve the compaction manifest: after one (and
     two — the second GCs plain partitions below the hwm) compactions, and
