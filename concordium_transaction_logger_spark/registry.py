@@ -3169,9 +3169,10 @@ _DRIVER_PRIORITY = [
     # Z-order overflow fix (keys newly registered this round)
     "event_zorder_keys",
     "event_zorder_manifest",
+    # the one op on the NEW signed-formula rendering path (_mm_signed_sql)
+    "doc_dsir_weights",
     # slope targets / continuity
     "doc_tfidf_cosine_pairs",
-    "corpus_source_overlap",
     "doc_bigram_surprisal",
     "doc_unigram_surprisal",
     "corpus_bpe_merges",

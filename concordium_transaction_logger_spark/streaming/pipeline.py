@@ -2111,35 +2111,37 @@ def _guard_delta_batching(
         return
     ledger_dir = out + "/_batches"
     recorded: dict[str, int] = {}
+    seen_ids: set[int] = set()
     for entry_name in oio.listdir(ledger_dir):
         if not entry_name.startswith("batch-") or entry_name.endswith(".tmp"):
             continue
         rec = _json.loads(oio.read_text(ledger_dir + "/" + entry_name))
+        seen_ids.add(int(rec["ingest_batch"]))
         for f in rec["files"]:
             recorded[f] = int(rec["ingest_batch"])
-    if not recorded:
-        # Ledgers written before r7 lived at the SIBLING path
-        # <out>_batches (outside the sink, so a sink reset missed them
-        # — the r6-ADVICE dead-end). Adopt any legacy records and
-        # migrate them into the sink so (a) healthy pre-move sinks keep
-        # appending instead of being refused as pre-ledger, and (b) the
-        # next reset clears the whole history in one rm.
-        legacy_dir = out + "_batches"
-        for entry_name in oio.listdir(legacy_dir):
-            if not entry_name.startswith("batch-") or entry_name.endswith(
-                ".tmp"
-            ):
-                continue
-            rec = _json.loads(oio.read_text(legacy_dir + "/" + entry_name))
-            b = int(rec["ingest_batch"])
-            for f in rec["files"]:
-                recorded[f] = b
-            oio.write_text_atomic(
-                ledger_dir + f"/batch-{b}.json",
-                _json.dumps(
-                    {"ingest_batch": b, "files": sorted(rec["files"])}
-                ),
-            )
+    # Ledgers written before r7 lived at the SIBLING path <out>_batches
+    # (outside the sink, so a sink reset missed them — the r6-ADVICE
+    # dead-end). Adopt any legacy records not yet in the sink ledger and
+    # migrate them inside, so (a) healthy pre-move sinks keep appending
+    # instead of being refused as pre-ledger, and (b) the next reset
+    # clears the whole history in one rm. The merge is UNCONDITIONAL
+    # (not gated on the new ledger being empty): a crash mid-migration
+    # leaves both dirs partially populated, and skipping the legacy
+    # remainder would leave those batches' files unguarded — fail-open.
+    legacy_dir = out + "_batches"
+    for entry_name in oio.listdir(legacy_dir):
+        if not entry_name.startswith("batch-") or entry_name.endswith(".tmp"):
+            continue
+        rec = _json.loads(oio.read_text(legacy_dir + "/" + entry_name))
+        b = int(rec["ingest_batch"])
+        if b in seen_ids:
+            continue  # already migrated (or re-recorded) in the sink
+        for f in rec["files"]:
+            recorded[f] = b
+        oio.write_text_atomic(
+            ledger_dir + f"/batch-{b}.json",
+            _json.dumps({"ingest_batch": b, "files": sorted(rec["files"])}),
+        )
     if not recorded:
         has_history = any(
             d.startswith("ingest_batch=") for d in oio.listdir(out)

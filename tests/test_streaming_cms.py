@@ -437,6 +437,41 @@ def test_guard_refuses_unknown_scheme_loudly(spark, tmp_path):
         )
 
 
+def test_guard_merges_legacy_ledger_after_partial_migration(spark, tmp_path):
+    """A crash mid-migration leaves BOTH ledger locations partially
+    populated; the legacy merge must be unconditional (not gated on the
+    sink ledger being empty) or the unmigrated batches' files would be
+    unguarded — a coarser replay over them would pass (fail-open)."""
+    import json as _json
+    import os as _os
+
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        _guard_delta_batching,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    wal_dir = _os.path.join(ckpt, "sources", "0")
+    _os.makedirs(wal_dir)
+    # batch 2 replays files that legacy batch 1 (NOT yet migrated) owns
+    with open(_os.path.join(wal_dir, "2"), "w") as fh:
+        fh.write('v1\n{"path": "file:///b.parquet"}\n')
+    new_ledger = _os.path.join(out, "_batches")
+    _os.makedirs(new_ledger)
+    with open(_os.path.join(new_ledger, "batch-0.json"), "w") as fh:
+        fh.write(_json.dumps({"ingest_batch": 0, "files": ["file:///a.parquet"]}))
+    legacy = out + "_batches"
+    _os.makedirs(legacy)
+    for b, f in [(0, "file:///a.parquet"), (1, "file:///b.parquet")]:
+        with open(_os.path.join(legacy, f"batch-{b}.json"), "w") as fh:
+            fh.write(_json.dumps({"ingest_batch": b, "files": [f]}))
+    with pytest.raises(RuntimeError, match="already recorded"):
+        _guard_delta_batching(out, ckpt, 2)
+    # and batch 1 is now migrated into the sink ledger
+    with open(_os.path.join(new_ledger, "batch-1.json")) as fh:
+        assert _json.load(fh)["files"] == ["file:///b.parquet"]
+
+
 def test_guard_raises_on_unparseable_wal_entry(spark, tmp_path):
     """The r6-ADVICE fail-open: a corrupt WAL line must raise, not
     silently skip the check AND the ledger write (which would leave the
