@@ -844,8 +844,11 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inter_shingles",
             "n_a",
             "n_b",
-            F.expr(
-                "(1000 * inter_shingles) DIV (n_a + n_b - inter_shingles)"
+            # the engine's ONE half-up rounding formula — a truncating
+            # (1000*i) DIV u here rounded differently from every other
+            # jaccard_permille column (r7 review)
+            mean_millis_expr(
+                "inter_shingles", "n_a + n_b - inter_shingles"
             ).alias("jaccard_permille"),
         )
         .orderBy("src_a", "src_b")

@@ -1671,9 +1671,11 @@ def event_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "hour_bucket",
             "n_events",
-            mean_millis_expr("n_events * t_cnt", "t_sum").alias(
-                "ratio_permille"
-            ),
+            # pre-widened factor: the n_events*t_cnt product must not
+            # multiply in BIGINT (mean_millis_expr's caller contract)
+            mean_millis_expr(
+                "CAST(n_events AS DECIMAL(38,0)) * t_cnt", "t_sum"
+            ).alias("ratio_permille"),
         )
         .orderBy("event_type", "hour_bucket")
     )

@@ -192,7 +192,9 @@ def mixture_plan(spark: SparkSession, sf_dir: str, cap_permille: int = 4000) -> 
     # algebraically 1000*total / (n_langs*lang_tokens) — one integer
     # rounding via the engine's shared formula
     repeat = F.least(
-        mean_millis_expr("total_tokens", "n_langs * lang_tokens"),
+        mean_millis_expr(
+            "total_tokens", "CAST(n_langs AS DECIMAL(38,0)) * lang_tokens"
+        ),
         F.lit(cap_permille).cast("long"),
     )
     return (
@@ -200,8 +202,12 @@ def mixture_plan(spark: SparkSession, sf_dir: str, cap_permille: int = 4000) -> 
         .select(
             "lang",
             "lang_tokens",
-            # round(total/n_langs): the shared formula at scale 1
-            F.expr("(2 * total_tokens + n_langs) DIV (2 * n_langs)")
+            # round(total/n_langs): the shared formula at scale 1,
+            # widened like mean_millis_expr (2*total wraps past 4.6e18)
+            F.expr(
+                "(2 * CAST(total_tokens AS DECIMAL(38,0)) + n_langs)"
+                " DIV (2 * CAST(n_langs AS DECIMAL(38,0)))"
+            )
             .cast("long")
             .alias("target_tokens"),
             repeat.alias("repeat_permille"),

@@ -735,19 +735,27 @@ def mean_millis_expr(total: str, n: str, signed: bool = False) -> Column:
     total past ~4.6e15 (TPC-H revenue cents at a few-TB SF) would wrap
     the int64 product silently with ANSI off — the same overflow class
     the Z-order normalization was cured of (``_zorder_norm_expr``).
-    DECIMAL(20,0) holds any int64 input exactly, the *2000 product
-    widens to DECIMAL(25,0) with no clipping, and decimal ``DIV`` is
-    Spark's integral divide returning BIGINT, so the result type is
-    unchanged. The DuckDB twin (``registry._mm_sql``) widens to HUGEINT
-    for the same reason."""
-    t20 = f"CAST(({total}) AS DECIMAL(20,0))"
-    n20 = f"CAST(({n}) AS DECIMAL(20,0))"
-    up = f"(2000 * {t20} + {n20}) DIV (2 * {n20})"
+    DECIMAL(38,0) holds any int64 input (and any pre-widened composite
+    product a caller passes) exactly, the *2000 product stays within 38
+    digits for every realistic total, and decimal ``DIV`` is Spark's
+    integral divide returning BIGINT, so the result type is unchanged.
+    The DuckDB twin (``registry._mm_sql``) widens to HUGEINT for the
+    same reason.
+
+    CALLER contract for composite expressions: the cast here wraps the
+    WHOLE expression, so a product like ``n_events * t_cnt`` still
+    multiplies in BIGINT before the widening sees it — pre-widen one
+    factor at the call site (``CAST(n_events AS DECIMAL(38,0)) *
+    t_cnt``, HUGEINT on the oracle side) when the product can exceed
+    int64."""
+    t38 = f"CAST(({total}) AS DECIMAL(38,0))"
+    n38 = f"CAST(({n}) AS DECIMAL(38,0))"
+    up = f"(2000 * {t38} + {n38}) DIV (2 * {n38})"
     if not signed:
         return F.expr(up).cast("long")
     return F.expr(
         f"CASE WHEN {total} >= 0 THEN {up}"
-        f" ELSE -((-2000 * {t20} + {n20}) DIV (2 * {n20})) END"
+        f" ELSE -((-2000 * {t38} + {n38}) DIV (2 * {n38})) END"
     ).cast("long")
 
 

@@ -563,11 +563,13 @@ ORDER BY c.doc_id
 # the LSH edge set, shared by every oracle that consumes the candidate
 # graph (jaccard estimate, components/survivors/verdict, triangles).
 # KEEP IN LOCKSTEP with dedup._band_cols / dedup.minhash_band_pairs.
-#: Per-pair MinHash agreement count (x vs y over the 8 signature limbs) —
-#: shared by the n_agree column and its est_jaccard_permille ratio so the
-#: two can't drift.
+#: Per-pair MinHash agreement count (x vs y over the MINHASH_K signature
+#: limbs) — shared by the n_agree column and its est_jaccard_permille
+#: ratio, and rendered from the SAME constant the Spark op uses
+#: (dedup.MINHASH_K), so a signature-width change can't drift dialects.
 _MH_AGREE = " + ".join(
-    f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+    f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(dedup.MINHASH_K)
 )
 
 _BPAIRS_SQL = """
@@ -1525,7 +1527,7 @@ WITH hourly AS (
   GROUP BY event_type, hour_bucket
 )
 SELECT event_type, hour_bucket, n_events,
-  {_mm_sql("n_events * COUNT(n_events) OVER tw", "SUM(n_events) OVER tw", guard=False)} AS ratio_permille
+  {_mm_sql("CAST(n_events AS HUGEINT) * COUNT(n_events) OVER tw", "SUM(n_events) OVER tw", guard=False)} AS ratio_permille
 FROM hourly
 WINDOW tw AS (
     PARTITION BY event_type ORDER BY hour_bucket
@@ -1977,7 +1979,7 @@ ORDER BY source
     "corpus_source_overlap": QueryDef(
         dedup.source_overlap,
         wrap(
-            """
+            f"""
 , ssh AS (
   SELECT DISTINCT d.source, s.sh
   FROM shingles s JOIN documents d USING (doc_id)
@@ -1991,7 +1993,7 @@ spr AS (
 )
 SELECT src_a, src_b, inter_shingles,
   za.n_sh AS n_a, zb.n_sh AS n_b,
-  (1000 * inter_shingles) // (za.n_sh + zb.n_sh - inter_shingles) AS jaccard_permille
+  {_mm_sql("inter_shingles", "za.n_sh + zb.n_sh - inter_shingles", guard=False)} AS jaccard_permille
 FROM spr JOIN ssz za ON za.source = spr.src_a JOIN ssz zb ON zb.source = spr.src_b
 ORDER BY src_a, src_b
 """
@@ -2045,8 +2047,8 @@ WITH per_lang AS (
   SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_langs FROM per_lang
 )
 SELECT lang, lang_tokens,
-  CAST((2 * total_tokens + n_langs) // (2 * n_langs) AS BIGINT) AS target_tokens,
-  LEAST({_mm_sql("total_tokens", "n_langs * lang_tokens", guard=False)},
+  CAST((2 * CAST(total_tokens AS HUGEINT) + n_langs) // (2 * CAST(n_langs AS HUGEINT)) AS BIGINT) AS target_tokens,
+  LEAST({_mm_sql("total_tokens", "CAST(n_langs AS HUGEINT) * lang_tokens", guard=False)},
         CAST(4000 AS BIGINT)) AS repeat_permille
 FROM per_lang, t
 ORDER BY lang
@@ -2341,7 +2343,7 @@ ORDER BY doc_a, doc_b
             _BPAIRS_SQL + f"""
 SELECT p.doc_a, p.doc_b,
        CAST({_MH_AGREE} AS BIGINT) AS n_agree,
-       {_mm_sql(_MH_AGREE, "8", guard=False)}
+       {_mm_sql(_MH_AGREE, str(dedup.MINHASH_K), guard=False)}
          AS est_jaccard_permille
 FROM bpairs p JOIN mh x ON x.doc_id = p.doc_a JOIN mh y ON y.doc_id = p.doc_b
 ORDER BY doc_a, doc_b
@@ -3171,11 +3173,12 @@ _DRIVER_PRIORITY = [
     "event_zorder_manifest",
     # the one op on the NEW signed-formula rendering path (_mm_signed_sql)
     "doc_dsir_weights",
-    # slope targets / continuity
+    # slope targets / continuity (source_overlap re-entered when its
+    # jaccard_permille moved onto the shared half-up formula)
     "doc_tfidf_cosine_pairs",
     "doc_bigram_surprisal",
     "doc_unigram_surprisal",
-    "corpus_bpe_merges",
+    "corpus_source_overlap",
 ]
 
 # Star-contraction components twin: identical output contract and oracle

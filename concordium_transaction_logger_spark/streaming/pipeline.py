@@ -726,7 +726,9 @@ class StreamingAnomaly:
         # (n*cnt, sum); empty history leaves sum NULL -> ratio NULL
         from ..operators.textstats import mean_millis_expr
 
-        ratio = mean_millis_expr("n_events * t_cnt", "t_sum")
+        ratio = mean_millis_expr(
+            "CAST(n_events AS DECIMAL(38,0)) * t_cnt", "t_sum"
+        )
         # EVERY evaluated window is written, alerting or not: the
         # window-keyed overwrite then retracts a stale alert when fuller
         # history drops the ratio back under the threshold — an
@@ -1956,6 +1958,12 @@ class _LocalIO:
             fh.write(text)
         os.replace(tmp, path)
 
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
 
 class _HadoopIO:
     """The same five metadata operations through the JVM's Hadoop
@@ -2004,6 +2012,9 @@ class _HadoopIO:
         self._fs.delete(final, False)  # Hadoop rename won't overwrite
         if not self._fs.rename(tmp, final):
             raise IOError(f"rename {path}.tmp -> {path} failed")
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._p(path), False)
 
 
 def _io_for(path: str):
@@ -2121,27 +2132,35 @@ def _guard_delta_batching(
             recorded[f] = int(rec["ingest_batch"])
     # Ledgers written before r7 lived at the SIBLING path <out>_batches
     # (outside the sink, so a sink reset missed them — the r6-ADVICE
-    # dead-end). Adopt any legacy records not yet in the sink ledger and
-    # migrate them inside, so (a) healthy pre-move sinks keep appending
-    # instead of being refused as pre-ledger, and (b) the next reset
-    # clears the whole history in one rm. The merge is UNCONDITIONAL
-    # (not gated on the new ledger being empty): a crash mid-migration
-    # leaves both dirs partially populated, and skipping the legacy
-    # remainder would leave those batches' files unguarded — fail-open.
+    # dead-end). Adopt any legacy records not yet in the sink ledger,
+    # migrate them inside, and DELETE the migrated sidecar, so (a)
+    # healthy pre-move sinks keep appending instead of being refused as
+    # pre-ledger, and (b) the next reset genuinely clears the whole
+    # history in one rm — a surviving sibling copy would re-seed stale
+    # batch records into the fresh sink and loop the operator through
+    # the very refusal the reset was prescribed for. The merge is
+    # UNCONDITIONAL (not gated on the new ledger being empty): a crash
+    # mid-migration leaves both dirs partially populated, and skipping
+    # the legacy remainder would leave those batches' files unguarded —
+    # fail-open. (Crash-safe order: write-inside first, delete second;
+    # a crash between the two re-runs as the seen_ids branch.)
     legacy_dir = out + "_batches"
     for entry_name in oio.listdir(legacy_dir):
         if not entry_name.startswith("batch-") or entry_name.endswith(".tmp"):
             continue
-        rec = _json.loads(oio.read_text(legacy_dir + "/" + entry_name))
+        legacy_path = legacy_dir + "/" + entry_name
+        rec = _json.loads(oio.read_text(legacy_path))
         b = int(rec["ingest_batch"])
-        if b in seen_ids:
-            continue  # already migrated (or re-recorded) in the sink
-        for f in rec["files"]:
-            recorded[f] = b
-        oio.write_text_atomic(
-            ledger_dir + f"/batch-{b}.json",
-            _json.dumps({"ingest_batch": b, "files": sorted(rec["files"])}),
-        )
+        if b not in seen_ids:
+            for f in rec["files"]:
+                recorded[f] = b
+            oio.write_text_atomic(
+                ledger_dir + f"/batch-{b}.json",
+                _json.dumps(
+                    {"ingest_batch": b, "files": sorted(rec["files"])}
+                ),
+            )
+        oio.delete(legacy_path)
     if not recorded:
         has_history = any(
             d.startswith("ingest_batch=") for d in oio.listdir(out)

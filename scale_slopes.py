@@ -106,6 +106,8 @@ def _scale_trade(spark, mult: int, out_dir: str) -> None:
         # disconnected-copies) graph, silently corrupting the slope.
         keycol = F.greatest(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
         top = df.agg(F.max(keycol)).first()[0]
+        if top is None:
+            raise ValueError(f"{name}: base corpus is empty, nothing to replicate")
         if top >= STRIDE:
             raise ValueError(
                 f"{name}: max key {top} >= STRIDE {STRIDE}; raise STRIDE "
@@ -141,6 +143,8 @@ def _scale_events(spark, mult: int, out_dir: str) -> None:
     top = ev.agg(
         F.max(F.greatest(F.col("event_id"), F.col("user_id")))
     ).first()[0]
+    if top is None:
+        raise ValueError("events: base corpus is empty, nothing to replicate")
     if top >= STRIDE:
         raise ValueError(
             f"events: max id {top} >= STRIDE {STRIDE}; raise STRIDE "

@@ -235,11 +235,21 @@ def test_guard_adopts_and_migrates_legacy_sibling_ledger(spark, sf_dir, dirs):
     StreamingCmsIngest(
         spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
     ).run_available_now()
-    # ... and the legacy records now live inside the sink again
+    # ... the legacy records now live inside the sink, and the sibling
+    # copies are GONE — a later sink reset must not re-seed them
     migrated = sorted(
         f for f in os.listdir(new_ledger) if f.startswith("batch-")
     )
     assert migrated == ["batch-0.json", "batch-1.json", "batch-2.json"]
+    assert not [f for f in os.listdir(legacy) if f.startswith("batch-")]
+    # exact state after the accepted third delivery — the reference the
+    # refusal must preserve byte-for-byte (a >= check could not see
+    # batches 0/1 being double-applied)
+    want3 = {
+        (r.j, r.col): r.cell_n for r in cms_from_sink(spark, dirs["out"]).collect()
+    }
+    for k, v in want.items():
+        assert want3[k] >= v
     # migrated history still guards: a coarser replay over the recorded
     # files refuses before the sink mutates
     _shutil.rmtree(dirs["ckpt"])
@@ -250,8 +260,7 @@ def test_guard_adopts_and_migrates_legacy_sibling_ledger(spark, sf_dir, dirs):
         (r.j, r.col): r.cell_n
         for r in cms_from_sink(spark, dirs["out"]).collect()
     }
-    for k, v in want.items():
-        assert got[k] >= v  # batch 2's cells added once, nothing doubled
+    assert got == want3, "refusal must precede any sink mutation"
 
 
 def test_cms_sink_survives_compaction(spark, sf_dir, dirs, tmp_path):
@@ -470,6 +479,9 @@ def test_guard_merges_legacy_ledger_after_partial_migration(spark, tmp_path):
     # and batch 1 is now migrated into the sink ledger
     with open(_os.path.join(new_ledger, "batch-1.json")) as fh:
         assert _json.load(fh)["files"] == ["file:///b.parquet"]
+    # both sibling copies (the migrated batch 1 AND the already-present
+    # batch 0) are deleted, so a sink reset cannot re-seed stale history
+    assert not [f for f in _os.listdir(legacy) if f.startswith("batch-")]
 
 
 def test_guard_raises_on_unparseable_wal_entry(spark, tmp_path):
