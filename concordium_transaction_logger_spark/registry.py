@@ -20,6 +20,7 @@ from .functions import addresses
 from .operators import (
     dedup,
     graph,
+    linkage,
     multimodal,
     queries,
     relational,
@@ -1964,6 +1965,62 @@ HAVING COUNT(*) > {textstats.WINNOW_MAX_DF} ORDER BY fp
     # ------------------------------------------------------------------
     # Training-data pipeline: deduplication
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # Blocked entity resolution (fuzzy record linkage) — the structured-
+    # record twin of document dedup: normalize -> conjunctive block
+    # (name prefix + nation) -> within-block bounded-Levenshtein verify.
+    # The verify join is a pure equi-join on the block keys (never a
+    # cartesian), so pair work is sum(|block|^2), the LSH-band bound.
+    "customer_fuzzy_matches": QueryDef(
+        linkage.customer_fuzzy_matches,
+        f"""
+WITH cblk AS (
+  SELECT c_custkey, lower(c_name) AS name, c_nationkey,
+         substr(lower(c_name), 1, length(c_name) - {linkage.BLOCK_SUFFIX}) AS blk
+  FROM customer
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+FROM cblk a JOIN cblk b
+  ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
+ORDER BY key_a, key_b
+""",
+        bench=True,
+    ),
+    "customer_best_match": QueryDef(
+        linkage.customer_best_match,
+        f"""
+WITH cblk AS (
+  SELECT c_custkey, lower(c_name) AS name, c_nationkey,
+         substr(lower(c_name), 1, length(c_name) - {linkage.BLOCK_SUFFIX}) AS blk
+  FROM customer
+),
+cpair AS (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         levenshtein(a.name, b.name) AS d
+  FROM cblk a JOIN cblk b
+    ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
+),
+csym AS (
+  SELECT key_a AS key, key_b AS match_key, d FROM cpair
+  UNION ALL
+  SELECT key_b AS key, key_a AS match_key, d FROM cpair
+)
+SELECT key, match_key, CAST(d AS BIGINT) AS edit_distance
+FROM (
+  SELECT key, match_key, d,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY d, match_key) AS rn
+  FROM csym
+)
+WHERE rn = 1
+ORDER BY key
+""",
+    ),
     "corpus_dedup_stats": QueryDef(
         dedup.corpus_dedup_stats,
         f"""
@@ -3151,7 +3208,9 @@ _DRIVER_PRIORITY = [
     "doc_repetition_profile",
     "doc_bigram_repetition",
     "source_pii_profile",
-    "corpus_bpe_apply",
+    # NEW family this round: blocked entity resolution
+    "customer_fuzzy_matches",
+    "customer_best_match",
     # convention migration: relational family
     "nation_market_share",
     "promo_revenue_permille",
@@ -3177,7 +3236,6 @@ _DRIVER_PRIORITY = [
     # jaccard_permille moved onto the shared half-up formula)
     "doc_tfidf_cosine_pairs",
     "doc_bigram_surprisal",
-    "doc_unigram_surprisal",
     "corpus_source_overlap",
 ]
 

@@ -1,0 +1,113 @@
+"""Blocked entity-resolution semantics: recall inside a block, the
+conjunctive nation rule, threshold behavior, best-match determinism, and
+the no-cartesian plan contract. Differential value parity vs DuckDB is
+covered for both queries by tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from concordium_transaction_logger_spark.operators.linkage import (
+    BLOCK_SUFFIX,
+    MAX_EDIT_DISTANCE,
+    customer_best_match,
+    customer_fuzzy_matches,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    return customer_fuzzy_matches(spark, SF).collect()
+
+
+def test_blocking_invariants(pairs):
+    """Every emitted pair obeys the operator contract: ordered keys,
+    distance within threshold, names share the block prefix (differ only
+    in the BLOCK_SUFFIX fuzz window)."""
+    assert pairs, "sf0.001 corpus must yield at least one candidate pair"
+    for r in pairs:
+        assert r.key_a < r.key_b
+        assert 0 <= r.edit_distance <= MAX_EDIT_DISTANCE
+        assert r.name_a[:-BLOCK_SUFFIX] == r.name_b[:-BLOCK_SUFFIX]
+
+
+def test_recall_within_block(spark, pairs):
+    """Ground-truth recall: every same-nation customer pair whose
+    normalized names are within the threshold AND share the block prefix
+    must be emitted — the blocking key may only drop pairs that differ
+    OUTSIDE the fuzz window (the documented recall/cost dial)."""
+    import itertools
+
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .collect()
+    )
+
+    def dist_le(a, b, k):
+        # names are equal-length here; Levenshtein <= k iff Hamming <= k
+        assert len(a) == len(b)
+        return sum(x != y for x, y in zip(a, b)) <= k
+
+    want = set()
+    by_blk = {}
+    for r in rows:
+        nm = r.c_name.lower()
+        by_blk.setdefault((nm[:-BLOCK_SUFFIX], r.c_nationkey), []).append(
+            (r.c_custkey, nm)
+        )
+    for grp in by_blk.values():
+        for (ka, na), (kb, nb) in itertools.combinations(sorted(grp), 2):
+            if dist_le(na, nb, MAX_EDIT_DISTANCE):
+                want.add((ka, kb))
+    got = {(r.key_a, r.key_b) for r in pairs}
+    assert got == want
+
+
+def test_nation_is_conjunctive(spark):
+    """Raising the threshold cannot leak cross-nation pairs: the
+    deterministic attribute is a hard blocking conjunct, not a score."""
+    rows = customer_fuzzy_matches(spark, SF, max_distance=2).collect()
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    nation = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF, "customer")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    for r in rows:
+        assert nation[r.key_a] == nation[r.key_b]
+
+
+def test_best_match_is_min_distance_smallest_key(spark, pairs):
+    """The resolution pick is deterministic: minimal distance, then
+    smallest partner key — recomputed independently from the pair set."""
+    best = {}
+    for r in pairs:
+        for k, m in ((r.key_a, r.key_b), (r.key_b, r.key_a)):
+            cur = best.get(k)
+            if cur is None or (r.edit_distance, m) < cur:
+                best[k] = (r.edit_distance, m)
+    got = {
+        r.key: (r.edit_distance, r.match_key)
+        for r in customer_best_match(spark, SF).collect()
+    }
+    assert got == best
+
+
+def test_plan_has_no_cartesian(spark):
+    """The verify self-join must stay an equi-join on the block keys —
+    the sum(|block|^2) bound is the family's whole 100 TB story."""
+    plan = (
+        customer_fuzzy_matches(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
