@@ -204,7 +204,9 @@ def test_source_overlap_matches_python_reference(spark, sf_dir):
                     inter,
                     len(by_src[a]),
                     len(by_src[b]),
-                    (1000 * inter) // union,
+                    # the engine's ONE half-up formula (r7: migrated off
+                    # the floor spelling with the op and oracle)
+                    (2000 * inter + union) // (2 * union),
                 )
     assert got == expect
     assert all(v[3] <= 1000 for v in got.values())
