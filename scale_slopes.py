@@ -96,6 +96,13 @@ TRADE_KEYS = {
     "lineitem": ("l_orderkey", "l_suppkey"),
 }
 
+#: Display-name columns regenerated from the shifted key in each replica
+#: (table -> (name column, printf format, key column)).
+NAME_REWRITES = {
+    "customer": ("c_name", "Customer#%09d", "c_custkey"),
+    "supplier": ("s_name", "Supplier#%09d", "s_suppkey"),
+}
+
 
 def _scale_trade(spark, mult: int, out_dir: str) -> None:
     for name, keys in TRADE_KEYS.items():
@@ -115,14 +122,23 @@ def _scale_trade(spark, mult: int, out_dir: str) -> None:
             )
         parts = []
         for r in range(mult):
-            parts.append(
-                df.select(
-                    *[
-                        (F.col(c) + r * STRIDE).alias(c) if c in keys else F.col(c)
-                        for c in df.columns
-                    ]
-                )
+            shifted = df.select(
+                *[
+                    (F.col(c) + r * STRIDE).alias(c) if c in keys else F.col(c)
+                    for c in df.columns
+                ]
             )
+            # keep display names consistent with the shifted keys (the
+            # base generator's invariant): replicas carrying the ORIGINAL
+            # name strings would be genuine cross-replica exact-duplicate
+            # records, turning the linkage family's pair count O(mult^2)
+            # and tangling any name-keyed measurement
+            if name in NAME_REWRITES:
+                col, fmt, keycol_name = NAME_REWRITES[name]
+                shifted = shifted.withColumn(
+                    col, F.format_string(fmt, F.col(keycol_name))
+                )
+            parts.append(shifted)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -246,6 +262,7 @@ def main() -> None:
     from concordium_transaction_logger_spark.operators import (
         dedup,
         graph,
+        linkage,
         relational,
         retrieval,
         sampling,
@@ -309,6 +326,11 @@ def main() -> None:
             # measured on the replicated events table (user span grows
             # with the corpus, exercising the DECIMAL normalization)
             "zorder_manifest": relational.event_zorder_manifest,
+            # entity resolution (r7): runs on the key-shifted customer
+            # replicas with names regenerated from the shifted keys, so
+            # the block-size distribution is replica-invariant and pair
+            # work grows linearly — the sum(|block|^2) bound in action
+            "fuzzy_matches": linkage.customer_fuzzy_matches,
         }
 
     def boiler_families(m: int):
