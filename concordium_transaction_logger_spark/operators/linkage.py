@@ -71,9 +71,20 @@ def customer_fuzzy_matches(
     threshold. Pairs are emitted once (key_a < key_b) with the integer
     distance, ordered for stable comparison.
 
-    Plan shape: one scan, one equi-join on (blk, c_nationkey) with the
-    key_a < key_b range residual, distance filter on top — no exchange
-    beyond the join's own hash partitioning, nothing driver-side."""
+    Plan shape (PLANS.md section): two scans of the customer table into
+    one hash EQUI-join on (blk, c_nationkey) — broadcast at small scale,
+    sort-merge on the same keys when both sides are large — with the
+    key_a < key_b and distance predicates as residuals, plus the final
+    presentation ORDER BY's range exchange (the op's only corpus-sized
+    shuffle; drop the orderBy when feeding a downstream join). Nothing
+    driver-side."""
+    if max_distance > BLOCK_SUFFIX:
+        raise ValueError(
+            f"max_distance {max_distance} > BLOCK_SUFFIX {BLOCK_SUFFIX}: "
+            f"a true duplicate differing outside the block's fuzz window "
+            f"would straddle two blocks and be silently missed — widen "
+            f"BLOCK_SUFFIX (recall) before raising the verify threshold"
+        )
     a = _blocked(spark, sf_dir).alias("a")
     b = _blocked(spark, sf_dir).alias("b")
     return (

@@ -573,6 +573,22 @@ _MH_AGREE = " + ".join(
     for i in range(dedup.MINHASH_K)
 )
 
+#: Entity-resolution oracle fragments, shared by BOTH linkage QueryDefs
+#: (the _BPAIRS_SQL convention): the normalized+blocked record CTE and
+#: the conjunctive-block verify join, each rendered once from the
+#: linkage module's constants.
+_LINKAGE_CBLK = f"""
+WITH cblk AS (
+  SELECT c_custkey, lower(c_name) AS name, c_nationkey,
+         substr(lower(c_name), 1, length(c_name) - {linkage.BLOCK_SUFFIX}) AS blk
+  FROM customer
+)"""
+
+_LINKAGE_PAIRS = f"""FROM cblk a JOIN cblk b
+  ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}"""
+
 _BPAIRS_SQL = """
 , bpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1971,40 +1987,29 @@ HAVING COUNT(*) > {textstats.WINNOW_MAX_DF} ORDER BY fp
     # (name prefix + nation) -> within-block bounded-Levenshtein verify.
     # The verify join is a pure equi-join on the block keys (never a
     # cartesian), so pair work is sum(|block|^2), the LSH-band bound.
+    # Both oracles render their blocking/verify SQL from the ONE
+    # _LINKAGE_CBLK/_LINKAGE_PAIRS fragment pair (the _BPAIRS_SQL
+    # convention), so the two linkage oracles cannot drift apart.
     "customer_fuzzy_matches": QueryDef(
         linkage.customer_fuzzy_matches,
-        f"""
-WITH cblk AS (
-  SELECT c_custkey, lower(c_name) AS name, c_nationkey,
-         substr(lower(c_name), 1, length(c_name) - {linkage.BLOCK_SUFFIX}) AS blk
-  FROM customer
-)
+        _LINKAGE_CBLK
+        + f"""
 SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
        a.name AS name_a, b.name AS name_b,
        CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
-FROM cblk a JOIN cblk b
-  ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
- AND a.c_custkey < b.c_custkey
-WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
+{_LINKAGE_PAIRS}
 ORDER BY key_a, key_b
 """,
         bench=True,
     ),
     "customer_best_match": QueryDef(
         linkage.customer_best_match,
-        f"""
-WITH cblk AS (
-  SELECT c_custkey, lower(c_name) AS name, c_nationkey,
-         substr(lower(c_name), 1, length(c_name) - {linkage.BLOCK_SUFFIX}) AS blk
-  FROM customer
-),
-cpair AS (
+        _LINKAGE_CBLK
+        + f"""
+, cpair AS (
   SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
          levenshtein(a.name, b.name) AS d
-  FROM cblk a JOIN cblk b
-    ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
-   AND a.c_custkey < b.c_custkey
-  WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
+  {_LINKAGE_PAIRS}
 ),
 csym AS (
   SELECT key_a AS key, key_b AS match_key, d FROM cpair

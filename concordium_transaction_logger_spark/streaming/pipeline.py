@@ -2014,7 +2014,16 @@ class _HadoopIO:
             raise IOError(f"rename {path}.tmp -> {path} failed")
 
     def delete(self, path: str) -> None:
-        self._fs.delete(self._p(path), False)
+        # Hadoop delete returns False BOTH for "didn't exist" (fine — the
+        # local twin ignores FileNotFoundError too) and for "couldn't
+        # delete"; only the latter may pass silently — a legacy-ledger
+        # sidecar that survives its own migration re-seeds stale history
+        # after the next sink reset (the refusal loop this API exists to
+        # end). Mirror the rename path: raise when the path is still
+        # there.
+        p = self._p(path)
+        if not self._fs.delete(p, False) and self._fs.exists(p):
+            raise IOError(f"delete {path} failed (path still present)")
 
 
 def _io_for(path: str):

@@ -14,26 +14,23 @@ from concordium_transaction_logger_spark.operators.linkage import (
     customer_fuzzy_matches,
 )
 
-SF = "/root/testdata/sf0.001"
-
-
 @pytest.fixture(scope="module")
-def pairs(spark):
-    return customer_fuzzy_matches(spark, SF).collect()
+def pairs(spark, sf_dir):
+    return customer_fuzzy_matches(spark, sf_dir).collect()
 
 
 def test_blocking_invariants(pairs):
     """Every emitted pair obeys the operator contract: ordered keys,
     distance within threshold, names share the block prefix (differ only
     in the BLOCK_SUFFIX fuzz window)."""
-    assert pairs, "sf0.001 corpus must yield at least one candidate pair"
+    assert pairs, "test corpus must yield at least one candidate pair"
     for r in pairs:
         assert r.key_a < r.key_b
         assert 0 <= r.edit_distance <= MAX_EDIT_DISTANCE
         assert r.name_a[:-BLOCK_SUFFIX] == r.name_b[:-BLOCK_SUFFIX]
 
 
-def test_recall_within_block(spark, pairs):
+def test_recall_within_block(spark, sf_dir, pairs):
     """Ground-truth recall: every same-nation customer pair whose
     normalized names are within the threshold AND share the block prefix
     must be emitted — the blocking key may only drop pairs that differ
@@ -43,7 +40,7 @@ def test_recall_within_block(spark, pairs):
     from concordium_transaction_logger_spark.sources.tables import load_table
 
     rows = (
-        load_table(spark, SF, "customer")
+        load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_name", "c_nationkey")
         .collect()
     )
@@ -68,15 +65,15 @@ def test_recall_within_block(spark, pairs):
     assert got == want
 
 
-def test_nation_is_conjunctive(spark):
+def test_nation_is_conjunctive(spark, sf_dir):
     """Raising the threshold cannot leak cross-nation pairs: the
     deterministic attribute is a hard blocking conjunct, not a score."""
-    rows = customer_fuzzy_matches(spark, SF, max_distance=2).collect()
+    rows = customer_fuzzy_matches(spark, sf_dir, max_distance=2).collect()
     from concordium_transaction_logger_spark.sources.tables import load_table
 
     nation = {
         r.c_custkey: r.c_nationkey
-        for r in load_table(spark, SF, "customer")
+        for r in load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")
         .collect()
     }
@@ -84,7 +81,7 @@ def test_nation_is_conjunctive(spark):
         assert nation[r.key_a] == nation[r.key_b]
 
 
-def test_best_match_is_min_distance_smallest_key(spark, pairs):
+def test_best_match_is_min_distance_smallest_key(spark, sf_dir, pairs):
     """The resolution pick is deterministic: minimal distance, then
     smallest partner key — recomputed independently from the pair set."""
     best = {}
@@ -95,16 +92,16 @@ def test_best_match_is_min_distance_smallest_key(spark, pairs):
                 best[k] = (r.edit_distance, m)
     got = {
         r.key: (r.edit_distance, r.match_key)
-        for r in customer_best_match(spark, SF).collect()
+        for r in customer_best_match(spark, sf_dir).collect()
     }
     assert got == best
 
 
-def test_plan_has_no_cartesian(spark):
+def test_plan_has_no_cartesian(spark, sf_dir):
     """The verify self-join must stay an equi-join on the block keys —
     the sum(|block|^2) bound is the family's whole 100 TB story."""
     plan = (
-        customer_fuzzy_matches(spark, SF)
+        customer_fuzzy_matches(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -177,21 +177,27 @@ def test_rounding_formula_is_single_sourced():
     # rounds differently from every helper-rendered ratio (the
     # corpus_source_overlap drift this test grew to catch); model-
     # internal milli constants (bm25 avgdl_milli, pagerank damping)
-    # don't alias permille columns and stay out of scope
-    pat_trunc = re.compile(r"1000\s*\*.*(?:DIV|//).*permille", re.I)
+    # don't alias permille columns and stay out of scope. The pattern is
+    # checked over a 3-LINE window anchored at the '1000 *' line — the
+    # idiomatic Spark spelling puts F.expr("...DIV...") and
+    # .alias("..._permille") on separate lines, which a line-local regex
+    # cannot see (the original dedup.py drift was exactly that shape).
+    pat_trunc = re.compile(r"1000\s*\*[\s\S]*(?:DIV|//)[\s\S]*permille", re.I)
     bad = []
     for f in sorted(root.rglob("*.py")):
         fn = "<module>"
-        for i, ln in enumerate(f.read_text().splitlines(), 1):
+        lines = f.read_text().splitlines()
+        for i, ln in enumerate(lines, 1):
             m = re.match(r"\s*def\s+(\w+)", ln)
             if m:
                 fn = m.group(1)
             if ln.lstrip().startswith("#"):
                 continue  # prose references to the formula are fine
-            if (pat.search(ln) or pat_trunc.search(ln)) and (
-                f.name,
-                fn,
-            ) not in allowed:
+            window = "\n".join(lines[i - 1 : i + 2])
+            hit = pat.search(ln) or (
+                re.search(r"1000\s*\*", ln) and pat_trunc.search(window)
+            )
+            if hit and (f.name, fn) not in allowed:
                 bad.append(f"{f.name}:{i} (in {fn})")
     assert not bad, f"hand-inlined rounding-formula copies: {bad}"
 
