@@ -3549,6 +3549,7 @@ BENCH_HEADLINE = (
     "doc_bm25_topk",
     "hybrid_rrf_topk",
     "corpus_source_overlap",
+    "customer_fuzzy_matches",
 )
 for _name in BENCH_HEADLINE:
     if _name not in REGISTRY or not REGISTRY[_name].bench:
