@@ -42,23 +42,75 @@ MAX_EDIT_DISTANCE = 1
 BLOCK_SUFFIX = 2
 
 
+def blocked_records(customers: DataFrame) -> DataFrame:
+    """Normalized + blocked records from a raw customer frame: the
+    shared front half of every linkage consumer — the batch queries AND
+    the streaming twin (``StreamingLinkageIngest`` blocks each arriving
+    micro-batch with THIS function, so batch and stream cannot disagree
+    on normalization or the block key). Normalization is lower-casing
+    (the synthetic corpus has no whitespace/punctuation noise; real
+    pipelines add trim/fold steps here — row-local either way); the
+    block key drops the last ``BLOCK_SUFFIX`` characters of the
+    normalized name."""
+    return customers.select(
+        "c_custkey",
+        F.lower(F.col("c_name")).alias("name"),
+        "c_nationkey",
+    ).withColumn(
+        "blk",
+        F.expr(f"substring(name, 1, length(name) - {BLOCK_SUFFIX})"),
+    )
+
+
 def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized + blocked customer records: the shared front half of
-    both linkage queries. Normalization is lower-casing (the synthetic
-    corpus has no whitespace/punctuation noise; real pipelines add
-    trim/fold steps here — row-local either way); the block key drops
-    the last ``BLOCK_SUFFIX`` characters of the normalized name."""
+    return blocked_records(load_table(spark, sf_dir, "customer"))
+
+
+def verify_pairs(
+    a: DataFrame, b: DataFrame, max_distance: int, disjoint: bool = False
+) -> DataFrame:
+    """The ONE verify kernel: candidate pairs between two blocked
+    frames, each unordered pair emitted exactly once as
+    (key_a < key_b, names in key order, integer edit distance).
+
+    Two regimes, one predicate set (so the batch queries and the
+    streaming twin cannot drift on join keys or threshold):
+
+    - ``disjoint=False`` — the self-join spelling (``a`` and ``b`` are
+      the same corpus): the join condition itself keeps
+      ``a.key < b.key``, so each unordered pair enters the join once.
+    - ``disjoint=True`` — ``a`` and ``b`` share no keys (a micro-batch
+      vs the previously-seen corpus): each unordered pair appears
+      exactly once in the product, in whichever key order it arrived;
+      least/greatest normalizes it.
+
+    Either way the join is a pure EQUI-join on (blk, c_nationkey) with
+    the key predicate and the Levenshtein threshold as residuals —
+    hash/sort-merge, never a cartesian, pair work sum(|block|^2)."""
+    a, b = a.alias("a"), b.alias("b")
+    key_cond = (
+        F.col("a.c_custkey") != F.col("b.c_custkey")
+        if disjoint
+        else F.col("a.c_custkey") < F.col("b.c_custkey")
+    )
+    a_first = F.col("a.c_custkey") < F.col("b.c_custkey")
     return (
-        load_table(spark, sf_dir, "customer")
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & key_cond,
+        )
         .select(
-            "c_custkey",
-            F.lower(F.col("c_name")).alias("name"),
-            "c_nationkey",
+            F.least("a.c_custkey", "b.c_custkey").alias("key_a"),
+            F.greatest("a.c_custkey", "b.c_custkey").alias("key_b"),
+            F.when(a_first, F.col("a.name")).otherwise(F.col("b.name")).alias("name_a"),
+            F.when(a_first, F.col("b.name")).otherwise(F.col("a.name")).alias("name_b"),
+            F.levenshtein("a.name", "b.name").cast("long").alias(
+                "edit_distance"
+            ),
         )
-        .withColumn(
-            "blk",
-            F.expr(f"substring(name, 1, length(name) - {BLOCK_SUFFIX})"),
-        )
+        .filter(F.col("edit_distance") <= max_distance)
     )
 
 
@@ -78,6 +130,16 @@ def customer_fuzzy_matches(
     presentation ORDER BY's range exchange (the op's only corpus-sized
     shuffle; drop the orderBy when feeding a downstream join). Nothing
     driver-side."""
+    return _fuzzy_pairs(spark, sf_dir, max_distance).orderBy("key_a", "key_b")
+
+
+def _fuzzy_pairs(
+    spark: SparkSession, sf_dir: str, max_distance: int
+) -> DataFrame:
+    """The unordered pair frame behind :func:`customer_fuzzy_matches` —
+    shared with :func:`customer_match_components`, which feeds the pairs
+    into an aggregation and must not inherit the presentation ORDER BY's
+    range exchange."""
     if max_distance > BLOCK_SUFFIX:
         raise ValueError(
             f"max_distance {max_distance} > BLOCK_SUFFIX {BLOCK_SUFFIX}: "
@@ -85,27 +147,8 @@ def customer_fuzzy_matches(
             f"would straddle two blocks and be silently missed — widen "
             f"BLOCK_SUFFIX (recall) before raising the verify threshold"
         )
-    a = _blocked(spark, sf_dir).alias("a")
-    b = _blocked(spark, sf_dir).alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("key_a"),
-            F.col("b.c_custkey").alias("key_b"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-            F.levenshtein("a.name", "b.name").cast("long").alias(
-                "edit_distance"
-            ),
-        )
-        .filter(F.col("edit_distance") <= max_distance)
-        .orderBy("key_a", "key_b")
-    )
+    blocked = _blocked(spark, sf_dir)
+    return verify_pairs(blocked, blocked, max_distance)
 
 
 def customer_best_match(
@@ -120,7 +163,7 @@ def customer_best_match(
     Built by symmetrizing the pair frame (each pair seen from both
     sides) and taking row_number() = 1 per key — one extra shuffle on
     the key, bounded by the candidate-pair count, not the corpus."""
-    pairs = customer_fuzzy_matches(spark, sf_dir, max_distance)
+    pairs = _fuzzy_pairs(spark, sf_dir, max_distance)
     sym = pairs.select(
         F.col("key_a").alias("key"),
         F.col("key_b").alias("match_key"),
@@ -139,3 +182,57 @@ def customer_best_match(
         .select("key", "match_key", "edit_distance")
         .orderBy("key")
     )
+
+
+def pair_cliques(pairs: DataFrame) -> DataFrame:
+    """A verified pair frame as (doc_id, bucket) 2-cliques — the input
+    shape :func:`dedup.components_over_buckets` propagates over (the
+    ``semdedup_survivors`` treatment: each pair is its own clique). The
+    bucket id is the ordered key pair itself, so it is unique per pair
+    and stable across any pair ARRIVAL order or batching — the streaming
+    twin's pair sink feeds this too."""
+    bucket = F.concat_ws(":", F.col("key_a"), F.col("key_b")).alias("bucket")
+    return pairs.select(F.col("key_a").alias("doc_id"), bucket).unionByName(
+        pairs.select(F.col("key_b").alias("doc_id"), bucket)
+    )
+
+
+def customer_match_components(
+    spark: SparkSession,
+    sf_dir: str,
+    max_distance: int = MAX_EDIT_DISTANCE,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The resolution closure: transitive entity clusters over the fuzzy
+    pair graph — A~B, B~C means ONE real-world entity even when A and C
+    themselves differ by more than the threshold (the chain a pairwise
+    merge queue cannot see; classic ER entity formation). Every customer
+    gets (custkey, entity_id, entity_size): entity_id is the cluster's
+    minimal custkey — the canonical/golden record the other members
+    merge into — and unmatched customers stay their own singleton
+    entity, so the frame is a total entity assignment for the registry.
+
+    Reuses :func:`dedup.components_over_buckets` (hash-min label
+    propagation, O(component diameter) rounds, per-round
+    ``localCheckpoint``) over the pair 2-cliques: fuzzy-match clusters
+    are near-cliques by construction (blocked single-typo variants), so
+    diameter is small and 2-3 rounds reach the fixpoint; the non-
+    convergence raise names ``star_components`` as the pathological-
+    chain fallback. Each round is two partial-aggregated shuffles
+    bounded by the PAIR count, not the corpus — the same 100 TB bound
+    as the MinHash components."""
+    from .dedup import components_over_buckets
+
+    universe = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("doc_id")
+    )
+    comp = components_over_buckets(
+        pair_cliques(_fuzzy_pairs(spark, sf_dir, max_distance)),
+        universe,
+        max_iter=max_iter,
+    )
+    return comp.select(
+        F.col("doc_id").alias("custkey"),
+        F.col("component_id").alias("entity_id"),
+        F.col("component_size").alias("entity_size"),
+    ).orderBy("custkey")

@@ -2026,6 +2026,37 @@ WHERE rn = 1
 ORDER BY key
 """,
     ),
+    # Transitive entity formation over the fuzzy pair graph (the
+    # doc_dup_components treatment on the structured-record side):
+    # recursive min-label walk from every customer, singletons included,
+    # entity_id = cluster-minimal custkey. Blocking/verify SQL is the
+    # same _LINKAGE_CBLK/_LINKAGE_PAIRS fragment pair as the other two
+    # linkage oracles — one rendering, zero drift.
+    "customer_match_components": QueryDef(
+        linkage.customer_match_components,
+        _LINKAGE_CBLK.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+        + f"""
+, lpair AS (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+  {_LINKAGE_PAIRS}
+),
+ledges AS (SELECT key_a AS a, key_b AS b FROM lpair
+           UNION ALL
+           SELECT key_b, key_a FROM lpair),
+lwalk AS (
+  SELECT c_custkey AS node, c_custkey AS label FROM customer
+  UNION
+  SELECT e.b AS node, w.label FROM lwalk w JOIN ledges e ON w.node = e.a
+),
+lcomp AS (SELECT node AS custkey, MIN(label) AS entity_id
+          FROM lwalk GROUP BY node)
+SELECT c.custkey, c.entity_id, s.entity_size
+FROM lcomp c
+JOIN (SELECT entity_id, COUNT(*) AS entity_size
+      FROM lcomp GROUP BY entity_id) s USING (entity_id)
+ORDER BY custkey
+""",
+    ),
     "corpus_dedup_stats": QueryDef(
         dedup.corpus_dedup_stats,
         f"""
@@ -3213,9 +3244,14 @@ _DRIVER_PRIORITY = [
     "doc_repetition_profile",
     "doc_bigram_repetition",
     "source_pii_profile",
-    # NEW family this round: blocked entity resolution
+    # NEW family this round: blocked entity resolution (components takes
+    # the slot doc_minhash_jaccard_estimate held — that op was driver-
+    # green in an earlier round, its only r7 change is the shared
+    # formula a dozen sibling slots already regression-check, and
+    # test_oracle_parity value-checks it every pytest run)
     "customer_fuzzy_matches",
     "customer_best_match",
+    "customer_match_components",
     # convention migration: relational family
     "nation_market_share",
     "promo_revenue_permille",
@@ -3226,7 +3262,6 @@ _DRIVER_PRIORITY = [
     "corpus_curation_verdict",
     # convention migration: dedup family
     "doc_ngram_jaccard_pairs",
-    "doc_minhash_jaccard_estimate",
     "doc_ngram_novelty",
     "corpus_dedup_stats",
     "doc_duplicate_spans",

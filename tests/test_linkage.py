@@ -108,3 +108,50 @@ def test_plan_has_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_match_components_equal_union_find(spark, sf_dir, pairs):
+    """Entity formation ground truth: union-find over the collected pair
+    set must reproduce every (custkey, entity_id, entity_size) row —
+    entity_id the cluster-minimal key, singletons assigned to
+    themselves, the assignment total over the customer table."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_match_components,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    keys = [
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    parent = {k: k for k in keys}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.key_a), find(r.key_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cluster = {}
+    for k in keys:
+        cluster.setdefault(find(k), []).append(k)
+    want = {}
+    for members in cluster.values():
+        eid = min(members)
+        for k in members:
+            want[k] = (eid, len(members))
+
+    got = {
+        r.custkey: (r.entity_id, r.entity_size)
+        for r in customer_match_components(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) == len(keys)
+    # the test corpus must actually exercise a transitive chain: at
+    # least one entity larger than a bare pair, or the closure is
+    # indistinguishable from the pair list
+    assert max(s for _, s in got.values()) >= 2
