@@ -221,14 +221,26 @@ def customer_match_components(
     chain fallback. Each round is two partial-aggregated shuffles
     bounded by the PAIR count, not the corpus — the same 100 TB bound
     as the MinHash components."""
+    universe = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return entity_assignment(
+        _fuzzy_pairs(spark, sf_dir, max_distance), universe, max_iter=max_iter
+    )
+
+
+def entity_assignment(
+    pairs: DataFrame, universe: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """The closure tail shared by :func:`customer_match_components` and
+    the streaming twin's ``linkage_components_from_sink`` (one
+    definition, so stream-served and batch entity ids cannot drift):
+    components over the pair 2-cliques, singletons from ``universe``
+    (a one-column ``c_custkey`` frame), renamed to the entity
+    vocabulary and presentation-ordered."""
     from .dedup import components_over_buckets
 
-    universe = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("doc_id")
-    )
     comp = components_over_buckets(
-        pair_cliques(_fuzzy_pairs(spark, sf_dir, max_distance)),
-        universe,
+        pair_cliques(pairs),
+        universe.select(F.col("c_custkey").alias("doc_id")),
         max_iter=max_iter,
     )
     return comp.select(

@@ -2371,3 +2371,175 @@ def trade_pagerank_from_sink(
         iters=iters if iters is not None else graph.PR_ITERS,
         top=top if top is not None else graph.PR_TOP,
     )
+
+
+class StreamingLinkageIngest:
+    """Streaming maintenance of the entity-resolution match set — the
+    linkage family's twin (``operators.linkage``): the fuzzy pair sink
+    stays current as customer records arrive, so the merge-review queue
+    reads served state instead of re-running the corpus self-join.
+
+    Not an additive-delta sink but INCREMENTAL-JOIN state, and the pair
+    emission is batching-invariant by construction: each micro-batch is
+    blocked with the SAME :func:`operators.linkage.blocked_records`
+    kernel the batch queries use, verified WITHIN itself (the ordered
+    self-join regime of :func:`operators.linkage.verify_pairs`) and
+    AGAINST every previously-seen record (the disjoint regime) — so
+    each unordered pair lands in the sink exactly once, in the batch
+    where its later member arrives. The union over any batching equals
+    the batch ``customer_fuzzy_matches`` on the same corpus (asserted
+    in tests/test_streaming_linkage.py across splits, reruns, and
+    lost-checkpoint replays).
+
+    Per-batch cost is |batch| x seen-block-width, never corpus x corpus
+    — the incremental economics that make continuous ER viable at
+    registry scale; the seen side is read with an explicit schema from
+    the batch-keyed records sink (empty/first-batch safe, object-store
+    safe — no ``os.path`` probes).
+
+    Replay semantics match the family contract: both sinks are
+    batch-keyed dynamic-partition-overwrite (identical replay =
+    idempotent rewrite; the seen view filters ``ingest_batch <
+    batch_id``, so a replayed batch never joins against its own
+    half-written state), and a RE-batched replay — which would
+    double-enter records into the seen view and duplicate pairs — is
+    refused before either sink mutates by the same
+    :func:`_guard_delta_batching` ledger every stateful sink here uses.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        max_distance: int | None = None,
+    ):
+        from ..operators import linkage
+
+        self.spark = apply_runtime_confs(spark)
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.records_dir = out_dir.rstrip("/") + "/records"
+        self.pairs_dir = out_dir.rstrip("/") + "/pairs"
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.max_distance = (
+            linkage.MAX_EDIT_DISTANCE if max_distance is None else max_distance
+        )
+        if self.max_distance > linkage.BLOCK_SUFFIX:
+            # same recall guard as the batch query, enforced before any
+            # state exists rather than on the Nth micro-batch
+            raise ValueError(
+                f"max_distance {self.max_distance} > BLOCK_SUFFIX "
+                f"{linkage.BLOCK_SUFFIX}: a true duplicate differing "
+                f"outside the block's fuzz window would straddle two "
+                f"blocks and be silently missed"
+            )
+
+    def _seen_records(self, before_batch: int) -> DataFrame:
+        """Previously-ingested blocked records (explicit schema: a
+        first-batch sink is absent and an empty-batch partition is
+        file-less — the ``_read_state`` treatment)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.schema(_LINKAGE_RECORDS_SCHEMA).parquet(
+                self.records_dir
+            )
+            df.schema  # force eager path resolution
+        except AnalysisException:  # PATH_NOT_FOUND: no state yet
+            df = self.spark.createDataFrame([], _LINKAGE_RECORDS_SCHEMA)
+        return df.filter(F.col("ingest_batch") < before_batch).drop(
+            "ingest_batch"
+        )
+
+    def _write_batched(self, df: DataFrame, batch_id: int, path: str) -> None:
+        (
+            df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(path)
+        )
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators import linkage
+
+        _guard_delta_batching(self.out_dir, self.checkpoint_dir, batch_id)
+        newb = linkage.blocked_records(batch_df).localCheckpoint()
+        seen = self._seen_records(before_batch=batch_id)
+        fresh_pairs = linkage.verify_pairs(
+            newb, newb, self.max_distance
+        ).unionByName(
+            linkage.verify_pairs(newb, seen, self.max_distance, disjoint=True)
+        )
+        self._write_batched(fresh_pairs, batch_id, self.pairs_dir)
+        self._write_batched(newb, batch_id, self.records_dir)
+
+    def run_available_now(self) -> None:
+        reader = _parquet_stream(
+            self.spark, self.source_dir, self.max_files_per_trigger
+        )
+        _await_available_now(reader, self.checkpoint_dir, self._process_batch)
+
+
+def _linkage_schemas():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    records = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("name", StringType()),
+            StructField("c_nationkey", LongType()),
+            StructField("blk", StringType()),
+            StructField("ingest_batch", LongType()),
+        ]
+    )
+    pairs = StructType(
+        [
+            StructField("key_a", LongType()),
+            StructField("key_b", LongType()),
+            StructField("name_a", StringType()),
+            StructField("name_b", StringType()),
+            StructField("edit_distance", LongType()),
+            StructField("ingest_batch", LongType()),
+        ]
+    )
+    return records, pairs
+
+
+_LINKAGE_RECORDS_SCHEMA, _LINKAGE_PAIRS_SCHEMA = _linkage_schemas()
+
+
+def linkage_pairs_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The match set served from a :class:`StreamingLinkageIngest` sink:
+    the batch ``customer_fuzzy_matches`` frame (columns and presentation
+    order included) once the stream has consumed the same corpus —
+    each pair was emitted exactly once, so this is a plain read + sort,
+    no dedup pass. Manifest-aware like every batch-keyed sink read."""
+    return (
+        _delta_sink_view(spark, out_dir.rstrip("/") + "/pairs", _LINKAGE_PAIRS_SCHEMA)
+        .drop("ingest_batch")
+        .orderBy("key_a", "key_b")
+    )
+
+
+def linkage_components_from_sink(
+    spark: SparkSession, out_dir: str, max_iter: int = 20
+) -> DataFrame:
+    """Entity assignment served from the sink: the SAME closure tail as
+    the batch ``customer_match_components``
+    (:func:`operators.linkage.entity_assignment` — one definition, zero
+    drift), with the singleton universe coming from the records sink
+    (the stream defines the corpus)."""
+    from ..operators.linkage import entity_assignment
+
+    pairs = _delta_sink_view(
+        spark, out_dir.rstrip("/") + "/pairs", _LINKAGE_PAIRS_SCHEMA
+    ).drop("ingest_batch")
+    universe = _delta_sink_view(
+        spark, out_dir.rstrip("/") + "/records", _LINKAGE_RECORDS_SCHEMA
+    ).select("c_custkey")
+    return entity_assignment(pairs, universe, max_iter=max_iter)

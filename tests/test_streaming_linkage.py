@@ -1,0 +1,149 @@
+"""Streaming entity resolution: the pair sink maintained by
+StreamingLinkageIngest must serve the batch customer_fuzzy_matches /
+customer_match_components frames exactly once the stream has consumed
+the same corpus — for any batching of the arrivals, across nothing-new
+reruns and lost-checkpoint replays — and a RE-batched replay must be
+refused before either sink mutates."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from concordium_transaction_logger_spark.operators.linkage import (
+    customer_fuzzy_matches,
+    customer_match_components,
+)
+from concordium_transaction_logger_spark.sources.tables import load_table
+from concordium_transaction_logger_spark.streaming.pipeline import (
+    StreamingLinkageIngest,
+    linkage_components_from_sink,
+    linkage_pairs_from_sink,
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "source": str(tmp_path / "source"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _write_split(spark, sf_dir, source_dir, n_files=3):
+    """One file per residue class of c_custkey — key order deliberately
+    does NOT align with arrival order, so cross-batch pairs hit the
+    disjoint verify regime in BOTH key orders (asserted below)."""
+    cust = load_table(spark, sf_dir, "customer")
+    for m in range(n_files):
+        (
+            cust.filter(F.col("c_custkey") % n_files == m)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(source_dir)
+        )
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_serves_batch_matches_and_entities(spark, sf_dir, dirs):
+    """Three micro-batches split by key residue (so cross-batch pairs
+    exist in both key orders — see the dedicated coverage test) must
+    serve the batch pair frame and the batch entity assignment
+    row-for-row, and a single-batch run of the same corpus must serve
+    the identical frame (batching-invariance); reruns and
+    identical-batching replays are no-ops."""
+    _write_split(spark, sf_dir, dirs["source"])
+    ingest = StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    )
+    ingest.run_available_now()
+
+    want_pairs = _pairs(customer_fuzzy_matches(spark, sf_dir))
+    got_pairs = _pairs(linkage_pairs_from_sink(spark, dirs["out"]))
+    assert got_pairs == want_pairs
+    assert want_pairs, "test corpus must yield candidate pairs"
+
+    want_ent = _pairs(customer_match_components(spark, sf_dir))
+    got_ent = _pairs(linkage_components_from_sink(spark, dirs["out"]))
+    assert got_ent == want_ent
+
+    solo = StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"] + "_onebatch", dirs["ckpt"] + "_onebatch"
+    )
+    solo.run_available_now()
+    assert _pairs(linkage_pairs_from_sink(spark, dirs["out"] + "_onebatch")) == want_pairs
+
+    # nothing-new rerun: no change
+    ingest.run_available_now()
+    assert _pairs(linkage_pairs_from_sink(spark, dirs["out"])) == want_pairs
+
+    # lost checkpoint, identical batching: idempotent partition rewrite
+    shutil.rmtree(dirs["ckpt"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    assert _pairs(linkage_pairs_from_sink(spark, dirs["out"])) == want_pairs
+
+
+def test_cross_batch_pairs_cover_both_key_orders(spark, sf_dir, dirs):
+    """Batching-invariance is only proven if some pair's SMALLER key
+    arrives in a later batch than its partner (the least/greatest
+    normalization path) and some pair straddles batches the other way;
+    assert the chosen split produces both, so the equality above cannot
+    silently degenerate to the ordered self-join regime."""
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    # recover each record's batch from the records sink partitions
+    rec = (
+        spark.read.parquet(dirs["out"] + "/records")
+        .select("c_custkey", "ingest_batch")
+        .collect()
+    )
+    batch_of = {r.c_custkey: r.ingest_batch for r in rec}
+    crossing = [
+        (batch_of[r.key_a], batch_of[r.key_b])
+        for r in customer_fuzzy_matches(spark, sf_dir).collect()
+        if batch_of[r.key_a] != batch_of[r.key_b]
+    ]
+    assert any(a < b for a, b in crossing), "need a pair whose larger key arrives later"
+    assert any(a > b for a, b in crossing), "need a pair whose smaller key arrives later"
+
+
+def test_rebatched_replay_is_refused_before_either_sink_mutates(
+    spark, sf_dir, dirs
+):
+    """A lost-checkpoint replay with COARSER batching would double-enter
+    records into the seen view and duplicate cross-batch pairs; the
+    family ledger must refuse it with both sinks untouched."""
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    want = _pairs(linkage_pairs_from_sink(spark, dirs["out"]))
+
+    shutil.rmtree(dirs["ckpt"])
+    coarse = StreamingLinkageIngest(spark, dirs["source"], dirs["out"], dirs["ckpt"])
+    with pytest.raises(Exception, match="double-count|re-batch"):
+        coarse.run_available_now()
+    assert _pairs(linkage_pairs_from_sink(spark, dirs["out"])) == want
+
+
+def test_recall_guard_fires_at_construction(spark, dirs):
+    """The batch query's recall guard (max_distance must fit the block's
+    fuzz window) applies before any state exists, not on the Nth batch."""
+    with pytest.raises(ValueError, match="BLOCK_SUFFIX"):
+        StreamingLinkageIngest(
+            spark,
+            dirs["source"],
+            dirs["out"],
+            dirs["ckpt"],
+            max_distance=99,
+        )
