@@ -238,8 +238,14 @@ def entity_assignment(
     vocabulary and presentation-ordered."""
     from .dedup import components_over_buckets
 
+    # pin the clique frame: components_over_buckets joins its buckets
+    # TWICE per propagation round, and the lineage behind `pairs` is the
+    # corpus-sized blocked Levenshtein join (batch) or the whole pair
+    # sink (stream-served) — unpinned, that upstream re-executes ~2x per
+    # round (the band_buckets persist / star_components localCheckpoint
+    # precedent)
     comp = components_over_buckets(
-        pair_cliques(pairs),
+        pair_cliques(pairs).localCheckpoint(),
         universe.select(F.col("c_custkey").alias("doc_id")),
         max_iter=max_iter,
     )

@@ -1362,41 +1362,18 @@ class StreamingCorpusIngest:
         self.pii_redact = pii_redact
 
     def _write_partitioned(self, df: DataFrame, batch_id: int, path: str) -> None:
-        (
-            df.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            # per-write, not session-global: idempotent replay overwrites
-            # only this batch's own partition
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(path)
-        )
+        _write_batch_partition(df, batch_id, path)
 
     def _read_state(self, path: str, like: DataFrame) -> DataFrame:
-        """Read a batch-partitioned state sink with an EXPLICIT schema
-        (``like``'s columns + the ingest_batch partition key). A batch
-        whose state frame had zero rows leaves the sink directory present
-        but file-less — schema inference over it would kill the stream
-        with UNABLE_TO_INFER_SCHEMA on every later batch (and every
-        restart); a declared schema makes the empty sink read as an empty
-        frame instead. A sink that does not exist AT ALL (first batch)
-        also reads as empty, via the exception path — this is the single
-        existence gate, and it goes through Spark's own filesystem layer:
-        an ``os.path.isdir`` check here would return False for s3://-style
-        URIs and silently disable all cross-batch dedup state off the
-        local filesystem."""
-        from pyspark.errors import AnalysisException
+        """Batch-partitioned state read with ``like``'s columns + the
+        ingest_batch partition key (see :func:`_read_batched_state` for
+        the empty/first-batch/object-store contract)."""
         from pyspark.sql.types import LongType, StructField, StructType
 
         schema = StructType(
             list(like.schema.fields) + [StructField("ingest_batch", LongType())]
         )
-        try:
-            df = self.spark.read.schema(schema).parquet(path)
-            df.schema  # force path resolution eagerly
-            return df
-        except AnalysisException:  # PATH_NOT_FOUND: no state yet
-            return self.spark.createDataFrame([], schema)
+        return _read_batched_state(self.spark, path, schema)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
@@ -2174,6 +2151,22 @@ def _guard_delta_batching(
         has_history = any(
             d.startswith("ingest_batch=") for d in oio.listdir(out)
         ) or oio.exists(out + ".MANIFEST")
+        if not has_history:
+            # nested sink layouts keep several batch-keyed tables one
+            # level down (StreamingLinkageIngest's records/ + pairs/);
+            # without this probe a nested sink whose ledger was lost
+            # would read as history-less and a re-batched replay would
+            # pass unguarded — the exact fail-open this refusal stops
+            for child in oio.listdir(out):
+                if child.startswith("_") or child.endswith(".tmp"):
+                    continue
+                child_path = out + "/" + child
+                if child.endswith(".MANIFEST") or any(
+                    d.startswith("ingest_batch=")
+                    for d in oio.listdir(child_path)
+                ):
+                    has_history = True
+                    break
         if has_history:
             raise RuntimeError(
                 f"delta sink {out}: existing batch history (plain "
@@ -2235,6 +2228,44 @@ def _delta_sink_view(spark: SparkSession, out_dir: str, schema) -> DataFrame:
     for p in parts[1:]:
         view = view.unionByName(p.select(view.columns))
     return view
+
+
+def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    """THE batch-keyed sink writer (StreamingCorpusIngest and
+    StreamingLinkageIngest share it): dynamic partition overwrite so an
+    idempotent replay rewrites only this batch's own partition —
+    per-write, not session-global."""
+    (
+        df.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(path)
+    )
+
+
+def _read_batched_state(spark: SparkSession, path: str, schema) -> DataFrame:
+    """THE batch-keyed state reader: :func:`_delta_sink_view`'s
+    manifest-aware merge (a compaction must not drop folded batches from
+    cross-batch state — the folded rows keep their original
+    ``ingest_batch`` values, so callers' ``< batch_id`` filters keep
+    working) with an EXPLICIT schema, because a batch whose state frame
+    had zero rows leaves the sink directory present but file-less —
+    schema inference over it would kill the stream with
+    UNABLE_TO_INFER_SCHEMA on every later batch (and every restart). A
+    sink that does not exist AT ALL (first batch) reads as empty via the
+    exception path — the single existence gate, through Spark's own
+    filesystem layer: an ``os.path.isdir`` check here would return False
+    for s3://-style URIs and silently disable all cross-batch state off
+    the local filesystem."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = _delta_sink_view(spark, path, schema)
+        df.schema  # force eager path resolution
+        return df
+    except AnalysisException:  # PATH_NOT_FOUND: no state yet
+        return spark.createDataFrame([], schema)
 
 
 def cms_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -2386,10 +2417,15 @@ class StreamingLinkageIngest:
     self-join regime of :func:`operators.linkage.verify_pairs`) and
     AGAINST every previously-seen record (the disjoint regime) — so
     each unordered pair lands in the sink exactly once, in the batch
-    where its later member arrives. The union over any batching equals
-    the batch ``customer_fuzzy_matches`` on the same corpus (asserted
-    in tests/test_streaming_linkage.py across splits, reruns, and
-    lost-checkpoint replays).
+    where its later member arrives. Record identity is ``c_custkey``:
+    an at-least-once re-delivery of a seen record (or a duplicate
+    within a batch) is dropped first-wins before pairing — the
+    StreamingCorpusIngest fingerprint-dedup treatment — so the records
+    sink stays one row per key and re-deliveries cannot re-emit pairs.
+    The union over any batching equals the batch
+    ``customer_fuzzy_matches`` on the key-deduped corpus (asserted in
+    tests/test_streaming_linkage.py across splits, re-deliveries,
+    reruns, and lost-checkpoint replays).
 
     Per-batch cost is |batch| x seen-block-width, never corpus x corpus
     — the incremental economics that make continuous ER viable at
@@ -2439,44 +2475,44 @@ class StreamingLinkageIngest:
             )
 
     def _seen_records(self, before_batch: int) -> DataFrame:
-        """Previously-ingested blocked records (explicit schema: a
-        first-batch sink is absent and an empty-batch partition is
-        file-less — the ``_read_state`` treatment)."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            df = self.spark.read.schema(_LINKAGE_RECORDS_SCHEMA).parquet(
-                self.records_dir
-            )
-            df.schema  # force eager path resolution
-        except AnalysisException:  # PATH_NOT_FOUND: no state yet
-            df = self.spark.createDataFrame([], _LINKAGE_RECORDS_SCHEMA)
-        return df.filter(F.col("ingest_batch") < before_batch).drop(
-            "ingest_batch"
-        )
-
-    def _write_batched(self, df: DataFrame, batch_id: int, path: str) -> None:
-        (
-            df.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(path)
-        )
+        """Previously-ingested blocked records: the manifest-aware
+        batch-keyed state read (:func:`_read_batched_state` — a
+        compaction of the records sink must not drop early records from
+        the seen side, or a new arrival silently loses its pair)."""
+        return _read_batched_state(
+            self.spark, self.records_dir, _LINKAGE_RECORDS_SCHEMA
+        ).filter(F.col("ingest_batch") < before_batch).drop("ingest_batch")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
         from ..operators import linkage
 
         _guard_delta_batching(self.out_dir, self.checkpoint_dir, batch_id)
-        newb = linkage.blocked_records(batch_df).localCheckpoint()
         seen = self._seen_records(before_batch=batch_id)
+        # Record identity is c_custkey; an at-least-once source may
+        # re-deliver a record in a later file (the hazard
+        # StreamingCorpusIngest dedups by fingerprint). First delivery
+        # wins — within the batch via a deterministic row_number, across
+        # batches via an anti-join on the seen keys — so the records
+        # sink stays one row per key (the components universe depends on
+        # it) and no pair is ever re-emitted.
+        w = Window.partitionBy("c_custkey").orderBy("name", "c_nationkey")
+        newb = (
+            linkage.blocked_records(batch_df)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .join(seen.select("c_custkey"), "c_custkey", "left_anti")
+            .localCheckpoint()
+        )
         fresh_pairs = linkage.verify_pairs(
             newb, newb, self.max_distance
         ).unionByName(
             linkage.verify_pairs(newb, seen, self.max_distance, disjoint=True)
         )
-        self._write_batched(fresh_pairs, batch_id, self.pairs_dir)
-        self._write_batched(newb, batch_id, self.records_dir)
+        _write_batch_partition(fresh_pairs, batch_id, self.pairs_dir)
+        _write_batch_partition(newb, batch_id, self.records_dir)
 
     def run_available_now(self) -> None:
         reader = _parquet_stream(

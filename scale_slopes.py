@@ -331,6 +331,10 @@ def main() -> None:
             # the block-size distribution is replica-invariant and pair
             # work grows linearly — the sum(|block|^2) bound in action
             "fuzzy_matches": linkage.customer_fuzzy_matches,
+            # the closure over the pair graph: components rounds are
+            # bounded by the PAIR count (2-clique propagation), so the
+            # slope should track fuzzy_matches, not the corpus
+            "match_components": linkage.customer_match_components,
         }
 
     def boiler_families(m: int):

@@ -154,4 +154,4 @@ def test_match_components_equal_union_find(spark, sf_dir, pairs):
     # the test corpus must actually exercise a transitive chain: at
     # least one entity larger than a bare pair, or the closure is
     # indistinguishable from the pair list
-    assert max(s for _, s in got.values()) >= 2
+    assert max(s for _, s in got.values()) >= 3

@@ -136,6 +136,92 @@ def test_rebatched_replay_is_refused_before_either_sink_mutates(
     assert _pairs(linkage_pairs_from_sink(spark, dirs["out"])) == want
 
 
+def test_redelivered_records_do_not_reemit_pairs(spark, sf_dir, dirs):
+    """At-least-once sources re-deliver: a later file carrying copies of
+    already-ingested records (and a within-file duplicate) must be
+    dropped first-wins — the pair sink still equals the batch frame on
+    the key-unique corpus and the records sink stays one row per key
+    (the components universe depends on it)."""
+    cust = load_table(spark, sf_dir, "customer")
+    _write_split(spark, sf_dir, dirs["source"], n_files=2)
+    # file 3: re-deliveries only — some rows from each residue class,
+    # one of them twice in the same file
+    dup = cust.filter(F.col("c_custkey") < 20)
+    dup.unionByName(dup.limit(3)).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+
+    assert _pairs(linkage_pairs_from_sink(spark, dirs["out"])) == _pairs(
+        customer_fuzzy_matches(spark, sf_dir)
+    )
+    rec = spark.read.parquet(dirs["out"] + "/records").select("c_custkey").collect()
+    keys = [r.c_custkey for r in rec]
+    assert len(keys) == len(set(keys)) == cust.count()
+    assert _pairs(linkage_components_from_sink(spark, dirs["out"])) == _pairs(
+        customer_match_components(spark, sf_dir)
+    )
+
+
+def test_seen_state_survives_records_compaction(spark, sf_dir, dirs):
+    """The incremental join's seen side reads through the compaction
+    manifest: after compact_sink folds the records table, a new arrival
+    that fuzzy-matches an EARLY record must still emit its pair (a plain
+    directory read would silently lose the folded seen state while the
+    serving reads stayed manifest-aware, masking the recall loss)."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        compact_sink,
+    )
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    n_before = len(_pairs(linkage_pairs_from_sink(spark, dirs["out"])))
+    compact_sink(spark, dirs["out"], "records")
+
+    # craft a new record one edit away from an existing one, same nation
+    base = load_table(spark, sf_dir, "customer")
+    r = base.orderBy("c_custkey").first()
+    twin = base.filter(F.col("c_custkey") == r.c_custkey).select(
+        (F.lit(base.agg(F.max("c_custkey")).first()[0] + 1)).alias("c_custkey"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("Z")
+        ).alias("c_name"),
+        "c_nationkey",
+        *[c for c in base.columns if c not in ("c_custkey", "c_name", "c_nationkey")],
+    )
+    twin.coalesce(1).write.mode("append").parquet(dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+
+    got = _pairs(linkage_pairs_from_sink(spark, dirs["out"]))
+    assert len(got) > n_before, "folded seen state must still pair new arrivals"
+    new_key = base.agg(F.max("c_custkey")).first()[0] + 1
+    assert any(p[1] == new_key and p[0] == r.c_custkey for p in got)
+
+
+def test_lost_ledger_on_nested_sink_is_refused_pre_ledger(spark, sf_dir, dirs):
+    """The pre-ledger 'unverifiable history' refusal must see NESTED
+    batch-keyed layouts (records/ + pairs/ one level under the sink
+    root): with the _batches ledger lost but partitions surviving, a
+    fresh-checkpoint replay must be refused, not treated as a virgin
+    sink."""
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    shutil.rmtree(dirs["out"] + "/_batches")
+    shutil.rmtree(dirs["ckpt"])
+    with pytest.raises(Exception, match="predates the re-batching guard"):
+        StreamingLinkageIngest(
+            spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+        ).run_available_now()
+
+
 def test_recall_guard_fires_at_construction(spark, dirs):
     """The batch query's recall guard (max_distance must fit the block's
     fuzz window) applies before any state exists, not on the Nth batch."""
