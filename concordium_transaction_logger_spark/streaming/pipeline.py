@@ -894,12 +894,16 @@ def _sink_state(out_dir: str, name: str) -> tuple[str | None, int]:
     high-water mark). An uncompacted table has no manifest —
     ``(None, -1)``. The manifest read is the reader's single metadata
     round-trip — the same resolve step a Delta/Iceberg reader performs
-    against its log."""
+    against its log — and it goes through the scheme-aware metadata
+    layer (``_io_for``): an ``os.path.isfile`` probe would return False
+    for s3://-style sinks and silently hide every compacted table from
+    its readers (compact_sink's WRITE path is local-only today; reads
+    must not be)."""
     path = os.path.join(out_dir, name)
     manifest = path + ".MANIFEST"
-    if os.path.isfile(manifest):
-        with open(manifest) as f:
-            parts = f.read().split()
+    io = _io_for(manifest)
+    if io.exists(manifest):
+        parts = io.read_text(manifest).split()
         # A single-field manifest (no hwm) is the pre-hwm protocol's
         # format, under which the version dir WAS the whole table —
         # read it as hwm = +inf so plain partitions stay hidden (the
@@ -918,11 +922,10 @@ _LEGACY_HWM = 1 << 62
 
 def _live_batches(path: str) -> list[int]:
     """The ``ingest_batch=K`` partition keys currently present in a plain
-    batch-keyed sink directory (empty when the directory is absent)."""
-    if not os.path.isdir(path):
-        return []
+    batch-keyed sink directory (empty when the directory is absent) —
+    scheme-aware like :func:`_sink_state`, for the same reason."""
     out = []
-    for d in os.listdir(path):
+    for d in _io_for(path).listdir(path):
         if d.startswith("ingest_batch=") and d[len("ingest_batch=") :].isdigit():
             out.append(int(d[len("ingest_batch=") :]))
     return sorted(out)
@@ -2253,19 +2256,18 @@ def _read_batched_state(spark: SparkSession, path: str, schema) -> DataFrame:
     had zero rows leaves the sink directory present but file-less —
     schema inference over it would kill the stream with
     UNABLE_TO_INFER_SCHEMA on every later batch (and every restart). A
-    sink that does not exist AT ALL (first batch) reads as empty via the
-    exception path — the single existence gate, through Spark's own
-    filesystem layer: an ``os.path.isdir`` check here would return False
-    for s3://-style URIs and silently disable all cross-batch state off
-    the local filesystem."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = _delta_sink_view(spark, path, schema)
-        df.schema  # force eager path resolution
-        return df
-    except AnalysisException:  # PATH_NOT_FOUND: no state yet
+    sink that does not exist AT ALL (first batch) reads as empty via an
+    EXPLICIT existence gate through the scheme-aware metadata layer
+    (``_io_for`` — an ``os.path.isdir`` here would return False for
+    s3://-style URIs and silently disable all cross-batch state off the
+    local filesystem). The gate is deliberately NOT a broad
+    AnalysisException catch: a manifest that names a MISSING version
+    directory must raise — an inconsistent compacted sink read as
+    'empty state' would silently re-admit every ingested record."""
+    io = _io_for(path)
+    if not io.exists(path) and not io.exists(path + ".MANIFEST"):
         return spark.createDataFrame([], schema)
+    return _delta_sink_view(spark, path, schema)
 
 
 def cms_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -2418,12 +2420,16 @@ class StreamingLinkageIngest:
     AGAINST every previously-seen record (the disjoint regime) — so
     each unordered pair lands in the sink exactly once, in the batch
     where its later member arrives. Record identity is ``c_custkey``:
-    an at-least-once re-delivery of a seen record (or a duplicate
-    within a batch) is dropped first-wins before pairing — the
+    an at-least-once re-delivery of a seen record (identical payload,
+    within a batch or across batches) is dropped before pairing — the
     StreamingCorpusIngest fingerprint-dedup treatment — so the records
-    sink stays one row per key and re-deliveries cannot re-emit pairs.
-    The union over any batching equals the batch
-    ``customer_fuzzy_matches`` on the key-deduped corpus (asserted in
+    sink stays one row per key and re-deliveries cannot re-emit pairs;
+    a re-delivery whose payload DIFFERS is an update, which an
+    append-only pair history cannot express, and is refused loudly
+    (the refuse-instead-of-guessing stance) rather than letting the
+    surviving record depend on how deliveries happened to batch. The
+    union over any batching equals the batch
+    ``customer_fuzzy_matches`` on the deduped corpus (asserted in
     tests/test_streaming_linkage.py across splits, re-deliveries,
     reruns, and lost-checkpoint replays).
 
@@ -2484,27 +2490,68 @@ class StreamingLinkageIngest:
         ).filter(F.col("ingest_batch") < before_batch).drop("ingest_batch")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql.window import Window
-
         from ..operators import linkage
 
         _guard_delta_batching(self.out_dir, self.checkpoint_dir, batch_id)
         seen = self._seen_records(before_batch=batch_id)
         # Record identity is c_custkey; an at-least-once source may
         # re-deliver a record in a later file (the hazard
-        # StreamingCorpusIngest dedups by fingerprint). First delivery
-        # wins — within the batch via a deterministic row_number, across
-        # batches via an anti-join on the seen keys — so the records
-        # sink stays one row per key (the components universe depends on
-        # it) and no pair is ever re-emitted.
-        w = Window.partitionBy("c_custkey").orderBy("name", "c_nationkey")
-        newb = (
-            linkage.blocked_records(batch_df)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-            .join(seen.select("c_custkey"), "c_custkey", "left_anti")
-            .localCheckpoint()
+        # StreamingCorpusIngest dedups by fingerprint). IDENTICAL-copy
+        # re-deliveries are dropped; a CONFLICTING payload under a seen
+        # key is an UPDATE, which an append-only pair sink cannot
+        # express (already-emitted pairs would be retroactively wrong) —
+        # refuse loudly instead of letting the survivor depend on how
+        # the deliveries happened to batch (the refill-assertion
+        # stance: refuse instead of guessing). Admission and conflict
+        # detection share ONE left join against the seen keys+payload —
+        # a 3-column pruned read of the records sink; the verify join
+        # below is the sink's only full-width scan. (Materializing
+        # `seen` instead would checkpoint the corpus-sized table every
+        # micro-batch — strictly worse at registry scale than the
+        # second pruned scan.)
+        raw = linkage.blocked_records(batch_df)
+        dup_conflicts = (
+            raw.groupBy("c_custkey")
+            .agg(F.count_distinct(F.struct("name", "c_nationkey")).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        bad = dup_conflicts.select("c_custkey").head(1)
+        if bad:
+            raise ValueError(
+                f"linkage sink {self.out_dir}: batch {batch_id} carries "
+                f"conflicting payloads for record key {bad[0][0]} — "
+                f"record identity is c_custkey and this sink's pair "
+                f"history is append-only, so an update cannot be "
+                f"applied; fix the feed (or reset the sink to re-ingest "
+                f"the corrected registry)"
+            )
+        admit = raw.dropDuplicates(["c_custkey"]).join(
+            seen.select(
+                "c_custkey",
+                F.col("name").alias("_seen_name"),
+                F.col("c_nationkey").alias("_seen_nat"),
+            ),
+            "c_custkey",
+            "left",
+        ).localCheckpoint()
+        conflict = admit.filter(
+            F.col("_seen_name").isNotNull()
+            & (
+                (F.col("name") != F.col("_seen_name"))
+                | (F.col("c_nationkey") != F.col("_seen_nat"))
+            )
+        ).head(1)
+        if conflict:
+            raise ValueError(
+                f"linkage sink {self.out_dir}: batch {batch_id} "
+                f"re-delivers record key {conflict[0]['c_custkey']} with "
+                f"a payload that differs from the ingested one — an "
+                f"update, which the append-only pair history cannot "
+                f"express; reset the sink to re-ingest the corrected "
+                f"registry"
+            )
+        newb = admit.filter(F.col("_seen_name").isNull()).drop(
+            "_seen_name", "_seen_nat"
         )
         fresh_pairs = linkage.verify_pairs(
             newb, newb, self.max_distance

@@ -204,6 +204,68 @@ def test_seen_state_survives_records_compaction(spark, sf_dir, dirs):
     assert any(p[1] == new_key and p[0] == r.c_custkey for p in got)
 
 
+def test_conflicting_redelivery_across_batches_is_refused(spark, sf_dir, dirs):
+    """A re-delivery whose payload DIFFERS from the ingested record is
+    an update — inexpressible in an append-only pair history — and must
+    be refused loudly, not resolved by whichever copy happened to batch
+    first (refuse-instead-of-guessing)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.coalesce(1).write.mode("append").parquet(dirs["source"])
+    cust.limit(1).withColumn(
+        "c_name", F.concat(F.col("c_name"), F.lit("X"))
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    with pytest.raises(Exception, match="append-only pair history"):
+        StreamingLinkageIngest(
+            spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+        ).run_available_now()
+
+
+def test_conflicting_payloads_within_one_batch_are_refused(spark, sf_dir, dirs):
+    """Two different payloads for one key inside a single micro-batch
+    have no arrival order at all — any pick would be batching-dependent;
+    refused before anything is written."""
+    cust = load_table(spark, sf_dir, "customer")
+    one = cust.limit(1)
+    one.unionByName(
+        one.withColumn("c_name", F.concat(F.col("c_name"), F.lit("X")))
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    with pytest.raises(Exception, match="conflicting payloads"):
+        StreamingLinkageIngest(
+            spark, dirs["source"], dirs["out"], dirs["ckpt"]
+        ).run_available_now()
+    import os
+
+    assert not os.path.isdir(dirs["out"] + "/records"), "refusal must precede writes"
+
+
+def test_manifest_naming_missing_version_dir_raises(spark, sf_dir, dirs):
+    """An inconsistent compacted records sink (manifest present, version
+    directory gone) must raise on the next batch, not read as 'no state
+    yet' and silently re-admit every ingested record."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        compact_sink,
+    )
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    vdir = compact_sink(spark, dirs["out"], "records")
+    shutil.rmtree(vdir)
+    load_table(spark, sf_dir, "customer").limit(0).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["source"])
+    # force a genuinely new file so a batch actually runs
+    load_table(spark, sf_dir, "customer").limit(1).select(
+        (F.col("c_custkey") + 10**6).alias("c_custkey"),
+        *[c for c in load_table(spark, sf_dir, "customer").columns if c != "c_custkey"],
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        StreamingLinkageIngest(
+            spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+        ).run_available_now()
+
+
 def test_lost_ledger_on_nested_sink_is_refused_pre_ledger(spark, sf_dir, dirs):
     """The pre-ledger 'unverifiable history' refusal must see NESTED
     batch-keyed layouts (records/ + pairs/ one level under the sink
