@@ -184,6 +184,39 @@ def customer_best_match(
     )
 
 
+def customer_block_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key capacity planning: the block-size histogram and the
+    candidate-pair work it implies, computed BEFORE anyone runs the
+    verify join — the diagnostic that decides whether a blocking key is
+    safe at 100 TB (the `doc_stop_shingles` treatment for the ER
+    family: audit the dial, don't discover the blowup in the shuffle).
+
+    One row per distinct block size: how many (blk, nation) blocks have
+    that many records and the exact C(size, 2) pair count they would
+    feed the verify join — Σ over the frame IS the join's work bound,
+    so a hot block (an over-coarse key) shows up as a single tail row
+    dominating pair_work long before it dominates a stage. Cost is two
+    partial-aggregated groupBys (|blocks| rows, then |distinct sizes|);
+    nothing corpus-sized shuffles. All-integer, so the oracle
+    hash-matches."""
+    sizes = (
+        _blocked(spark, sf_dir)
+        .groupBy("blk", "c_nationkey")
+        .agg(F.count("*").alias("block_size"))
+    )
+    return (
+        sizes.groupBy("block_size")
+        .agg(F.count("*").alias("n_blocks"))
+        # integer DIV throughout (size*(size-1) is even, so DIV 2 is
+        # exact) — no float ever enters the frame
+        .withColumn(
+            "candidate_pairs",
+            F.expr("n_blocks * (block_size * (block_size - 1) DIV 2)"),
+        )
+        .orderBy("block_size")
+    )
+
+
 def pair_cliques(pairs: DataFrame) -> DataFrame:
     """A verified pair frame as (doc_id, bucket) 2-cliques — the input
     shape :func:`dedup.components_over_buckets` propagates over (the

@@ -2057,6 +2057,24 @@ JOIN (SELECT entity_id, COUNT(*) AS entity_size
 ORDER BY custkey
 """,
     ),
+    # Blocking-key capacity planning (the doc_stop_shingles treatment
+    # for ER): block-size histogram + exact C(size,2) pair work per
+    # size — the pre-join audit that catches an over-coarse key. Same
+    # shared blocking CTE as every linkage oracle.
+    "customer_block_profile": QueryDef(
+        linkage.customer_block_profile,
+        _LINKAGE_CBLK
+        + """
+, bsz AS (
+  SELECT blk, c_nationkey, COUNT(*) AS block_size
+  FROM cblk GROUP BY blk, c_nationkey
+)
+SELECT block_size, COUNT(*) AS n_blocks,
+       COUNT(*) * (block_size * (block_size - 1) // 2) AS candidate_pairs
+FROM bsz GROUP BY block_size
+ORDER BY block_size
+""",
+    ),
     "corpus_dedup_stats": QueryDef(
         dedup.corpus_dedup_stats,
         f"""

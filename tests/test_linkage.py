@@ -110,6 +110,38 @@ def test_plan_has_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_block_profile_matches_ground_truth(spark, sf_dir, pairs):
+    """The capacity-planning histogram must equal an independent Python
+    count over the normalized records, and its Σ candidate_pairs must
+    upper-bound the emitted (verified) pair count — the profile IS the
+    verify join's work bound."""
+    from collections import Counter
+
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_block_profile,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .collect()
+    )
+    blocks = Counter(
+        (r.c_name.lower()[:-BLOCK_SUFFIX], r.c_nationkey) for r in rows
+    )
+    hist = Counter(blocks.values())
+    want = {
+        size: (n, n * (size * (size - 1) // 2)) for size, n in hist.items()
+    }
+    got = {
+        r.block_size: (r.n_blocks, r.candidate_pairs)
+        for r in customer_block_profile(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(cp for _, cp in got.values()) >= len(pairs)
+
+
 def test_match_components_equal_union_find(spark, sf_dir, pairs):
     """Entity formation ground truth: union-find over the collected pair
     set must reproduce every (custkey, entity_id, entity_size) row —
