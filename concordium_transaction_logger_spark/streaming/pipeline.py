@@ -1982,14 +1982,26 @@ class _HadoopIO:
         return [st.getPath().getName() for st in self._fs.listStatus(p)]
 
     def write_text_atomic(self, path: str, text: str) -> None:
+        final = self._p(path)
+        # Hadoop rename won't overwrite, so overwriting means delete +
+        # rename — NOT atomic: a crash between the two erases the
+        # sidecar, and for the re-batching ledger that fail-opens a
+        # later COARSER replay over this batch's files (r7 verdict).
+        # The only legitimate repeat writer is an IDENTICAL replay
+        # rewriting an IDENTICAL sidecar, so skip the rewrite when the
+        # destination already holds exactly this text: the delete+rename
+        # window then only ever runs on a first write (destination
+        # absent — nothing to erase) or a genuinely-changed payload
+        # (which the ledger guard refuses long before reaching here).
+        if self._fs.exists(final) and self.read_text(path) == text:
+            return
         tmp = self._p(path + ".tmp")
         out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        final = self._p(path)
-        self._fs.delete(final, False)  # Hadoop rename won't overwrite
+        self._fs.delete(final, False)
         if not self._fs.rename(tmp, final):
             raise IOError(f"rename {path}.tmp -> {path} failed")
 

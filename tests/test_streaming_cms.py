@@ -502,3 +502,50 @@ def test_guard_raises_on_unparseable_wal_entry(spark, tmp_path):
         fh.write('v1\n{"path": "file:///a.parquet"}\n{"path": truncated\n')
     with pytest.raises(RuntimeError, match="unparseable"):
         _guard_delta_batching(out, ckpt, 0)
+
+
+def test_hadoop_identical_sidecar_rewrite_has_no_crash_window(spark, tmp_path):
+    """The r7-verdict crash window: Hadoop rename won't overwrite, so the
+    sidecar rewrite was delete-then-rename — a crash between the two
+    erased the batch's ledger record and FAIL-OPENED a later coarser
+    replay over its files. The only legitimate repeat writer is an
+    identical replay rewriting identical text, so that case must now be
+    a pure no-op: neither delete nor rename may run at all (then the
+    window only ever opens with the destination absent — nothing to
+    erase)."""
+    from concordium_transaction_logger_spark.streaming.pipeline import _HadoopIO
+
+    path = "file://" + str(tmp_path / "ledger" / "batch-0.json")
+    text = '{"ingest_batch": 0, "files": ["file:///a.parquet"]}'
+    io = _HadoopIO(spark, path)
+    io.write_text_atomic(path, text)
+    assert io.read_text(path) == text
+
+    class _NoMutateFS:
+        """Delegates every FileSystem call except the two that open the
+        crash window; reaching either during an identical rewrite IS the
+        r7 bug."""
+
+        def __init__(self, fs):
+            self._inner = fs
+
+        def __getattr__(self, name):
+            if name in ("delete", "rename", "create"):
+                raise AssertionError(
+                    f"identical sidecar rewrite must be a no-op, but "
+                    f"FileSystem.{name} was invoked (the delete+rename "
+                    f"crash window is open again)"
+                )
+            return getattr(self._inner, name)
+
+    guarded = _NoMutateFS(io._fs)
+    io._fs = guarded
+    io.write_text_atomic(path, text)  # identical replay: must not mutate
+    io._fs = guarded._inner
+    assert io.read_text(path) == text
+
+    # a genuinely different payload still goes through the full write
+    # path (the ledger guard refuses such batches upstream; the IO layer
+    # itself must not silently keep stale content)
+    io.write_text_atomic(path, text + "\n")
+    assert io.read_text(path) == text + "\n"
