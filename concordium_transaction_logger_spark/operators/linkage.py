@@ -82,7 +82,14 @@ def verify_pairs(
     - ``disjoint=True`` — ``a`` and ``b`` share no keys (a micro-batch
       vs the previously-seen corpus): each unordered pair appears
       exactly once in the product, in whichever key order it arrived;
-      least/greatest normalizes it.
+      least/greatest normalizes it. The disjointness PRECONDITION is
+      the caller's to guarantee (the streaming twin's admission filter
+      does): if the frames overlap on ``c_custkey``, every cross pair
+      between the overlapping sets enters the join in BOTH key orders
+      and normalizes to duplicate rows — the regime mis-use fails by
+      duplication, not gracefully, so any new caller needs its own
+      disjointness argument (tests/test_linkage.py pins this failure
+      shape).
 
     Either way the join is a pure EQUI-join on (blk, c_nationkey) with
     the key predicate and the Levenshtein threshold as residuals —

@@ -584,6 +584,20 @@ WITH cblk AS (
   FROM customer
 )"""
 
+#: RECURSIVE variant for the components oracle, built HERE next to the
+#: fragment with a loud guard: a silent ``.replace()`` no-op (the
+#: fragment's prologue drifting by a character) would render invalid
+#: oracle SQL discovered only at parity-test time (r7 ADVICE).
+_LINKAGE_PROLOGUE = "\nWITH "
+if not _LINKAGE_CBLK.startswith(_LINKAGE_PROLOGUE):  # pragma: no cover
+    raise AssertionError(
+        "_LINKAGE_CBLK must start with '\\nWITH ' — the RECURSIVE "
+        "variant splices the keyword into that prologue"
+    )
+_LINKAGE_CBLK_RECURSIVE = (
+    "\nWITH RECURSIVE " + _LINKAGE_CBLK[len(_LINKAGE_PROLOGUE):]
+)
+
 _LINKAGE_PAIRS = f"""FROM cblk a JOIN cblk b
   ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
  AND a.c_custkey < b.c_custkey
@@ -2034,7 +2048,7 @@ ORDER BY key
     # linkage oracles — one rendering, zero drift.
     "customer_match_components": QueryDef(
         linkage.customer_match_components,
-        _LINKAGE_CBLK.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+        _LINKAGE_CBLK_RECURSIVE
         + f"""
 , lpair AS (
   SELECT a.c_custkey AS key_a, b.c_custkey AS key_b

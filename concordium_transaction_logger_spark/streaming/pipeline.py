@@ -2431,15 +2431,19 @@ class StreamingLinkageIngest:
     self-join regime of :func:`operators.linkage.verify_pairs`) and
     AGAINST every previously-seen record (the disjoint regime) — so
     each unordered pair lands in the sink exactly once, in the batch
-    where its later member arrives. Record identity is ``c_custkey``:
-    an at-least-once re-delivery of a seen record (identical payload,
-    within a batch or across batches) is dropped before pairing — the
-    StreamingCorpusIngest fingerprint-dedup treatment — so the records
-    sink stays one row per key and re-deliveries cannot re-emit pairs;
-    a re-delivery whose payload DIFFERS is an update, which an
-    append-only pair history cannot express, and is refused loudly
-    (the refuse-instead-of-guessing stance) rather than letting the
-    surviving record depend on how deliveries happened to batch. The
+    where its later member arrives. Record identity is ``c_custkey``
+    and PAYLOAD identity is the normalized linkage projection
+    ``(lower(c_name), c_nationkey)`` — the only columns this sink
+    stores or pairs on: a re-delivery agreeing on that projection is
+    dropped as an identical copy even if OTHER customer columns
+    (address, acctbal, ...) differ, because those columns cannot
+    change any pair this sink has emitted or ever will (r7 ADVICE —
+    full-payload conflict detection belongs to a sink that stores the
+    full payload, like StreamingCorpusIngest's fingerprint dedup). A
+    re-delivery whose normalized projection DIFFERS is an update,
+    which an append-only pair history cannot express, and is refused
+    loudly (the refuse-instead-of-guessing stance) rather than letting
+    the surviving record depend on how deliveries happened to batch. The
     union over any batching equals the batch
     ``customer_fuzzy_matches`` on the deduped corpus (asserted in
     tests/test_streaming_linkage.py across splits, re-deliveries,
@@ -2532,10 +2536,16 @@ class StreamingLinkageIngest:
             raise ValueError(
                 f"linkage sink {self.out_dir}: batch {batch_id} carries "
                 f"conflicting payloads for record key {bad[0][0]} — "
-                f"record identity is c_custkey and this sink's pair "
-                f"history is append-only, so an update cannot be "
-                f"applied; fix the feed (or reset the sink to re-ingest "
-                f"the corrected registry)"
+                f"record identity is c_custkey (payload identity the "
+                f"normalized (name, nationkey) projection) and this "
+                f"sink's pair history is append-only, so an update "
+                f"cannot be applied. NOTE this batch's source-file set "
+                f"is already recorded in the re-batching ledger "
+                f"(<sink>/_batches — the guard runs fail-closed, before "
+                f"refusals): fix the feed IN PLACE (same file paths, "
+                f"same checkpoint) and the replay will pass; a fix that "
+                f"moves data to new paths requires resetting the sink "
+                f"AND checkpoint together"
             )
         admit = raw.dropDuplicates(["c_custkey"]).join(
             seen.select(
@@ -2557,10 +2567,15 @@ class StreamingLinkageIngest:
             raise ValueError(
                 f"linkage sink {self.out_dir}: batch {batch_id} "
                 f"re-delivers record key {conflict[0]['c_custkey']} with "
-                f"a payload that differs from the ingested one — an "
-                f"update, which the append-only pair history cannot "
-                f"express; reset the sink to re-ingest the corrected "
-                f"registry"
+                f"a normalized (name, nationkey) projection that differs "
+                f"from the ingested one — an update, which the "
+                f"append-only pair history cannot express. NOTE this "
+                f"batch's source-file set is already recorded in the "
+                f"re-batching ledger (<sink>/_batches — the guard runs "
+                f"fail-closed, before refusals): fix the feed IN PLACE "
+                f"(same file paths, same checkpoint) and the replay "
+                f"will pass; a fix that moves data to new paths "
+                f"requires resetting the sink AND checkpoint together"
             )
         newb = admit.filter(F.col("_seen_name").isNull()).drop(
             "_seen_name", "_seen_nat"

@@ -187,3 +187,28 @@ def test_match_components_equal_union_find(spark, sf_dir, pairs):
     # least one entity larger than a bare pair, or the closure is
     # indistinguishable from the pair list
     assert max(s for _, s in got.values()) >= 3
+
+
+def test_verify_pairs_disjoint_misuse_fails_by_duplication(spark, sf_dir):
+    """The disjoint=True regime's precondition, pinned as a failure
+    shape (r7 ADVICE): feeding OVERLAPPING frames emits every cross
+    pair between the overlapping sets twice (once per key order, both
+    normalized to the same row) — duplication, not graceful
+    degradation. Any future third caller of the disjoint regime needs
+    its own disjointness argument; this test is the documentation."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        blocked_records,
+        verify_pairs,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    blocked = blocked_records(load_table(spark, sf_dir, "customer"))
+    correct = verify_pairs(blocked, blocked, 1).count()
+    assert correct > 0
+    misuse = verify_pairs(blocked, blocked, 1, disjoint=True)
+    assert misuse.count() == 2 * correct, (
+        "overlapping frames under disjoint=True must duplicate every "
+        "pair — if this stops holding, the regime's precondition "
+        "documentation in verify_pairs is stale"
+    )
+    assert misuse.distinct().count() == correct
