@@ -2245,16 +2245,25 @@ def _delta_sink_view(spark: SparkSession, out_dir: str, schema) -> DataFrame:
     return view
 
 
-def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+def _write_batch_partition(
+    df: DataFrame, batch_id: int, path: str, extra_partition: str | None = None
+) -> None:
     """THE batch-keyed sink writer (StreamingCorpusIngest and
     StreamingLinkageIngest share it): dynamic partition overwrite so an
     idempotent replay rewrites only this batch's own partition —
-    per-write, not session-global."""
+    per-write, not session-global. ``extra_partition`` names an existing
+    column to add as a SECOND partition level under ingest_batch (a
+    hash-bucket column): per-batch replay idempotence is unchanged (an
+    identical replay writes the identical bucket set), and cross-batch
+    state readers gain directory-level partition pruning on the bucket —
+    the device that bounds a streaming join's seen-side READ volume by
+    the batch's own key set instead of the whole corpus."""
+    keys = ["ingest_batch"] + ([extra_partition] if extra_partition else [])
     (
         df.withColumn("ingest_batch", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
+        .partitionBy(*keys)
         .parquet(path)
     )
 
@@ -2449,11 +2458,43 @@ class StreamingLinkageIngest:
     tests/test_streaming_linkage.py across splits, re-deliveries,
     reruns, and lost-checkpoint replays).
 
-    Per-batch cost is |batch| x seen-block-width, never corpus x corpus
-    — the incremental economics that make continuous ER viable at
-    registry scale; the seen side is read with an explicit schema from
-    the batch-keyed records sink (empty/first-batch safe, object-store
-    safe — no ``os.path`` probes).
+    Per-batch JOIN cost is |batch| x seen-block-width, never corpus x
+    corpus — and since r8 the per-batch READ volume is bounded the same
+    way (the r7 verdict's one design gap: both seen-side reads scanned
+    the whole corpus every micro-batch, O(N^2/B) lifetime read volume).
+    Seen state lives in TWO hash-bucket-partitioned structures, each
+    clustered for the one probe that reads it — the classic
+    primary-store + secondary-index split:
+
+    - ``records/`` partitioned by ``(ingest_batch, kb)``,
+      ``kb = pmod(xxhash64(c_custkey), n_buckets)`` — the authoritative
+      key registry; the admission/conflict probe prunes to the
+      partitions holding the batch's own custkeys (EXACT: a seen copy
+      of a batch key sits in that key's bucket by construction, whatever
+      its payload — so conflict refusal keeps its guarantee under
+      pruning, which a block-key-bucketed probe could not: a conflicting
+      payload can change the block key and hide in another bucket).
+    - ``blocks/`` partitioned by ``(ingest_batch, bb)``,
+      ``bb = pmod(xxhash64(blk), n_buckets)`` — the blocked projection
+      the verify join reads, pruned to the buckets of the batch's own
+      block keys (EXACT: a pairable seen record shares the batch
+      record's blk, hence its bucket).
+
+    Both hold the same narrow linkage projection (the 2x write
+    amplification buys O(|batch| x corpus/n_buckets) reads instead of
+    O(corpus) — at continuous-ingest scale, writing each record twice
+    is strictly cheaper than re-reading the corpus every trigger);
+    both are batch-keyed for replay idempotence (an identical replay
+    rewrites the identical bucket set) and read with explicit schemas
+    (empty/first-batch safe, object-store safe — no ``os.path``
+    probes). ``n_buckets`` is pinned in a ``_layout.json`` sidecar at
+    first write and enforced on every later construction — a writer
+    with a different bucket count would prune against the wrong layout
+    and silently miss seen rows, the fail-open this family refuses.
+    Size it so corpus/n_buckets stays a comfortable per-trigger read
+    (registry scale: thousands); compaction folds bucket directories
+    into plain columns, trading directory pruning for parquet
+    row-group stats on the folded span.
 
     Replay semantics match the family contract: both sinks are
     batch-keyed dynamic-partition-overwrite (identical replay =
@@ -2473,6 +2514,7 @@ class StreamingLinkageIngest:
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
         max_distance: int | None = None,
+        n_buckets: int = 64,
     ):
         from ..operators import linkage
 
@@ -2480,12 +2522,16 @@ class StreamingLinkageIngest:
         self.source_dir = source_dir
         self.out_dir = out_dir
         self.records_dir = out_dir.rstrip("/") + "/records"
+        self.blocks_dir = out_dir.rstrip("/") + "/blocks"
         self.pairs_dir = out_dir.rstrip("/") + "/pairs"
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.max_distance = (
             linkage.MAX_EDIT_DISTANCE if max_distance is None else max_distance
         )
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.n_buckets = n_buckets
         if self.max_distance > linkage.BLOCK_SUFFIX:
             # same recall guard as the batch query, enforced before any
             # state exists rather than on the Nth micro-batch
@@ -2496,20 +2542,72 @@ class StreamingLinkageIngest:
                 f"blocks and be silently missed"
             )
 
-    def _seen_records(self, before_batch: int) -> DataFrame:
-        """Previously-ingested blocked records: the manifest-aware
-        batch-keyed state read (:func:`_read_batched_state` — a
-        compaction of the records sink must not drop early records from
-        the seen side, or a new arrival silently loses its pair)."""
-        return _read_batched_state(
+    def _pin_layout(self) -> None:
+        """Pin ``n_buckets`` in a sink-root sidecar on first write and
+        refuse any later writer constructed with a different count: the
+        pruned probes select partitions by ``pmod(hash, n_buckets)``, so
+        a mismatched writer would prune against the wrong layout and
+        silently MISS seen rows — re-admitting ingested records and
+        dropping cross-batch pairs (fail-open). Scheme-aware I/O like
+        the ledger; runs after every refusal gate so a refused batch
+        still leaves a virgin sink directory-free."""
+        import json as _json
+
+        path = self.out_dir.rstrip("/") + "/_layout.json"
+        io = _io_for(path)
+        if io.exists(path):
+            recorded = _json.loads(io.read_text(path)).get("n_buckets")
+            if recorded != self.n_buckets:
+                raise ValueError(
+                    f"linkage sink {self.out_dir} was written with "
+                    f"n_buckets={recorded} but this writer was "
+                    f"constructed with n_buckets={self.n_buckets}; a "
+                    f"mismatched bucket count would prune seen-state "
+                    f"reads against the wrong layout and silently miss "
+                    f"rows — construct with n_buckets={recorded} or "
+                    f"reset the sink and checkpoint together"
+                )
+            return
+        io.write_text_atomic(path, _json.dumps({"n_buckets": self.n_buckets}))
+
+    def _seen_keys(self, before_batch: int, kbs: list[int]) -> DataFrame:
+        """Previously-ingested record payloads for the admission /
+        conflict probe, pruned to the key-hash buckets the batch's own
+        custkeys occupy (directory-level partition pruning; EXACT — see
+        the class docstring) and column-pruned to the 3-column
+        projection the probe compares. Manifest-aware like every
+        batch-keyed state read."""
+        seen = _read_batched_state(
             self.spark, self.records_dir, _LINKAGE_RECORDS_SCHEMA
-        ).filter(F.col("ingest_batch") < before_batch).drop("ingest_batch")
+        ).filter(F.col("ingest_batch") < before_batch)
+        if not kbs:
+            seen = seen.filter(F.lit(False))
+        else:
+            seen = seen.filter(F.col("kb").isin(kbs))
+        return seen.select("c_custkey", "name", "c_nationkey")
+
+    def _seen_blocks(self, before_batch: int, bbs: list[int]) -> DataFrame:
+        """Previously-ingested blocked records for the verify join,
+        pruned to the block-hash buckets of the batch's own block keys
+        (a pairable seen record shares a batch blk, hence its bucket).
+        Reads the blocks/ index, not records/ — each structure is
+        clustered for its one probe. Manifest-aware
+        (:func:`_read_batched_state`): a compaction of the blocks sink
+        must not drop early records from the seen side, or a new
+        arrival silently loses its pair."""
+        seen = _read_batched_state(
+            self.spark, self.blocks_dir, _LINKAGE_BLOCKS_SCHEMA
+        ).filter(F.col("ingest_batch") < before_batch)
+        if not bbs:
+            seen = seen.filter(F.lit(False))
+        else:
+            seen = seen.filter(F.col("bb").isin(bbs))
+        return seen.drop("ingest_batch", "bb")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators import linkage
 
         _guard_delta_batching(self.out_dir, self.checkpoint_dir, batch_id)
-        seen = self._seen_records(before_batch=batch_id)
         # Record identity is c_custkey; an at-least-once source may
         # re-deliver a record in a later file (the hazard
         # StreamingCorpusIngest dedups by fingerprint). IDENTICAL-copy
@@ -2518,14 +2616,21 @@ class StreamingLinkageIngest:
         # express (already-emitted pairs would be retroactively wrong) —
         # refuse loudly instead of letting the survivor depend on how
         # the deliveries happened to batch (the refill-assertion
-        # stance: refuse instead of guessing). Admission and conflict
-        # detection share ONE left join against the seen keys+payload —
-        # a 3-column pruned read of the records sink; the verify join
-        # below is the sink's only full-width scan. (Materializing
-        # `seen` instead would checkpoint the corpus-sized table every
-        # micro-batch — strictly worse at registry scale than the
-        # second pruned scan.)
-        raw = linkage.blocked_records(batch_df)
+        # stance: refuse instead of guessing). Both seen-side reads are
+        # partition-pruned to the buckets this batch touches (class
+        # docstring): the bucket sets are collected from the pinned
+        # micro-batch — two <= n_buckets-element collects, the same
+        # O(1)-bounded driver traffic as the refusal probes.
+        raw = (
+            linkage.blocked_records(batch_df)
+            .withColumn(
+                "kb", F.pmod(F.xxhash64("c_custkey"), F.lit(self.n_buckets))
+            )
+            .withColumn(
+                "bb", F.pmod(F.xxhash64("blk"), F.lit(self.n_buckets))
+            )
+            .localCheckpoint()
+        )
         dup_conflicts = (
             raw.groupBy("c_custkey")
             .agg(F.count_distinct(F.struct("name", "c_nationkey")).alias("n"))
@@ -2547,8 +2652,10 @@ class StreamingLinkageIngest:
                 f"moves data to new paths requires resetting the sink "
                 f"AND checkpoint together"
             )
+        kbs = sorted(r[0] for r in raw.select("kb").distinct().collect())
+        seen_keys = self._seen_keys(before_batch=batch_id, kbs=kbs)
         admit = raw.dropDuplicates(["c_custkey"]).join(
-            seen.select(
+            seen_keys.select(
                 "c_custkey",
                 F.col("name").alias("_seen_name"),
                 F.col("c_nationkey").alias("_seen_nat"),
@@ -2580,13 +2687,25 @@ class StreamingLinkageIngest:
         newb = admit.filter(F.col("_seen_name").isNull()).drop(
             "_seen_name", "_seen_nat"
         )
+        # the verify side prunes on the ADMITTED records' block buckets
+        # (a dropped re-delivery pairs with nothing)
+        bbs = sorted(r[0] for r in newb.select("bb").distinct().collect())
+        seen_blocks = self._seen_blocks(before_batch=batch_id, bbs=bbs)
         fresh_pairs = linkage.verify_pairs(
             newb, newb, self.max_distance
         ).unionByName(
-            linkage.verify_pairs(newb, seen, self.max_distance, disjoint=True)
+            linkage.verify_pairs(
+                newb, seen_blocks, self.max_distance, disjoint=True
+            )
         )
+        self._pin_layout()
         _write_batch_partition(fresh_pairs, batch_id, self.pairs_dir)
-        _write_batch_partition(newb, batch_id, self.records_dir)
+        _write_batch_partition(
+            newb.drop("bb"), batch_id, self.records_dir, extra_partition="kb"
+        )
+        _write_batch_partition(
+            newb.drop("kb"), batch_id, self.blocks_dir, extra_partition="bb"
+        )
 
     def run_available_now(self) -> None:
         reader = _parquet_stream(
@@ -2598,14 +2717,22 @@ class StreamingLinkageIngest:
 def _linkage_schemas():
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    base = [
+        StructField("c_custkey", LongType()),
+        StructField("name", StringType()),
+        StructField("c_nationkey", LongType()),
+        StructField("blk", StringType()),
+    ]
+    # records/ carries the key-hash bucket partition column, blocks/ the
+    # block-hash one — same linkage projection, each copy clustered for
+    # the one probe that reads it (class docstring).
     records = StructType(
-        [
-            StructField("c_custkey", LongType()),
-            StructField("name", StringType()),
-            StructField("c_nationkey", LongType()),
-            StructField("blk", StringType()),
-            StructField("ingest_batch", LongType()),
-        ]
+        base
+        + [StructField("kb", LongType()), StructField("ingest_batch", LongType())]
+    )
+    blocks = StructType(
+        base
+        + [StructField("bb", LongType()), StructField("ingest_batch", LongType())]
     )
     pairs = StructType(
         [
@@ -2617,10 +2744,14 @@ def _linkage_schemas():
             StructField("ingest_batch", LongType()),
         ]
     )
-    return records, pairs
+    return records, blocks, pairs
 
 
-_LINKAGE_RECORDS_SCHEMA, _LINKAGE_PAIRS_SCHEMA = _linkage_schemas()
+(
+    _LINKAGE_RECORDS_SCHEMA,
+    _LINKAGE_BLOCKS_SCHEMA,
+    _LINKAGE_PAIRS_SCHEMA,
+) = _linkage_schemas()
 
 
 def linkage_pairs_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -258,6 +258,55 @@ def build_corpus(
     )
 
 
+def _streaming_linkage_ingest(spark, cdir: str):
+    """The streaming-ER sink measured end-to-end (r7 verdict: the batch
+    linkage ops had slope rows, the sink had none): a full availableNow
+    ingest of the corpus customer table in 6 fixed micro-batches into a
+    FRESH bucket-partitioned sink, then the served pair view. Fresh
+    dirs per pass so the min-of-2 never times a no-op rerun.
+
+    Regime note (SCALE.md): with 6 corpus-growing batches each batch's
+    key set spans all 64 hash buckets, so the directory pruning is
+    inert here and the row measures the sink's JOIN+WRITE linearity in
+    the corpus (expected slope ~1: per-batch work is block-bounded and
+    each of the 6 seen reads is <= O(corpus)). The pruned-read win has
+    factor min(1, |batch keys| / n_buckets) — it pays off in the
+    registry shape (batch of thousands, n_buckets of tens of
+    thousands), and its EXACTNESS is what tests/test_streaming_linkage
+    pins; a wall-clock demo at that shape would be a small-files
+    benchmark of the local filesystem, not of the plan."""
+    import tempfile as _tf
+
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingLinkageIngest,
+        linkage_pairs_from_sink,
+    )
+
+    import atexit as _atexit
+
+    root = _tf.mkdtemp(prefix="ctl_slink_")
+    # the returned view reads the sink lazily, so the dir must outlive
+    # this call; reclaim it at process exit instead
+    _atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    cust = spark.read.parquet(os.path.join(cdir, "customer.parquet"))
+    for m in range(6):
+        (
+            cust.filter(F.col("c_custkey") % 6 == m)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    StreamingLinkageIngest(
+        spark,
+        src,
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+    ).run_available_now()
+    return linkage_pairs_from_sink(spark, os.path.join(root, "out"))
+
+
 def main() -> None:
     from concordium_transaction_logger_spark.operators import (
         dedup,
@@ -335,6 +384,10 @@ def main() -> None:
             # bounded by the PAIR count (2-clique propagation), so the
             # slope should track fuzzy_matches, not the corpus
             "match_components": linkage.customer_match_components,
+            # the streaming twin, end-to-end (6-batch availableNow
+            # ingest into a fresh sink + served pair read) — see
+            # _streaming_linkage_ingest for the regime note
+            "streaming_linkage": _streaming_linkage_ingest,
         }
 
     def boiler_families(m: int):

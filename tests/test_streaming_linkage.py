@@ -295,3 +295,122 @@ def test_recall_guard_fires_at_construction(spark, dirs):
             dirs["ckpt"],
             max_distance=99,
         )
+
+
+def test_seen_side_reads_are_partition_pruned(spark, sf_dir, dirs):
+    """The r7-verdict 100 TB gap, closed: both per-batch seen-side reads
+    must PRUNE AT THE DIRECTORY LEVEL to the hash buckets the batch's
+    own keys touch — the bucket predicates land in the scan's
+    PartitionFilters (with nothing left in DataFilters), and the rows
+    returned equal an independent full-scan filter, so pruning is
+    exactness-preserving, not best-effort."""
+    from pyspark.sql import functions as F2
+
+    _write_split(spark, sf_dir, dirs["source"])
+    ingest = StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    )
+    ingest.run_available_now()
+
+    full_blocks = spark.read.parquet(dirs["out"] + "/blocks")
+    some_bb = full_blocks.select("bb").distinct().head(2)
+    assert len(some_bb) == 2, "need >1 bucket for pruning to mean anything"
+    bbs = [some_bb[0][0]]
+    pruned = ingest._seen_blocks(before_batch=3, bbs=bbs)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "bb" in scan[0], "bb predicate must prune partitions"
+    assert "DataFilters: []" in scan[0], (
+        "the bucket predicate must not degrade to a post-scan data filter"
+    )
+    want = (
+        full_blocks.filter(F2.col("bb").isin(bbs))
+        .drop("ingest_batch", "bb")
+        .collect()
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, want))
+
+    full_records = spark.read.parquet(dirs["out"] + "/records")
+    kbs = [full_records.select("kb").distinct().head(1)[0][0]]
+    pruned_k = ingest._seen_keys(before_batch=3, kbs=kbs)
+    plan_k = pruned_k._jdf.queryExecution().executedPlan().toString()
+    scan_k = [l for l in plan_k.splitlines() if "PartitionFilters" in l]
+    assert scan_k and "kb" in scan_k[0]
+    assert "DataFilters: []" in scan_k[0]
+    want_k = (
+        full_records.filter(F2.col("kb").isin(kbs))
+        .select("c_custkey", "name", "c_nationkey")
+        .collect()
+    )
+    assert sorted(map(tuple, pruned_k.collect())) == sorted(map(tuple, want_k))
+
+    # empty bucket set (a batch of pure re-deliveries): no scan at all
+    assert ingest._seen_blocks(before_batch=3, bbs=[]).count() == 0
+    assert ingest._seen_keys(before_batch=3, kbs=[]).count() == 0
+
+
+def test_mismatched_bucket_count_is_refused_before_writing(spark, sf_dir, dirs):
+    """n_buckets is pinned at first write: a writer constructed with a
+    different count would prune seen-state reads against the wrong
+    layout and silently MISS rows (re-admitting records, dropping
+    cross-batch pairs — fail-open); it must be refused with the sink
+    untouched."""
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    want = _pairs(linkage_pairs_from_sink(spark, dirs["out"]))
+
+    load_table(spark, sf_dir, "customer").limit(1).select(
+        (F.col("c_custkey") + 10**6).alias("c_custkey"),
+        *[c for c in load_table(spark, sf_dir, "customer").columns if c != "c_custkey"],
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    with pytest.raises(Exception, match="n_buckets"):
+        StreamingLinkageIngest(
+            spark,
+            dirs["source"],
+            dirs["out"],
+            dirs["ckpt"],
+            max_files_per_trigger=1,
+            n_buckets=8,
+        ).run_available_now()
+    assert _pairs(linkage_pairs_from_sink(spark, dirs["out"])) == want
+
+
+def test_seen_state_survives_blocks_compaction(spark, sf_dir, dirs):
+    """The verify join's seen side now reads the blocks/ index; after
+    compact_sink folds it (bucket directories become plain columns),
+    a new arrival matching an EARLY record must still emit its pair —
+    the manifest-aware read plus the bb DATA filter over the folded
+    span must stay exactness-preserving."""
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        compact_sink,
+    )
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    n_before = len(_pairs(linkage_pairs_from_sink(spark, dirs["out"])))
+    compact_sink(spark, dirs["out"], "blocks")
+    compact_sink(spark, dirs["out"], "records")
+
+    base = load_table(spark, sf_dir, "customer")
+    r = base.orderBy("c_custkey").first()
+    twin = base.filter(F.col("c_custkey") == r.c_custkey).select(
+        (F.lit(base.agg(F.max("c_custkey")).first()[0] + 1)).alias("c_custkey"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("Z")
+        ).alias("c_name"),
+        "c_nationkey",
+        *[c for c in base.columns if c not in ("c_custkey", "c_name", "c_nationkey")],
+    )
+    twin.coalesce(1).write.mode("append").parquet(dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+
+    got = _pairs(linkage_pairs_from_sink(spark, dirs["out"]))
+    assert len(got) > n_before, "folded seen state must still pair new arrivals"
+    new_key = base.agg(F.max("c_custkey")).first()[0] + 1
+    assert any(p[1] == new_key and p[0] == r.c_custkey for p in got)
