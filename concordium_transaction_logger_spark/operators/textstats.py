@@ -785,6 +785,19 @@ def permille_expr(total: str, n: str) -> Column:
 BIGRAM_MIN_COUNT = 2
 
 
+def bigram_zip(arr: Column) -> Column:
+    """The ONE vectorized bigram constructor — arrays_zip of the token
+    array against itself shifted by one (two slices, no higher-order
+    lambda) — shared by :func:`bigram_surprisal` and the gram-hash
+    collision audit (``dedup.gram_hash_collision_audit``), so the
+    audited gram domain is BY CONSTRUCTION the domain the operator
+    hashes, not a re-derivation that could drift. greatest(0, n-1)
+    guards the slice length for 0/1-token docs (they emit no
+    bigrams)."""
+    pair_len = F.greatest(F.lit(0), F.size(arr) - 1)
+    return F.arrays_zip(F.slice(arr, 1, pair_len), F.slice(arr, 2, pair_len))
+
+
 def bigram_surprisal(
     spark: SparkSession, sf_dir: str, min_count: int = BIGRAM_MIN_COUNT
 ) -> DataFrame:
@@ -828,12 +841,7 @@ def bigram_surprisal(
     # modulo 64-bit collisions. greatest(0, n-1) guards the slice
     # length for 0/1-token docs (they emit no bigrams, as in the
     # oracle).
-    n_arr = F.size(arr)
-    pair_len = F.greatest(F.lit(0), n_arr - 1)
-    pairs = F.arrays_zip(
-        F.slice(arr, 1, pair_len), F.slice(arr, 2, pair_len)
-    )
-    big = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+    big = docs.select("doc_id", F.explode(bigram_zip(arr)).alias("p")).select(
         "doc_id",
         F.xxhash64(F.col("p")["0"], F.col("p")["1"]).alias("bgh"),
         F.xxhash64(F.col("p")["0"]).alias("ph"),

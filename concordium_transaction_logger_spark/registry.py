@@ -2272,6 +2272,39 @@ GROUP BY doc_id ORDER BY doc_id
 """
         ),
     ),
+    # The hashed-gram collision audit (r7 verdict): the engine shuffles
+    # 8-byte xxhash64 keys where the oracle counts strings ("identical
+    # modulo 64-bit collisions"); this op CHECKS that contract — Spark
+    # reports distinct-gram vs distinct-hash counts per hashed-key
+    # family, the oracle emits the distinct-gram count twice, so any
+    # collision breaks the driver's value-hash compare loudly. DuckDB
+    # cannot compute xxhash64, which is exactly why the oracle asserts
+    # the equality rather than recomputing the hashes.
+    "gram_hash_collision_audit": QueryDef(
+        dedup.gram_hash_collision_audit,
+        wrap(
+            """
+, ghbg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1])) AS b
+  FROM toks WHERE len(t) >= 2
+),
+ghbc AS (
+  SELECT unnest(t[1:len(t)-1]) AS t1 FROM toks WHERE len(t) >= 2
+)
+SELECT family, n_grams, n_hashes FROM (
+  SELECT 'shingle' AS family, COUNT(DISTINCT sh) AS n_grams,
+         COUNT(DISTINCT sh) AS n_hashes FROM shingles
+  UNION ALL
+  SELECT 'tfidf_term', COUNT(DISTINCT sh), COUNT(DISTINCT sh) FROM shingles
+  UNION ALL
+  SELECT 'bigram', COUNT(DISTINCT b), COUNT(DISTINCT b) FROM ghbg
+  UNION ALL
+  SELECT 'bigram_context', COUNT(DISTINCT t1), COUNT(DISTINCT t1) FROM ghbc
+) ORDER BY family
+"""
+        ),
+    ),
     "doc_duplicate_spans": QueryDef(
         dedup.duplicate_spans,
         wrap(
