@@ -42,23 +42,97 @@ MAX_EDIT_DISTANCE = 1
 BLOCK_SUFFIX = 2
 
 
-def blocked_records(customers: DataFrame) -> DataFrame:
+#: Char-3-gram MinHash signature family for the ``minhash_band`` key
+#: provider: 4 affine hashes over the gram's 24-bit code, paired into 2
+#: band keys. (A, B) primes are arbitrary fixed literals; the modulus is
+#: prime so the affine map permutes gram codes. All-integer and shared
+#: verbatim with the DuckDB oracle — both engines compute the identical
+#: signatures, so the blocked pair set (not just the verified output)
+#: is cross-engine exact.
+MINHASH_P = 1_000_003
+MINHASH_AB = ((1299721, 104729), (7919, 1299709), (104729, 7919), (15485863, 32452843))
+
+
+def blocked_records(customers: DataFrame, key: str = "prefix") -> DataFrame:
     """Normalized + blocked records from a raw customer frame: the
     shared front half of every linkage consumer — the batch queries AND
     the streaming twin (``StreamingLinkageIngest`` blocks each arriving
     micro-batch with THIS function, so batch and stream cannot disagree
     on normalization or the block key). Normalization is lower-casing
     (the synthetic corpus has no whitespace/punctuation noise; real
-    pipelines add trim/fold steps here — row-local either way); the
-    block key drops the last ``BLOCK_SUFFIX`` characters of the
-    normalized name."""
-    return customers.select(
+    pipelines add trim/fold steps here — row-local either way).
+
+    ``key`` picks the BLOCK-KEY PROVIDER — the pluggability this module
+    promises: every provider emits the same (c_custkey, name,
+    c_nationkey, blk) shape, so the verify join, the streaming twin and
+    the capacity profile are provider-agnostic (the 100 TB story is the
+    equi-join SHAPE, not the key):
+
+    - ``"prefix"`` (default): drop the last ``BLOCK_SUFFIX`` characters
+      of the normalized name — one row per record, recall GUARANTEED
+      for edits confined to the fuzz window (the guard in
+      ``_fuzzy_pairs``).
+    - ``"minhash_band"``: banded char-3-gram MinHash over the
+      normalized name — 2 band keys per record (one row each, band id
+      prefixed so bands never cross-match), the LSH treatment for keys
+      with no alignment structure (an edit ANYWHERE perturbs ~3 of
+      ~len grams, so signatures usually survive). Recall is
+      probabilistic (s^2 per 2-hash band, two bands), measured against
+      the exhaustive in-block reference in tests/test_linkage.py; the
+      per-record gram count is bounded by the name length, so the
+      interpreted higher-order transforms here are O(25) per DIMENSION
+      row — not the document-corpus HOF cost class SCALE.md bans."""
+    rec = customers.select(
         "c_custkey",
         F.lower(F.col("c_name")).alias("name"),
         "c_nationkey",
-    ).withColumn(
-        "blk",
-        F.expr(f"substring(name, 1, length(name) - {BLOCK_SUFFIX})"),
+    )
+    if key == "prefix":
+        return rec.withColumn(
+            "blk",
+            F.expr(f"substring(name, 1, length(name) - {BLOCK_SUFFIX})"),
+        )
+    if key != "minhash_band":
+        raise ValueError(f"unknown block-key provider {key!r}")
+    codes = F.expr(
+        "CASE WHEN length(name) >= 3 THEN"
+        " transform(sequence(1, length(name) - 2), i ->"
+        "   CAST(ascii(substr(name, i, 1)) * 65536"
+        "        + ascii(substr(name, i + 1, 1)) * 256"
+        "        + ascii(substr(name, i + 2, 1)) AS BIGINT))"
+        " ELSE CAST(array() AS array<bigint>) END"
+    )
+    rec = rec.withColumn("codes", codes)
+
+    def _affine(a: int, b: int):
+        # a closure factory, not default-arg capture: F.transform reads
+        # the lambda's ARITY to decide how many lambda variables to bind
+        return lambda c: (F.lit(a) * c + F.lit(b)) % F.lit(MINHASH_P)
+
+    mh = [
+        F.array_min(F.transform(F.col("codes"), _affine(a, b)))
+        for a, b in MINHASH_AB
+    ]
+    # F.concat, NOT concat_ws: a <3-char name has an empty gram set and
+    # NULL minhashes, and concat propagates the NULL so the record drops
+    # out of blocking in BOTH engines (concat_ws would silently skip the
+    # NULL and produce a real — and hot — 'm0:' key)
+    bands = F.array(
+        F.concat(
+            F.lit("m0:"),
+            mh[0].cast("string"),
+            F.lit(":"),
+            mh[1].cast("string"),
+        ),
+        F.concat(
+            F.lit("m1:"),
+            mh[2].cast("string"),
+            F.lit(":"),
+            mh[3].cast("string"),
+        ),
+    )
+    return rec.select(
+        "c_custkey", "name", "c_nationkey", F.explode(bands).alias("blk")
     )
 
 
@@ -156,6 +230,34 @@ def _fuzzy_pairs(
         )
     blocked = _blocked(spark, sf_dir)
     return verify_pairs(blocked, blocked, max_distance)
+
+
+def customer_fuzzy_matches_minhash(
+    spark: SparkSession, sf_dir: str, max_distance: int = MAX_EDIT_DISTANCE
+) -> DataFrame:
+    """The fuzzy-match query on the ``minhash_band`` key provider — the
+    proof that swapping the block key really does leave the join shape
+    alone: the SAME :func:`verify_pairs` kernel over the banded frame,
+    still a pure EQUI-join on (blk, c_nationkey) (no-cartesian asserted
+    in tests for THIS provider too), pair work Σ|band bucket|². A pair
+    matching in both bands enters the join twice (band ids are
+    key-prefixed, so bands never cross-match) and is folded by one
+    distinct over the pair-count-bounded output — the standard
+    LSH-band dedup, shared with ``doc_minhash_band_pairs``.
+
+    Output is a SUBSET of ``customer_fuzzy_matches``'s exhaustive
+    same-nation ideal (verification is exact; only candidate RECALL is
+    probabilistic — measured in tests); the oracle recomputes the
+    identical integer signatures, so even the missed pairs agree
+    cross-engine."""
+    banded = blocked_records(
+        load_table(spark, sf_dir, "customer"), key="minhash_band"
+    )
+    return (
+        verify_pairs(banded, banded, max_distance)
+        .distinct()
+        .orderBy("key_a", "key_b")
+    )
 
 
 def customer_best_match(

@@ -2016,6 +2016,60 @@ ORDER BY key_a, key_b
 """,
         bench=True,
     ),
+    # The second block-key PROVIDER (r8): banded char-3-gram MinHash
+    # keys through the same verify kernel — proving the pluggable-key
+    # claim with a fully oracle-backed query: the signature family's
+    # (A, B, P) constants render into this SQL from the linkage module,
+    # so both engines compute the identical integer signatures and the
+    # blocked pair SET (not just the verified output) is cross-engine
+    # exact.
+    "customer_fuzzy_matches_minhash": QueryDef(
+        linkage.customer_fuzzy_matches_minhash,
+        f"""
+WITH mnm AS (
+  SELECT c_custkey, lower(c_name) AS name, c_nationkey FROM customer
+),
+mcod AS (
+  SELECT c_custkey, name, c_nationkey,
+         CASE WHEN length(name) >= 3 THEN
+           list_transform(generate_series(1, length(name) - 2),
+             i -> CAST(ascii(substr(name, i, 1)) AS BIGINT) * 65536
+                  + ascii(substr(name, i + 1, 1)) * 256
+                  + ascii(substr(name, i + 2, 1)))
+         ELSE [] END AS codes
+  FROM mnm
+),
+mmh AS (
+  SELECT c_custkey, name, c_nationkey,
+"""
+        + ",\n".join(
+            f"         list_min(list_transform(codes,"
+            f" c -> (CAST({a} AS BIGINT) * c + {b}) % {linkage.MINHASH_P}))"
+            f" AS mh{j}"
+            for j, (a, b) in enumerate(linkage.MINHASH_AB)
+        )
+        + f"""
+  FROM mcod
+),
+mblk AS (
+  SELECT c_custkey, name, c_nationkey,
+         'm0:' || CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS blk
+  FROM mmh
+  UNION ALL
+  SELECT c_custkey, name, c_nationkey,
+         'm1:' || CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)
+  FROM mmh
+)
+SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+FROM mblk a JOIN mblk b
+  ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
+ORDER BY key_a, key_b
+""",
+    ),
     "customer_best_match": QueryDef(
         linkage.customer_best_match,
         _LINKAGE_CBLK
@@ -3286,62 +3340,56 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # ---- round-7 rotation: the never-checked backlog is ZERO (judge-
-    # verified over r01-r06), so every rotating slot now holds a
-    # CHANGED-DEFINITION op as a regression signal. This round the
-    # integer-rounding convention became total (every per-mille ratio —
-    # op AND oracle — moved from float ROUND(1000.0*x/y) to the one
-    # formula (2000*t+n) DIV (2*n); see textstats.mean_millis_expr /
-    # _mm_sql), the quality gate was single-sourced
-    # (textstats.gate_reason_sql renders BOTH dialects), and the Z-order
-    # normalization moved to overflow-proof DECIMAL/HUGEINT — so the
-    # slots are exactly the ops those changes touched, plus the round's
-    # slope targets for continuity. All rotated-out names stay
+    # ---- round-8 rotation (31 slots): 3 never-driver-checked entries
+    # (the r7 backlog item customer_block_profile plus this round's two
+    # new ops), 7 regression signals for code this round touched (the
+    # whole linkage family — the components oracle moved onto the
+    # asserted RECURSIVE fragment — plus doc_bigram_surprisal, whose
+    # bigram constructor was factored into the shared bigram_zip the
+    # collision audit reuses, and the three r7-changed slope targets
+    # kept for continuity incl. the bench-watch item
+    # doc_ngram_jaccard_pairs), and the 21 STALEST oracle-backed
+    # entries — 17 relational rows last driver-checked in round 2 and
+    # the 4 stalest LLM-pipeline ops (round 3), computed from the
+    # CORRECTNESS_r01-r07 union — so the union's evidence stays fresh
+    # instead of resting on five-round-old runs, and the window keeps
+    # its >=10-LLM-ops invariant. All rotated-out names stay
     # value-checked every pytest run by test_oracle_parity.
-    # convention migration: textstats family
-    "doc_token_stats",
-    "doc_quality",
-    "doc_quality_gate",
-    "doc_quality_classifier",
-    "doc_perceptron_train",
-    "doc_perceptron_eval",
-    "doc_lang_confusion",
-    "doc_repetition_profile",
-    "doc_bigram_repetition",
-    "source_pii_profile",
-    # NEW family this round: blocked entity resolution (components takes
-    # the slot doc_minhash_jaccard_estimate held — that op was driver-
-    # green in an earlier round, its only r7 change is the shared
-    # formula a dozen sibling slots already regression-check, and
-    # test_oracle_parity value-checks it every pytest run)
+    # never driver-checked (backlog -> 0)
+    "customer_block_profile",
+    "customer_fuzzy_matches_minhash",
+    "gram_hash_collision_audit",
+    # r8-touched regression signals
     "customer_fuzzy_matches",
     "customer_best_match",
     "customer_match_components",
-    # convention migration: relational family
-    "nation_market_share",
-    "promo_revenue_permille",
-    "event_hourly_anomaly",
-    # convention migration: sampling family
-    "corpus_mixture_plan",
-    "doc_pack_sequences",
-    "corpus_curation_verdict",
-    # convention migration: dedup family
-    "doc_ngram_jaccard_pairs",
-    "doc_ngram_novelty",
-    "corpus_dedup_stats",
-    "doc_duplicate_spans",
-    "doc_span_admission",
-    "doc_dedup_clean_text",
-    # Z-order overflow fix (keys newly registered this round)
-    "event_zorder_keys",
-    "event_zorder_manifest",
-    # the one op on the NEW signed-formula rendering path (_mm_signed_sql)
-    "doc_dsir_weights",
-    # slope targets / continuity (source_overlap re-entered when its
-    # jaccard_permille moved onto the shared half-up formula)
-    "doc_tfidf_cosine_pairs",
     "doc_bigram_surprisal",
+    "doc_ngram_jaccard_pairs",
+    "doc_tfidf_cosine_pairs",
     "corpus_source_overlap",
+    # stalest LLM-pipeline ops (last green in CORRECTNESS_r03)
+    "ann_cosine_topk_int8",
+    "ann_ivf_assign",
+    "doc_bpe_token_stats",
+    "doc_dup_verdict",
+    # stalest relational rows (all last green in CORRECTNESS_r02)
+    "above_average_orders",
+    "active_customers_union",
+    "big_volume_orders",
+    "brand_revenue",
+    "churned_customers",
+    "customer_order_distribution",
+    "customer_order_gaps",
+    "doc_length_percentiles",
+    "doc_token_df_distribution",
+    "late_order_priority_counts",
+    "nation_monthly_cumulative",
+    "nation_revenue",
+    "nation_segment_pivot",
+    "order_priority_rollup",
+    "order_status_cube",
+    "orders_by_weekday",
+    "part_supplier_variety",
 ]
 
 # Star-contraction components twin: identical output contract and oracle

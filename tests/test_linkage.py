@@ -212,3 +212,59 @@ def test_verify_pairs_disjoint_misuse_fails_by_duplication(spark, sf_dir):
         "documentation in verify_pairs is stale"
     )
     assert misuse.distinct().count() == correct
+
+
+def test_minhash_provider_recall_and_join_shape(spark, sf_dir):
+    """The pluggable-block-key claim, proven (r7 verdict item): the
+    char-3-gram MinHash band provider runs through the SAME verify
+    kernel — the plan must stay an equi-join (no cartesian, no
+    nested-loop), the output must be a strict SUBSET of the exhaustive
+    same-nation ground truth (verification is exact; only candidate
+    recall is probabilistic), and recall must clear the analytic floor
+    for 2 bands x 2 hashes (per-band match >= s^2 with s >= (n-3)/(n+3)
+    for a 1-edit pair over n grams — ~0.72 for these names; floor set
+    at 0.65 with slack for the corpus's name-length mix)."""
+    from pyspark.sql import functions as F2
+
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_fuzzy_matches_minhash,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    mh = customer_fuzzy_matches_minhash(spark, sf_dir)
+    plan = mh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r.key_a, r.key_b) for r in mh.collect()}
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F2.lower("c_name").alias("name"), "c_nationkey"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    truth = {
+        (r.ka, r.kb)
+        for r in a.join(
+            b,
+            (F2.col("a.c_nationkey") == F2.col("b.c_nationkey"))
+            & (F2.col("a.c_custkey") < F2.col("b.c_custkey")),
+        )
+        .filter(F2.levenshtein("a.name", "b.name") <= 1)
+        .select(
+            F2.col("a.c_custkey").alias("ka"), F2.col("b.c_custkey").alias("kb")
+        )
+        .collect()
+    }
+    assert got <= truth, "verified minhash pairs must be true pairs"
+    assert truth, "test corpus must contain fuzzy duplicates"
+    recall = len(got) / len(truth)
+    assert recall >= 0.65, f"minhash band recall {recall:.3f} below floor"
+
+
+def test_unknown_block_key_provider_is_refused(spark, sf_dir):
+    from concordium_transaction_logger_spark.operators.linkage import (
+        blocked_records,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    with pytest.raises(ValueError, match="block-key provider"):
+        blocked_records(load_table(spark, sf_dir, "customer"), key="soundex")
