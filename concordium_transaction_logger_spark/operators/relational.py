@@ -1813,31 +1813,54 @@ def _zorder_norm_expr(col: str, lo: str, hi: str, top: int) -> str:
     return f"{off} * {top} DIV greatest(CAST(1 AS DECIMAL(30,0)), {span})"
 
 
-def zorder_keys_frame(ev: DataFrame, bits: int = ZORDER_BITS) -> DataFrame:
-    """The Morton-key kernel over any (user_id, ts_s) frame: min-max
-    normalize each dimension to ``bits`` bits (overflow-proof DECIMAL
-    arithmetic — see :func:`_zorder_norm_expr`), then bit-interleave.
-    Split from :func:`event_zorder_keys` so the overflow-scale unit test
-    can drive synthetic hub-scale id spans directly."""
-    mm = ev.agg(
-        F.min("user_id").alias("u0"),
-        F.max("user_id").alias("u1"),
-        F.min("ts_s").alias("t0"),
-        F.max("ts_s").alias("t1"),
+def zorder_keyed_rows(
+    df: DataFrame, xcol: str, ycol: str, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """Full rows plus their Morton key ``z`` over ANY two integer
+    columns — the row-preserving generalization of
+    :func:`zorder_keys_frame`, and the kernel a layout REWRITE feeds
+    (``compact_sink(..., zorder_by=...)`` re-clusters a folded sink with
+    this; the original columns all ride along). Same overflow-proof
+    DECIMAL min-max normalization (one broadcast 1-row aggregate), same
+    single-sourced bit interleave."""
+    clash = {"u0", "u1", "t0", "t1", "zx", "zy", "z"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"zorder_keyed_rows: frame already carries helper column(s) "
+            f"{sorted(clash)} — rename them before keying"
+        )
+    mm = df.agg(
+        F.min(xcol).alias("u0"),
+        F.max(xcol).alias("u1"),
+        F.min(ycol).alias("t0"),
+        F.max(ycol).alias("t1"),
     )
     top = (1 << bits) - 1
-    norm = ev.crossJoin(F.broadcast(mm)).select(
-        "user_id",
-        "ts_s",
-        F.expr(_zorder_norm_expr("user_id", "u0", "u1", top)).alias("zx"),
-        F.expr(_zorder_norm_expr("ts_s", "t0", "t1", top)).alias("zy"),
+    norm = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("zx", F.expr(_zorder_norm_expr(xcol, "u0", "u1", top)))
+        .withColumn("zy", F.expr(_zorder_norm_expr(ycol, "t0", "t1", top)))
+        .drop("u0", "u1", "t0", "t1")
     )
     terms = [
         f"shiftleft(shiftright({d}, {i}) & 1, {p})"
         for d, i, p in zorder_bit_positions(bits)
     ]
     z = " + ".join(terms)  # disjoint bit positions: + is exact OR
-    return norm.select("user_id", "ts_s", F.expr(z).cast("long").alias("z"))
+    return norm.withColumn("z", F.expr(z).cast("long")).drop("zx", "zy")
+
+
+def zorder_keys_frame(ev: DataFrame, bits: int = ZORDER_BITS) -> DataFrame:
+    """The Morton-key kernel over any (user_id, ts_s) frame: min-max
+    normalize each dimension to ``bits`` bits (overflow-proof DECIMAL
+    arithmetic — see :func:`_zorder_norm_expr`), then bit-interleave.
+    Split from :func:`event_zorder_keys` so the overflow-scale unit test
+    can drive synthetic hub-scale id spans directly; the row-preserving
+    generalization is :func:`zorder_keyed_rows` (one kernel, two
+    projections)."""
+    return zorder_keyed_rows(
+        ev.select("user_id", "ts_s"), "user_id", "ts_s", bits
+    ).select("user_id", "ts_s", "z")
 
 
 def event_zorder_keys(

@@ -997,9 +997,27 @@ def read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
 
 
 def compact_sink(
-    spark: SparkSession, out_dir: str, name: str, target_files: int = 1
+    spark: SparkSession,
+    out_dir: str,
+    name: str,
+    target_files: int = 1,
+    zorder_by: tuple[str, str] | None = None,
 ) -> str:
     """Small-file compaction for a streaming sink table.
+
+    ``zorder_by=(xcol, ycol)`` re-CLUSTERS while it compacts (the
+    lakehouse ``OPTIMIZE ... ZORDER BY`` composition, r7 stretch): the
+    folded rows get a Morton key over the two integer columns
+    (``relational.zorder_keyed_rows`` — the same overflow-proof kernel
+    the layout family's queries report on), are range-partitioned into
+    ``target_files`` files and sorted within each, so the compacted
+    version prunes on parquet footer min/max stats in BOTH dimensions —
+    a streaming sink's per-batch arrival order clusters by time only,
+    and compaction is exactly the moment the table is rewritten anyway,
+    so the re-clustering rides a write that was already being paid for
+    (proven against footer stats in tests/test_layout.py). Rows and the
+    manifest protocol are untouched; the key column itself is dropped
+    before the write.
 
     Per-batch `foreachBatch` appends accumulate one file set per
     micro-batch — at 100 TB that's the classic streaming small-files
@@ -1154,7 +1172,20 @@ def compact_sink(
         if d.startswith(base + ".v") and d[len(base) + 2 :].isdigit()
     ]
     new_dir = f"{path}.v{max(versions, default=0) + 1}"
-    src.coalesce(target_files).write.mode("overwrite").parquet(new_dir)
+    if zorder_by is not None:
+        from ..operators.relational import zorder_keyed_rows
+
+        xcol, ycol = zorder_by
+        (
+            zorder_keyed_rows(src, xcol, ycol)
+            .repartitionByRange(target_files, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .parquet(new_dir)
+        )
+    else:
+        src.coalesce(target_files).write.mode("overwrite").parquet(new_dir)
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
         f.write(f"{os.path.basename(new_dir)[len(base) + 1:]}\n{new_hwm}")

@@ -281,3 +281,69 @@ def test_zorder_normalization_survives_int64_overflow_scale(spark):
     # extremes land at the corners of the normalized square
     assert got[lo] == 0
     assert got[hi] == interleave(top, top)
+
+
+def test_compaction_can_zorder_the_folded_sink(spark, sf_dir, tmp_path):
+    """Compaction-time re-clustering (r7 stretch): a streaming sink's
+    per-batch arrival order clusters by ingest time only, so a
+    user-equality scan touches ~every file; compact_sink(zorder_by=...)
+    must fold the batches into a version directory whose parquet FOOTER
+    min/max stats prune at least half the files on user_id while the
+    time dimension stays bounded — and the manifest-aware read must
+    still serve exactly the original rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from concordium_transaction_logger_spark.sources.tables import load_table
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        _write_batch_partition,
+        compact_sink,
+        read_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = str(tmp_path / "sink")
+    for b in range(3):
+        _write_batch_partition(
+            ev.filter(F.col("event_id") % 3 == b), b, os.path.join(out, "events")
+        )
+    n_files = 16
+    vdir = compact_sink(
+        spark, out, "events", target_files=n_files, zorder_by=("user_id", "ts")
+    )
+
+    got = read_sink(spark, out, "events").drop("ingest_batch")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ev.collect())
+    ), "re-clustering must not change the served rows"
+
+    def file_ranges(d, col):
+        out_ranges = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            out_ranges.append((lo, hi))
+        return out_ranges
+
+    probe_user = ev.agg(F.max("user_id")).first()[0]
+    ranges = file_ranges(vdir, "user_id")
+    assert len(ranges) >= n_files // 2, "compaction must produce the file budget"
+    hits = [r for r in ranges if r[0] <= probe_user <= r[1]]
+    assert len(hits) <= len(ranges) // 2, (
+        f"z-ordered compaction should prune at least half the files for "
+        f"one user, hit {len(hits)}/{len(ranges)}"
+    )
+    g = ev.agg((F.max("ts") - F.min("ts")).alias("span")).first().span
+    spans = sorted(hi - lo for lo, hi in file_ranges(vdir, "ts"))
+    assert spans[len(spans) // 2] <= g // 2, "time must stay prunable too"
