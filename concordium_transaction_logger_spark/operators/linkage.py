@@ -78,10 +78,10 @@ def blocked_records(customers: DataFrame, key: str = "prefix") -> DataFrame:
       with no alignment structure (an edit ANYWHERE perturbs ~3 of
       ~len grams, so signatures usually survive). Recall is
       probabilistic (s^2 per 2-hash band, two bands), measured against
-      the exhaustive in-block reference in tests/test_linkage.py; the
-      per-record gram count is bounded by the name length, so the
-      interpreted higher-order transforms here are O(25) per DIMENSION
-      row — not the document-corpus HOF cost class SCALE.md bans."""
+      the exhaustive in-block reference in tests/test_linkage.py;
+      signatures are built by a codegen explode + partial-aggregated
+      min (see the inline note — NO interpreted array lambdas, the
+      SCALE.md cost class)."""
     rec = customers.select(
         "c_custkey",
         F.lower(F.col("c_name")).alias("name"),
@@ -94,44 +94,58 @@ def blocked_records(customers: DataFrame, key: str = "prefix") -> DataFrame:
         )
     if key != "minhash_band":
         raise ValueError(f"unknown block-key provider {key!r}")
-    codes = F.expr(
-        "CASE WHEN length(name) >= 3 THEN"
-        " transform(sequence(1, length(name) - 2), i ->"
-        "   CAST(ascii(substr(name, i, 1)) * 65536"
-        "        + ascii(substr(name, i + 1, 1)) * 256"
-        "        + ascii(substr(name, i + 2, 1)) AS BIGINT))"
-        " ELSE CAST(array() AS array<bigint>) END"
+    # Signatures by codegen explode + partial-aggregated min — NOT an
+    # array transform(): interpreted higher-order lambdas cost ~3 µs per
+    # element (the doc_bigram_surprisal lesson, SCALE.md), and the first
+    # cut of this provider spent 8.5 s of an 8.5 s sf0.1 wall in them
+    # (4 hashes × ~16 grams × both join sides). The explode + min shape
+    # is whole-stage codegen end to end, the map-side combine collapses
+    # the shuffle to |records| signature rows, and the band join-back is
+    # a self-broadcast of the narrow record frame. <3-char names emit no
+    # grams, hence no signature row, and the inner join drops them from
+    # blocking — the oracle's NULL-band rows join nothing, identically.
+    grams = (
+        rec.filter(F.length("name") >= 3)
+        .select(
+            "c_custkey",
+            "name",
+            F.expr("explode(sequence(1, length(name) - 2))").alias("i"),
+        )
+        .select(
+            "c_custkey",
+            F.expr(
+                "CAST(ascii(substr(name, i, 1)) * 65536"
+                " + ascii(substr(name, i + 1, 1)) * 256"
+                " + ascii(substr(name, i + 2, 1)) AS BIGINT)"
+            ).alias("c"),
+        )
     )
-    rec = rec.withColumn("codes", codes)
-
-    def _affine(a: int, b: int):
-        # a closure factory, not default-arg capture: F.transform reads
-        # the lambda's ARITY to decide how many lambda variables to bind
-        return lambda c: (F.lit(a) * c + F.lit(b)) % F.lit(MINHASH_P)
-
-    mh = [
-        F.array_min(F.transform(F.col("codes"), _affine(a, b)))
-        for a, b in MINHASH_AB
-    ]
-    # F.concat, NOT concat_ws: a <3-char name has an empty gram set and
-    # NULL minhashes, and concat propagates the NULL so the record drops
-    # out of blocking in BOTH engines (concat_ws would silently skip the
-    # NULL and produce a real — and hot — 'm0:' key)
+    sig = grams.groupBy("c_custkey").agg(
+        *[
+            F.min((F.lit(a) * F.col("c") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh{j}"
+            )
+            for j, (a, b) in enumerate(MINHASH_AB)
+        ]
+    )
+    # F.concat, NOT concat_ws: concat propagates NULLs, so a NULL
+    # signature could never silently fold into a real — and hot —
+    # 'm0:' key (concat_ws would skip it)
     bands = F.array(
         F.concat(
             F.lit("m0:"),
-            mh[0].cast("string"),
+            F.col("mh0").cast("string"),
             F.lit(":"),
-            mh[1].cast("string"),
+            F.col("mh1").cast("string"),
         ),
         F.concat(
             F.lit("m1:"),
-            mh[2].cast("string"),
+            F.col("mh2").cast("string"),
             F.lit(":"),
-            mh[3].cast("string"),
+            F.col("mh3").cast("string"),
         ),
     )
-    return rec.select(
+    return rec.join(sig, "c_custkey").select(
         "c_custkey", "name", "c_nationkey", F.explode(bands).alias("blk")
     )
 
@@ -167,7 +181,15 @@ def verify_pairs(
 
     Either way the join is a pure EQUI-join on (blk, c_nationkey) with
     the key predicate and the Levenshtein threshold as residuals —
-    hash/sort-merge, never a cartesian, pair work sum(|block|^2)."""
+    hash/sort-merge, never a cartesian, pair work sum(|block|^2). The
+    distance is computed with the THRESHOLDED levenshtein (r8): per
+    candidate the banded algorithm costs O(len x max_distance) with
+    early exit instead of O(len^2) — the per-pair constant IS the
+    verify stage's cost at sum(|block|^2) candidates (measured ~2x on
+    the minhash provider's 2.7M-candidate load; for kept pairs the
+    thresholded value equals the exact distance, and the -1 overflow
+    sentinel is excluded by the BETWEEN filter, so the oracle's plain
+    levenshtein agrees row-for-row)."""
     a, b = a.alias("a"), b.alias("b")
     key_cond = (
         F.col("a.c_custkey") != F.col("b.c_custkey")
@@ -187,11 +209,11 @@ def verify_pairs(
             F.greatest("a.c_custkey", "b.c_custkey").alias("key_b"),
             F.when(a_first, F.col("a.name")).otherwise(F.col("b.name")).alias("name_a"),
             F.when(a_first, F.col("b.name")).otherwise(F.col("a.name")).alias("name_b"),
-            F.levenshtein("a.name", "b.name").cast("long").alias(
-                "edit_distance"
-            ),
+            F.levenshtein("a.name", "b.name", max_distance)
+            .cast("long")
+            .alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= max_distance)
+        .filter(F.col("edit_distance").between(0, max_distance))
     )
 
 
@@ -250,9 +272,12 @@ def customer_fuzzy_matches_minhash(
     probabilistic — measured in tests); the oracle recomputes the
     identical integer signatures, so even the missed pairs agree
     cross-engine."""
+    # pin the banded frame: the self-join would otherwise rebuild the
+    # signature aggregation once per side (two scans + two shuffles for
+    # a frame of 2 narrow rows per record)
     banded = blocked_records(
         load_table(spark, sf_dir, "customer"), key="minhash_band"
-    )
+    ).localCheckpoint()
     return (
         verify_pairs(banded, banded, max_distance)
         .distinct()

@@ -2069,6 +2069,7 @@ FROM mblk a JOIN mblk b
 WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
 ORDER BY key_a, key_b
 """,
+        bench=True,
     ),
     "customer_best_match": QueryDef(
         linkage.customer_best_match,
