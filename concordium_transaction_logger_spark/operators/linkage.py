@@ -82,11 +82,27 @@ def blocked_records(customers: DataFrame, key: str = "prefix") -> DataFrame:
       signatures are built by a codegen explode + partial-aggregated
       min (see the inline note — NO interpreted array lambdas, the
       SCALE.md cost class)."""
-    rec = customers.select(
+    return block_keys(normalize_records(customers), key)
+
+
+def normalize_records(customers: DataFrame) -> DataFrame:
+    """The normalization half of :func:`blocked_records`, exposed so the
+    streaming twin can admit/conflict-check on normalized RECORDS (one
+    row per key) before any provider multiplies rows into band blocks."""
+    return customers.select(
         "c_custkey",
         F.lower(F.col("c_name")).alias("name"),
         "c_nationkey",
     )
+
+
+BLOCK_KEY_PROVIDERS = ("prefix", "minhash_band")
+
+
+def block_keys(rec: DataFrame, key: str = "prefix") -> DataFrame:
+    """The keying half of :func:`blocked_records` over an
+    already-normalized record frame: one or more (provider-dependent)
+    ``blk`` rows per record, same output shape for every provider."""
     if key == "prefix":
         return rec.withColumn(
             "blk",
@@ -318,12 +334,19 @@ def customer_best_match(
     )
 
 
-def customer_block_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_block_profile(
+    spark: SparkSession, sf_dir: str, key: str = "prefix"
+) -> DataFrame:
     """Blocking-key capacity planning: the block-size histogram and the
     candidate-pair work it implies, computed BEFORE anyone runs the
     verify join — the diagnostic that decides whether a blocking key is
     safe at 100 TB (the `doc_stop_shingles` treatment for the ER
     family: audit the dial, don't discover the blowup in the shuffle).
+    ``key`` picks the provider being audited (every provider emits the
+    same blocked shape, so the profile is provider-agnostic — auditing
+    a candidate key BEFORE switching to it is the point); NULL block
+    keys (a minhash record too short to gram) are excluded — the
+    equi-join never matches them, so they contribute zero pair work.
 
     One row per distinct block size: how many (blk, nation) blocks have
     that many records and the exact C(size, 2) pair count they would
@@ -334,7 +357,8 @@ def customer_block_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing corpus-sized shuffles. All-integer, so the oracle
     hash-matches."""
     sizes = (
-        _blocked(spark, sf_dir)
+        blocked_records(load_table(spark, sf_dir, "customer"), key=key)
+        .filter(F.col("blk").isNotNull())
         .groupBy("blk", "c_nationkey")
         .agg(F.count("*").alias("block_size"))
     )

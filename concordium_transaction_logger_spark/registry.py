@@ -603,6 +603,48 @@ _LINKAGE_PAIRS = f"""FROM cblk a JOIN cblk b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}"""
 
+#: Banded-minhash blocking fragment, shared by the minhash matches and
+#: minhash block-profile oracles (the _LINKAGE_CBLK convention): the
+#: signature family's (A, B, P) constants render in from the linkage
+#: module, so both engines compute identical integer signatures.
+_MINHASH_MBLK = (
+    f"""
+WITH mnm AS (
+  SELECT c_custkey, lower(c_name) AS name, c_nationkey FROM customer
+),
+mcod AS (
+  SELECT c_custkey, name, c_nationkey,
+         CASE WHEN length(name) >= 3 THEN
+           list_transform(generate_series(1, length(name) - 2),
+             i -> CAST(ascii(substr(name, i, 1)) AS BIGINT) * 65536
+                  + ascii(substr(name, i + 1, 1)) * 256
+                  + ascii(substr(name, i + 2, 1)))
+         ELSE [] END AS codes
+  FROM mnm
+),
+mmh AS (
+  SELECT c_custkey, name, c_nationkey,
+"""
+    + ",\n".join(
+        f"         list_min(list_transform(codes,"
+        f" c -> (CAST({a} AS BIGINT) * c + {b}) % {linkage.MINHASH_P}))"
+        f" AS mh{j}"
+        for j, (a, b) in enumerate(linkage.MINHASH_AB)
+    )
+    + """
+  FROM mcod
+),
+mblk AS (
+  SELECT c_custkey, name, c_nationkey,
+         'm0:' || CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS blk
+  FROM mmh
+  UNION ALL
+  SELECT c_custkey, name, c_nationkey,
+         'm1:' || CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)
+  FROM mmh
+)"""
+)
+
 _BPAIRS_SQL = """
 , bpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2025,41 +2067,8 @@ ORDER BY key_a, key_b
     # exact.
     "customer_fuzzy_matches_minhash": QueryDef(
         linkage.customer_fuzzy_matches_minhash,
-        f"""
-WITH mnm AS (
-  SELECT c_custkey, lower(c_name) AS name, c_nationkey FROM customer
-),
-mcod AS (
-  SELECT c_custkey, name, c_nationkey,
-         CASE WHEN length(name) >= 3 THEN
-           list_transform(generate_series(1, length(name) - 2),
-             i -> CAST(ascii(substr(name, i, 1)) AS BIGINT) * 65536
-                  + ascii(substr(name, i + 1, 1)) * 256
-                  + ascii(substr(name, i + 2, 1)))
-         ELSE [] END AS codes
-  FROM mnm
-),
-mmh AS (
-  SELECT c_custkey, name, c_nationkey,
-"""
-        + ",\n".join(
-            f"         list_min(list_transform(codes,"
-            f" c -> (CAST({a} AS BIGINT) * c + {b}) % {linkage.MINHASH_P}))"
-            f" AS mh{j}"
-            for j, (a, b) in enumerate(linkage.MINHASH_AB)
-        )
+        _MINHASH_MBLK
         + f"""
-  FROM mcod
-),
-mblk AS (
-  SELECT c_custkey, name, c_nationkey,
-         'm0:' || CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS blk
-  FROM mmh
-  UNION ALL
-  SELECT c_custkey, name, c_nationkey,
-         'm1:' || CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR)
-  FROM mmh
-)
 SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
        a.name AS name_a, b.name AS name_b,
        CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
@@ -2070,6 +2079,26 @@ WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
 ORDER BY key_a, key_b
 """,
         bench=True,
+    ),
+    # Capacity audit for the CANDIDATE key (r8): profile a provider
+    # BEFORE switching the pipeline to it — on this corpus the audit is
+    # load-bearing, showing the minhash bands run hot (max block ~294 at
+    # sf0.1) because TPC-H names share most grams.
+    "customer_block_profile_minhash": QueryDef(
+        lambda spark, sf_dir: linkage.customer_block_profile(
+            spark, sf_dir, key="minhash_band"
+        ),
+        _MINHASH_MBLK
+        + """
+, bszm AS (
+  SELECT blk, c_nationkey, COUNT(*) AS block_size
+  FROM mblk WHERE blk IS NOT NULL GROUP BY blk, c_nationkey
+)
+SELECT block_size, COUNT(*) AS n_blocks,
+       COUNT(*) * (block_size * (block_size - 1) // 2) AS candidate_pairs
+FROM bszm GROUP BY block_size
+ORDER BY block_size
+""",
     ),
     "customer_best_match": QueryDef(
         linkage.customer_best_match,
@@ -3356,9 +3385,11 @@ _DRIVER_PRIORITY = [
     # instead of resting on five-round-old runs, and the window keeps
     # its >=10-LLM-ops invariant. All rotated-out names stay
     # value-checked every pytest run by test_oracle_parity.
-    # never driver-checked (backlog -> 0)
+    # never driver-checked (backlog -> 0; the late-r8 minhash profile
+    # takes the slot orders_by_weekday held)
     "customer_block_profile",
     "customer_fuzzy_matches_minhash",
+    "customer_block_profile_minhash",
     "gram_hash_collision_audit",
     # r8-touched regression signals
     "customer_fuzzy_matches",
@@ -3389,7 +3420,6 @@ _DRIVER_PRIORITY = [
     "nation_segment_pivot",
     "order_priority_rollup",
     "order_status_cube",
-    "orders_by_weekday",
     "part_supplier_variety",
 ]
 

@@ -2462,7 +2462,16 @@ class StreamingLinkageIngest:
     """Streaming maintenance of the entity-resolution match set — the
     linkage family's twin (``operators.linkage``): the fuzzy pair sink
     stays current as customer records arrive, so the merge-review queue
-    reads served state instead of re-running the corpus self-join.
+    reads served state instead of re-running the corpus self-join. The
+    BLOCK-KEY PROVIDER is pluggable exactly as in the batch family
+    (``key="prefix"`` default, or ``"minhash_band"`` — each micro-batch
+    blocks its admitted records with the SAME ``operators.linkage``
+    kernels the batch queries use, so stream and batch cannot disagree
+    on normalization, keys, or verification; band providers fold their
+    multi-band pair duplicates with one pair-bounded distinct before
+    the append-only sink, and the provider is pinned in the layout
+    sidecar so a mismatched writer is refused before it can verify new
+    records against blocks built under a different key).
 
     Not an additive-delta sink but INCREMENTAL-JOIN state, and the pair
     emission is batching-invariant by construction: each micro-batch is
@@ -2546,6 +2555,7 @@ class StreamingLinkageIngest:
         max_files_per_trigger: int | None = None,
         max_distance: int | None = None,
         n_buckets: int = 64,
+        key: str = "prefix",
     ):
         from ..operators import linkage
 
@@ -2563,9 +2573,17 @@ class StreamingLinkageIngest:
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.n_buckets = n_buckets
-        if self.max_distance > linkage.BLOCK_SUFFIX:
+        if key not in linkage.BLOCK_KEY_PROVIDERS:
+            # same eager stance as the recall guard: an unknown provider
+            # must fail at construction, not on the Nth micro-batch
+            raise ValueError(f"unknown block-key provider {key!r}")
+        self.key = key
+        if key == "prefix" and self.max_distance > linkage.BLOCK_SUFFIX:
             # same recall guard as the batch query, enforced before any
-            # state exists rather than on the Nth micro-batch
+            # state exists rather than on the Nth micro-batch (the band
+            # providers have no fuzz window — their recall dial is the
+            # band geometry, measured in tests, so the guard is
+            # prefix-only)
             raise ValueError(
                 f"max_distance {self.max_distance} > BLOCK_SUFFIX "
                 f"{linkage.BLOCK_SUFFIX}: a true duplicate differing "
@@ -2586,20 +2604,25 @@ class StreamingLinkageIngest:
 
         path = self.out_dir.rstrip("/") + "/_layout.json"
         io = _io_for(path)
+        mine = {"n_buckets": self.n_buckets, "key": self.key}
         if io.exists(path):
-            recorded = _json.loads(io.read_text(path)).get("n_buckets")
-            if recorded != self.n_buckets:
+            recorded = _json.loads(io.read_text(path))
+            # legacy sidecars predate the key field; they were written
+            # by the only provider that existed (prefix)
+            recorded.setdefault("key", "prefix")
+            if recorded != mine:
                 raise ValueError(
                     f"linkage sink {self.out_dir} was written with "
-                    f"n_buckets={recorded} but this writer was "
-                    f"constructed with n_buckets={self.n_buckets}; a "
-                    f"mismatched bucket count would prune seen-state "
-                    f"reads against the wrong layout and silently miss "
-                    f"rows — construct with n_buckets={recorded} or "
-                    f"reset the sink and checkpoint together"
+                    f"layout {recorded} but this writer was constructed "
+                    f"with {mine}; a mismatched bucket count would prune "
+                    f"seen-state reads against the wrong layout and a "
+                    f"mismatched block-key provider would verify new "
+                    f"records against blocks built under a different "
+                    f"key — both silently MISS pairs; construct to "
+                    f"match or reset the sink and checkpoint together"
                 )
             return
-        io.write_text_atomic(path, _json.dumps({"n_buckets": self.n_buckets}))
+        io.write_text_atomic(path, _json.dumps(mine))
 
     def _seen_keys(self, before_batch: int, kbs: list[int]) -> DataFrame:
         """Previously-ingested record payloads for the admission /
@@ -2653,12 +2676,9 @@ class StreamingLinkageIngest:
         # micro-batch — two <= n_buckets-element collects, the same
         # O(1)-bounded driver traffic as the refusal probes.
         raw = (
-            linkage.blocked_records(batch_df)
+            linkage.normalize_records(batch_df)
             .withColumn(
                 "kb", F.pmod(F.xxhash64("c_custkey"), F.lit(self.n_buckets))
-            )
-            .withColumn(
-                "bb", F.pmod(F.xxhash64("blk"), F.lit(self.n_buckets))
             )
             .localCheckpoint()
         )
@@ -2718,24 +2738,46 @@ class StreamingLinkageIngest:
         newb = admit.filter(F.col("_seen_name").isNull()).drop(
             "_seen_name", "_seen_nat"
         )
-        # the verify side prunes on the ADMITTED records' block buckets
-        # (a dropped re-delivery pairs with nothing)
-        bbs = sorted(r[0] for r in newb.select("bb").distinct().collect())
+        # Block the ADMITTED records with the configured provider (a
+        # dropped re-delivery pairs with nothing). A band provider emits
+        # several rows per record, so blocking happens on the record
+        # frame AFTER admission, never before — and the banded frame is
+        # pinned: it feeds the bucket collect, both verify joins and the
+        # blocks write.
+        newb_blocks = (
+            linkage.block_keys(newb.drop("kb"), self.key)
+            .withColumn(
+                "bb", F.pmod(F.xxhash64("blk"), F.lit(self.n_buckets))
+            )
+            .localCheckpoint()
+        )
+        # the verify side prunes on the admitted records' block buckets
+        bbs = sorted(r[0] for r in newb_blocks.select("bb").distinct().collect())
         seen_blocks = self._seen_blocks(before_batch=batch_id, bbs=bbs)
+        nb = newb_blocks.drop("bb")
         fresh_pairs = linkage.verify_pairs(
-            newb, newb, self.max_distance
+            nb, nb, self.max_distance
         ).unionByName(
             linkage.verify_pairs(
-                newb, seen_blocks, self.max_distance, disjoint=True
+                nb, seen_blocks, self.max_distance, disjoint=True
             )
         )
+        if self.key != "prefix":
+            # band providers can match one pair in several bands; fold to
+            # exactly-once BEFORE the append-only sink (pair-count-bounded
+            # shuffle). The emission batch is still deterministic — the
+            # batch where the later member arrives — so the fold is local
+            # to this batch and the union over any batching stays equal
+            # to the batch query. The prefix path keeps its dedup-free
+            # plan (its self-join emits each pair once by construction).
+            fresh_pairs = fresh_pairs.distinct()
         self._pin_layout()
         _write_batch_partition(fresh_pairs, batch_id, self.pairs_dir)
         _write_batch_partition(
-            newb.drop("bb"), batch_id, self.records_dir, extra_partition="kb"
+            newb, batch_id, self.records_dir, extra_partition="kb"
         )
         _write_batch_partition(
-            newb.drop("kb"), batch_id, self.blocks_dir, extra_partition="bb"
+            newb_blocks, batch_id, self.blocks_dir, extra_partition="bb"
         )
 
     def run_available_now(self) -> None:
@@ -2748,22 +2790,27 @@ class StreamingLinkageIngest:
 def _linkage_schemas():
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    base = [
+    rec_cols = [
         StructField("c_custkey", LongType()),
         StructField("name", StringType()),
         StructField("c_nationkey", LongType()),
-        StructField("blk", StringType()),
     ]
-    # records/ carries the key-hash bucket partition column, blocks/ the
-    # block-hash one — same linkage projection, each copy clustered for
-    # the one probe that reads it (class docstring).
+    # records/ holds the normalized projection (ONE row per key — a band
+    # provider never multiplies it) clustered by the key-hash bucket;
+    # blocks/ holds the provider's block rows (one per block key, so >=1
+    # per record) clustered by the block-hash bucket — each copy
+    # clustered for the one probe that reads it (class docstring).
     records = StructType(
-        base
+        rec_cols
         + [StructField("kb", LongType()), StructField("ingest_batch", LongType())]
     )
     blocks = StructType(
-        base
-        + [StructField("bb", LongType()), StructField("ingest_batch", LongType())]
+        rec_cols
+        + [
+            StructField("blk", StringType()),
+            StructField("bb", LongType()),
+            StructField("ingest_batch", LongType()),
+        ]
     )
     pairs = StructType(
         [

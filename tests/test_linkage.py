@@ -268,3 +268,22 @@ def test_unknown_block_key_provider_is_refused(spark, sf_dir):
 
     with pytest.raises(ValueError, match="block-key provider"):
         blocked_records(load_table(spark, sf_dir, "customer"), key="soundex")
+
+
+def test_minhash_block_profile_bounds_the_verify_work(spark, sf_dir):
+    """The capacity audit must be load-bearing for the CANDIDATE key
+    too: the minhash profile's Σ candidate_pairs is the verify join's
+    exact work bound, so it must dominate the verified pair count.
+    (Band matches can double-count a pair, so the bound is an
+    inequality; at sf0.1 the profile is what surfaces the hot-band
+    shape recorded in SCALE.md.)"""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_block_profile,
+        customer_fuzzy_matches_minhash,
+    )
+
+    prof = customer_block_profile(spark, sf_dir, key="minhash_band").collect()
+    work = sum(r.candidate_pairs for r in prof)
+    found = customer_fuzzy_matches_minhash(spark, sf_dir).count()
+    assert found > 0
+    assert work >= found

@@ -414,3 +414,81 @@ def test_seen_state_survives_blocks_compaction(spark, sf_dir, dirs):
     assert len(got) > n_before, "folded seen state must still pair new arrivals"
     new_key = base.agg(F.max("c_custkey")).first()[0] + 1
     assert any(p[1] == new_key and p[0] == r.c_custkey for p in got)
+
+
+def test_minhash_provider_streams_equal_to_batch(spark, sf_dir, dirs):
+    """Provider pluggability through the STREAMING twin: with
+    key='minhash_band' the sink must serve exactly the batch
+    customer_fuzzy_matches_minhash frame for a split arrival (band
+    providers emit several block rows per record, so this exercises the
+    multi-band admission/verify path and the exactly-once fold of
+    band-duplicated pairs), including cross-batch pairs found in a band
+    the within-batch self-join never saw."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_fuzzy_matches_minhash,
+    )
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        key="minhash_band",
+    ).run_available_now()
+    want = _pairs(customer_fuzzy_matches_minhash(spark, sf_dir))
+    assert want, "test corpus must yield minhash candidate pairs"
+    got = _pairs(linkage_pairs_from_sink(spark, dirs["out"]))
+    assert got == want
+    # records stay one row per key even though blocks multiply
+    rec = spark.read.parquet(dirs["out"] + "/records").select("c_custkey").collect()
+    keys = [r.c_custkey for r in rec]
+    assert len(keys) == len(set(keys))
+    blocks = spark.read.parquet(dirs["out"] + "/blocks").count()
+    assert blocks > len(keys), "band provider must emit >1 block row per record"
+
+    # a nothing-new rerun stays a no-op
+    StreamingLinkageIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        key="minhash_band",
+    ).run_available_now()
+    assert _pairs(linkage_pairs_from_sink(spark, dirs["out"])) == want
+
+
+def test_mismatched_key_provider_is_refused_before_writing(spark, sf_dir, dirs):
+    """The layout pin covers the PROVIDER too: a writer with a different
+    block key would verify new records against blocks built under the
+    old key — silently missing pairs — and must be refused with the
+    sink untouched."""
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    want = _pairs(linkage_pairs_from_sink(spark, dirs["out"]))
+
+    load_table(spark, sf_dir, "customer").limit(1).select(
+        (F.col("c_custkey") + 10**6).alias("c_custkey"),
+        *[c for c in load_table(spark, sf_dir, "customer").columns if c != "c_custkey"],
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    with pytest.raises(Exception, match="block-key provider|layout"):
+        StreamingLinkageIngest(
+            spark,
+            dirs["source"],
+            dirs["out"],
+            dirs["ckpt"],
+            max_files_per_trigger=1,
+            key="minhash_band",
+        ).run_available_now()
+    assert _pairs(linkage_pairs_from_sink(spark, dirs["out"])) == want
+
+
+def test_unknown_provider_refused_at_construction(spark, dirs):
+    with pytest.raises(ValueError, match="block-key provider"):
+        StreamingLinkageIngest(
+            spark, dirs["source"], dirs["out"], dirs["ckpt"], key="soundex"
+        )
