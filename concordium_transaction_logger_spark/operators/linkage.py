@@ -81,7 +81,12 @@ def blocked_records(customers: DataFrame, key: str = "prefix") -> DataFrame:
       the exhaustive in-block reference in tests/test_linkage.py;
       signatures are built by a codegen explode + partial-aggregated
       min (see the inline note — NO interpreted array lambdas, the
-      SCALE.md cost class)."""
+      SCALE.md cost class).
+    - ``"sorted_neighborhood"``: rank-bucket windows over the
+      (normalized name, key) total order — DETERMINISTIC recall inside
+      SN_WINDOW rank positions, zero beyond, O(N·w) pair work with no
+      hot-block failure mode; keys are corpus-relative, so this
+      provider is batch-only (INCREMENTAL_KEY_PROVIDERS)."""
     return block_keys(normalize_records(customers), key)
 
 
@@ -96,7 +101,24 @@ def normalize_records(customers: DataFrame) -> DataFrame:
     )
 
 
-BLOCK_KEY_PROVIDERS = ("prefix", "minhash_band")
+BLOCK_KEY_PROVIDERS = ("prefix", "minhash_band", "sorted_neighborhood")
+
+#: Providers whose block keys are STABLE per record (a pure function of
+#: the record), hence usable by the incremental streaming sink.
+#: sorted_neighborhood is excluded by construction: its keys are rank
+#: buckets RELATIVE TO THE WHOLE CORPUS, so every arrival shifts other
+#: records' keys — inexpressible as append-only incremental state (the
+#: batch query recomputes the rank per run, which is exactly what a
+#: sorted-neighborhood pass is).
+INCREMENTAL_KEY_PROVIDERS = ("prefix", "minhash_band")
+
+#: Sorted-neighborhood window: every pair within rank distance < SN_WINDOW
+#: is GUARANTEED a shared block key (pigeonhole over home + right-neighbor
+#: buckets); pairs further apart in sort order are never candidates.
+#: 16 because a last-digit variant of a dense numeric name block sorts up
+#: to ~10 ranks away (the 8 in-between suffixes) — w=8 measured recall
+#: 0.39 on this corpus, w=16 measures 0.62 at O(N·w) pair work either way.
+SN_WINDOW = 16
 
 
 def block_keys(rec: DataFrame, key: str = "prefix") -> DataFrame:
@@ -107,6 +129,28 @@ def block_keys(rec: DataFrame, key: str = "prefix") -> DataFrame:
         return rec.withColumn(
             "blk",
             F.expr(f"substring(name, 1, length(name) - {BLOCK_SUFFIX})"),
+        )
+    if key == "sorted_neighborhood":
+        # Bucketed sorted-neighborhood (Hernandez & Stolfo 1995, the
+        # banded-equi-join spelling): exact global rank by (name, key) —
+        # the DISTRIBUTED two-pass row_number, never a single-partition
+        # window — then each record emits its home rank-bucket
+        # (rn-1) DIV w and the right neighbor bucket. Ranks r, r+d with
+        # d < w span at most one bucket boundary, so every pair within
+        # rank distance < w shares a key (recall GUARANTEE within the
+        # window, unlike minhash's probabilistic bands); candidate work
+        # is O(N·w) by construction — no hot blocks possible. Keys are
+        # corpus-relative (see INCREMENTAL_KEY_PROVIDERS).
+        from .relational import global_ranked
+
+        ranked = global_ranked(rec, ["name", "c_custkey"], rank_col="_rn")
+        q = F.expr(f"(_rn - 1) DIV {SN_WINDOW}")
+        buckets = F.array(
+            F.concat(F.lit("s:"), q.cast("string")),
+            F.concat(F.lit("s:"), (q + 1).cast("string")),
+        )
+        return ranked.select(
+            "c_custkey", "name", "c_nationkey", F.explode(buckets).alias("blk")
         )
     if key != "minhash_band":
         raise ValueError(f"unknown block-key provider {key!r}")
@@ -293,6 +337,31 @@ def customer_fuzzy_matches_minhash(
     # a frame of 2 narrow rows per record)
     banded = blocked_records(
         load_table(spark, sf_dir, "customer"), key="minhash_band"
+    ).localCheckpoint()
+    return (
+        verify_pairs(banded, banded, max_distance)
+        .distinct()
+        .orderBy("key_a", "key_b")
+    )
+
+
+def customer_fuzzy_matches_sorted(
+    spark: SparkSession, sf_dir: str, max_distance: int = MAX_EDIT_DISTANCE
+) -> DataFrame:
+    """The fuzzy-match query on the ``sorted_neighborhood`` provider —
+    the third key through the one verify kernel: candidates are rank
+    neighbors in (normalized-name, key) sort order, so recall is
+    GUARANTEED for any pair within SN_WINDOW rank positions and zero
+    beyond — the deterministic contrast to minhash's probabilistic
+    bands, and the classic choice when duplicates sort adjacently
+    (trailing-character typos do; leading-character typos do not —
+    measured against the exhaustive truth in tests). Pair work is
+    O(N·w) with NO hot-block failure mode (every bucket holds exactly
+    w records), the property neither equality provider can promise.
+    Same multi-band fold as the minhash query (a same-bucket pair
+    matches in both its shared buckets)."""
+    banded = blocked_records(
+        load_table(spark, sf_dir, "customer"), key="sorted_neighborhood"
     ).localCheckpoint()
     return (
         verify_pairs(banded, banded, max_distance)

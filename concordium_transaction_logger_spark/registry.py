@@ -2100,6 +2100,40 @@ FROM bszm GROUP BY block_size
 ORDER BY block_size
 """,
     ),
+    # The third provider (late r8): bucketed sorted-neighborhood —
+    # deterministic window recall (every pair within SN_WINDOW rank
+    # positions is guaranteed; none beyond), O(N·w) pair work with NO
+    # hot-block failure mode. The oracle's single-partition ROW_NUMBER
+    # is replaced on the Spark side by the distributed two-pass
+    # global_ranked; both produce the identical total order because the
+    # sort key (name, custkey) is unique.
+    "customer_fuzzy_matches_sorted": QueryDef(
+        linkage.customer_fuzzy_matches_sorted,
+        f"""
+WITH snr AS (
+  SELECT c_custkey, lower(c_name) AS name, c_nationkey,
+         ROW_NUMBER() OVER (ORDER BY lower(c_name), c_custkey) AS rn
+  FROM customer
+),
+snb AS (
+  SELECT c_custkey, name, c_nationkey,
+         's:' || CAST((rn - 1) // {linkage.SN_WINDOW} AS VARCHAR) AS blk
+  FROM snr
+  UNION ALL
+  SELECT c_custkey, name, c_nationkey,
+         's:' || CAST((rn - 1) // {linkage.SN_WINDOW} + 1 AS VARCHAR)
+  FROM snr
+)
+SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+FROM snb a JOIN snb b
+  ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
+ORDER BY key_a, key_b
+""",
+    ),
     "customer_best_match": QueryDef(
         linkage.customer_best_match,
         _LINKAGE_CBLK
@@ -3390,6 +3424,7 @@ _DRIVER_PRIORITY = [
     "customer_block_profile",
     "customer_fuzzy_matches_minhash",
     "customer_block_profile_minhash",
+    "customer_fuzzy_matches_sorted",
     "gram_hash_collision_audit",
     # r8-touched regression signals
     "customer_fuzzy_matches",
@@ -3405,7 +3440,6 @@ _DRIVER_PRIORITY = [
     "doc_bpe_token_stats",
     "doc_dup_verdict",
     # stalest relational rows (all last green in CORRECTNESS_r02)
-    "above_average_orders",
     "active_customers_union",
     "big_volume_orders",
     "brand_revenue",

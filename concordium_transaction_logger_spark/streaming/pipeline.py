@@ -2573,10 +2573,17 @@ class StreamingLinkageIngest:
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.n_buckets = n_buckets
-        if key not in linkage.BLOCK_KEY_PROVIDERS:
-            # same eager stance as the recall guard: an unknown provider
-            # must fail at construction, not on the Nth micro-batch
-            raise ValueError(f"unknown block-key provider {key!r}")
+        if key not in linkage.INCREMENTAL_KEY_PROVIDERS:
+            # same eager stance as the recall guard: refused at
+            # construction, not on the Nth micro-batch. Note this is
+            # stricter than the batch queries' BLOCK_KEY_PROVIDERS:
+            # sorted_neighborhood keys are rank buckets relative to the
+            # WHOLE corpus, so every arrival shifts other records' keys
+            # — inexpressible as append-only incremental block state.
+            raise ValueError(
+                f"block-key provider {key!r} is not usable incrementally "
+                f"(streaming providers: {linkage.INCREMENTAL_KEY_PROVIDERS})"
+            )
         self.key = key
         if key == "prefix" and self.max_distance > linkage.BLOCK_SUFFIX:
             # same recall guard as the batch query, enforced before any

@@ -287,3 +287,64 @@ def test_minhash_block_profile_bounds_the_verify_work(spark, sf_dir):
     found = customer_fuzzy_matches_minhash(spark, sf_dir).count()
     assert found > 0
     assert work >= found
+
+
+def test_sorted_neighborhood_window_guarantee(spark, sf_dir):
+    """The third provider's defining property, asserted exactly: every
+    true fuzzy pair within SN_WINDOW rank positions (rank = position in
+    the (normalized name, key) total order) MUST be found — sorted
+    neighborhood's recall is deterministic inside the window, unlike
+    minhash's probabilistic bands — while everything found is a true
+    pair and the plan stays an equi-join."""
+    from pyspark.sql import functions as F2
+
+    from concordium_transaction_logger_spark.operators.linkage import (
+        SN_WINDOW,
+        customer_fuzzy_matches_sorted,
+        normalize_records,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    q = customer_fuzzy_matches_sorted(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.key_a, r.key_b) for r in q.collect()}
+
+    rec = sorted(
+        (r.name, r.c_custkey, r.c_nationkey)
+        for r in normalize_records(load_table(spark, sf_dir, "customer")).collect()
+    )
+    def lev1(a, b):
+        # cheap distance<=1 check
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    truth = set()
+    within = set()
+    rank = {rec[i][1]: i + 1 for i in range(len(rec))}
+    for i in range(len(rec)):
+        for j in range(i + 1, len(rec)):
+            (na, ka, ta), (nb, kb, tb) = rec[i], rec[j]
+            if ta == tb and lev1(na, nb):
+                pair = (min(ka, kb), max(ka, kb))
+                truth.add(pair)
+                if abs(rank[ka] - rank[kb]) < SN_WINDOW:
+                    within.add(pair)
+    assert got <= truth, "verified pairs must be true pairs"
+    assert within <= got, (
+        "every true pair within the rank window must be found — the "
+        "deterministic recall guarantee is the provider's contract"
+    )
+    assert within, "corpus must contain window-adjacent fuzzy pairs"
