@@ -56,9 +56,11 @@ MINHASH_AB = ((1299721, 104729), (7919, 1299709), (104729, 7919), (15485863, 324
 def blocked_records(customers: DataFrame, key: str = "prefix") -> DataFrame:
     """Normalized + blocked records from a raw customer frame: the
     shared front half of every linkage consumer — the batch queries AND
-    the streaming twin (``StreamingLinkageIngest`` blocks each arriving
-    micro-batch with THIS function, so batch and stream cannot disagree
-    on normalization or the block key). Normalization is lower-casing
+    the streaming twin (``StreamingLinkageIngest`` admits on
+    :func:`normalize_records` and blocks its admitted records with
+    :func:`block_keys` — the two halves of THIS function — so batch and
+    stream cannot disagree on normalization or the block key).
+    Normalization is lower-casing
     (the synthetic corpus has no whitespace/punctuation noise; real
     pipelines add trim/fold steps here — row-local either way).
 
