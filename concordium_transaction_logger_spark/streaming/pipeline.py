@@ -1384,6 +1384,7 @@ class StreamingCorpusIngest:
         near_dup: bool = False,
         span_dedup: bool = False,
         pii_redact: bool = False,
+        n_buckets: int = 64,
     ):
         self.spark = apply_runtime_confs(spark)
         self.source_dir = source_dir
@@ -1394,9 +1395,26 @@ class StreamingCorpusIngest:
         self.near_dup = near_dup
         self.span_dedup = span_dedup
         self.pii_redact = pii_redact
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        #: hash-bucket second partition level for the near-dup/span SIDE
+        #: sinks (the r8 linkage treatment generalized): each per-batch
+        #: seen-state probe directory-prunes to the buckets the batch's
+        #: own probe keys occupy, so continuous ingest reads
+        #: O(|batch| x state/n_buckets) per trigger instead of O(state).
+        #: Pinned per side sink via _pin_sink_layout; the MAIN corpus
+        #: sink keeps its consumer-facing flat layout (its fp anti-join
+        #: is the documented fp-prefix/zone-map dial at 100 TB).
+        self.n_buckets = n_buckets
 
-    def _write_partitioned(self, df: DataFrame, batch_id: int, path: str) -> None:
-        _write_batch_partition(df, batch_id, path)
+    def _write_partitioned(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        path: str,
+        extra_partition: str | None = None,
+    ) -> None:
+        _write_batch_partition(df, batch_id, path, extra_partition)
 
     def _read_state(self, path: str, like: DataFrame) -> DataFrame:
         """Batch-partitioned state read with ``like``'s columns + the
@@ -1450,7 +1468,13 @@ class StreamingCorpusIngest:
         if self.near_dup:
             # every gate-passing doc of this batch becomes seen state,
             # admitted or not (see class docstring)
-            bb = doc_band_buckets(batch_df).persist()
+            bb = (
+                doc_band_buckets(batch_df)
+                .withColumn(
+                    "bkb", F.pmod(F.xxhash64("bucket"), F.lit(self.n_buckets))
+                )
+                .persist()
+            )
             a, b = bb.alias("a"), bb.alias("b")
             collided = a.join(
                 b,
@@ -1458,11 +1482,18 @@ class StreamingCorpusIngest:
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             ).select(F.col("b.doc_id").alias("doc_id"))
             bdir = self.out_dir + "_buckets"
-            prior = (
-                self._read_state(bdir, bb)
-                .filter(F.col("ingest_batch") != batch_id)
-                .select(F.col("doc_id").alias("p_doc"), "bucket")
+            # seen-bucket probe pruned to the batch's own bucket-hash
+            # partitions (exact: equal buckets share a hash bucket) —
+            # the r8 linkage seen-side treatment
+            bkbs = sorted(r[0] for r in bb.select("bkb").distinct().collect())
+            prior = self._read_state(bdir, bb).filter(
+                F.col("ingest_batch") != batch_id
             )
+            prior = (
+                prior.filter(F.col("bkb").isin(bkbs))
+                if bkbs
+                else prior.filter(F.lit(False))
+            ).select(F.col("doc_id").alias("p_doc"), "bucket")
             collided = collided.unionByName(
                 bb.join(prior, "bucket")
                 .filter(F.col("p_doc") < F.col("doc_id"))
@@ -1475,7 +1506,8 @@ class StreamingCorpusIngest:
                 )
             )
             fresh = fresh.join(collided, "doc_id", "left_anti")
-            self._write_partitioned(bb, batch_id, bdir)
+            _pin_sink_layout(bdir, {"n_buckets": self.n_buckets})
+            self._write_partitioned(bb, batch_id, bdir, extra_partition="bkb")
         sp_state = None
         if self.span_dedup:
             # Span-level admission (batch twin: dedup.span_admission): a
@@ -1498,14 +1530,27 @@ class StreamingCorpusIngest:
             sp = doc_span_occurrences(batch_df).persist()
             sp_state = sp
             sdir = self.out_dir + "_spans"
-            mins = sp.groupBy("h").agg(F.min("doc_id").alias("min_doc"))
-            prior = (
-                self._read_state(sdir, mins)
-                .filter(F.col("ingest_batch") != batch_id)
-                .select("h", "min_doc")
+            mins = (
+                sp.groupBy("h")
+                .agg(F.min("doc_id").alias("min_doc"))
+                .withColumn(
+                    "hb", F.pmod(F.xxhash64("h"), F.lit(self.n_buckets))
+                )
             )
+            # the seen-window probe joins on h INNER, so pruning the
+            # prior state to the batch's own h-hash partitions is exact
+            hbs = sorted(r[0] for r in mins.select("hb").distinct().collect())
+            prior = self._read_state(sdir, mins).filter(
+                F.col("ingest_batch") != batch_id
+            )
+            prior = (
+                prior.filter(F.col("hb").isin(hbs))
+                if hbs
+                else prior.filter(F.lit(False))
+            ).select("h", "min_doc")
             global_min = (
-                mins.unionByName(prior)
+                mins.select("h", "min_doc")
+                .unionByName(prior)
                 .groupBy("h")
                 .agg(F.min("min_doc").alias("min_doc"))
             )
@@ -1546,7 +1591,8 @@ class StreamingCorpusIngest:
                 span_rejects.withColumn("reason", F.lit("span_dup"))
             )
             fresh = fresh.join(span_rejects, "doc_id", "left_anti")
-            self._write_partitioned(mins, batch_id, sdir)
+            _pin_sink_layout(sdir, {"n_buckets": self.n_buckets})
+            self._write_partitioned(mins, batch_id, sdir, extra_partition="hb")
         if self.pii_redact:
             # after all admission layers: a pure projection on admitted
             # rows (class docstring — raw text stays, fingerprints and
@@ -2067,6 +2113,37 @@ def _io_for(path: str):
             f"URI-scheme path"
         )
     return _HadoopIO(spark, path)
+
+
+def _pin_sink_layout(
+    out_dir: str, layout: dict, defaults: dict | None = None
+) -> None:
+    """Pin a sink's physical-layout parameters in a ``_layout.json``
+    sidecar on first write and REFUSE any later writer constructed with
+    different ones: every bucket-pruned seen-state probe selects
+    partitions by ``pmod(hash, n_buckets)``, so a mismatched writer
+    would prune against the wrong layout and silently miss seen rows —
+    the fail-open class this family refuses. Scheme-aware I/O like the
+    re-batching ledger. ``defaults`` backfills fields older sidecars
+    predate (they were written when only the default existed)."""
+    import json as _json
+
+    path = out_dir.rstrip("/") + "/_layout.json"
+    io = _io_for(path)
+    if io.exists(path):
+        recorded = _json.loads(io.read_text(path))
+        for k, v in (defaults or {}).items():
+            recorded.setdefault(k, v)
+        if recorded != layout:
+            raise ValueError(
+                f"sink {out_dir} was written with layout {recorded} but "
+                f"this writer was constructed with {layout}; a mismatch "
+                f"would prune seen-state reads against the wrong layout "
+                f"and silently miss rows — construct to match or reset "
+                f"the sink and checkpoint together"
+            )
+        return
+    io.write_text_atomic(path, _json.dumps(layout))
 
 
 def _guard_delta_batching(
@@ -2599,37 +2676,17 @@ class StreamingLinkageIngest:
             )
 
     def _pin_layout(self) -> None:
-        """Pin ``n_buckets`` in a sink-root sidecar on first write and
-        refuse any later writer constructed with a different count: the
-        pruned probes select partitions by ``pmod(hash, n_buckets)``, so
-        a mismatched writer would prune against the wrong layout and
-        silently MISS seen rows — re-admitting ingested records and
-        dropping cross-batch pairs (fail-open). Scheme-aware I/O like
-        the ledger; runs after every refusal gate so a refused batch
-        still leaves a virgin sink directory-free."""
-        import json as _json
-
-        path = self.out_dir.rstrip("/") + "/_layout.json"
-        io = _io_for(path)
-        mine = {"n_buckets": self.n_buckets, "key": self.key}
-        if io.exists(path):
-            recorded = _json.loads(io.read_text(path))
-            # legacy sidecars predate the key field; they were written
-            # by the only provider that existed (prefix)
-            recorded.setdefault("key", "prefix")
-            if recorded != mine:
-                raise ValueError(
-                    f"linkage sink {self.out_dir} was written with "
-                    f"layout {recorded} but this writer was constructed "
-                    f"with {mine}; a mismatched bucket count would prune "
-                    f"seen-state reads against the wrong layout and a "
-                    f"mismatched block-key provider would verify new "
-                    f"records against blocks built under a different "
-                    f"key — both silently MISS pairs; construct to "
-                    f"match or reset the sink and checkpoint together"
-                )
-            return
-        io.write_text_atomic(path, _json.dumps(mine))
+        """Pin the sink layout (bucket count + key provider) on first
+        write and refuse any later mismatched writer — a mismatched
+        bucket count would prune seen-state reads against the wrong
+        layout and a mismatched block-key provider would verify new
+        records against blocks built under a different key; both
+        silently MISS pairs (fail-open). Runs after every refusal gate
+        so a refused batch still leaves a virgin sink directory-free."""
+        _pin_sink_layout(
+            self.out_dir, {"n_buckets": self.n_buckets, "key": self.key},
+            defaults={"key": "prefix"},
+        )
 
     def _seen_keys(self, before_batch: int, kbs: list[int]) -> DataFrame:
         """Previously-ingested record payloads for the admission /

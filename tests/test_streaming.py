@@ -1630,3 +1630,77 @@ def test_reconcile_star_converges_where_hashmin_budget_cannot(
     rej = spark.read.parquet(dirs["out"] + "_rejects").collect()
     assert {r.doc_id for r in rej} == set(range(101, 130))
     assert {r.reason for r in rej} == {"near_dup"}
+
+
+def test_corpus_side_sinks_are_bucket_partitioned_and_pinned(
+    spark, sf_dir, dirs
+):
+    """The r8 linkage seen-side treatment, generalized: the near-dup
+    bucket sink and the span min-doc sink carry a hash-bucket second
+    partition level so each micro-batch's seen-state probe
+    directory-prunes to the batch's own probe keys; the bucket count is
+    pinned per side sink, and a mismatched writer — which would prune
+    against the wrong layout and silently re-admit duplicates — is
+    refused with the sinks untouched."""
+    import glob
+
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+        corpus_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    for i in range(2):
+        (
+            docs.filter(F.col("doc_id") % 2 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dirs["source"])
+        )
+    StreamingCorpusIngest(
+        spark,
+        dirs["source"],
+        dirs["out"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        near_dup=True,
+        span_dedup=True,
+    ).run_available_now()
+    n_admitted = corpus_snapshot(spark, dirs["out"]).count()
+    assert glob.glob(dirs["out"] + "_buckets/ingest_batch=*/bkb=*")
+    assert glob.glob(dirs["out"] + "_spans/ingest_batch=*/hb=*")
+
+    # a pruned state read keeps the bucket predicate at the directory
+    # level (the exactness-preserving device the probes rely on)
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        _read_batched_state,
+    )
+
+    sample = spark.read.parquet(dirs["out"] + "_buckets")
+    one_bkb = sample.select("bkb").head(1)[0][0]
+    pruned = _read_batched_state(
+        spark, dirs["out"] + "_buckets", sample.schema
+    ).filter(F.col("bkb") == one_bkb)
+    scan = [
+        l
+        for l in pruned._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "PartitionFilters" in l
+    ]
+    assert scan and "bkb" in scan[0]
+
+    docs.limit(1).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    ).coalesce(1).write.mode("append").parquet(dirs["source"])
+    with pytest.raises(Exception, match="layout"):
+        StreamingCorpusIngest(
+            spark,
+            dirs["source"],
+            dirs["out"],
+            dirs["ckpt"],
+            max_files_per_trigger=1,
+            near_dup=True,
+            span_dedup=True,
+            n_buckets=8,
+        ).run_available_now()
+    assert corpus_snapshot(spark, dirs["out"]).count() == n_admitted
