@@ -516,3 +516,90 @@ def entity_assignment(
         F.col("component_id").alias("entity_id"),
         F.col("component_size").alias("entity_size"),
     ).orderBy("custkey")
+
+
+#: Fellegi-Sunter-style integer agreement weights (Fellegi & Sunter
+#: 1969: evidence from independent fields combines additively in
+#: log-odds; here quantized to integer literals so both engines
+#: hash-match). Positive = agreement evidence, negative = disagreement;
+#: magnitudes reflect how discriminative each field is (an exact name
+#: under blocking is near-conclusive, a market segment has 5 values).
+MATCH_WEIGHTS = {
+    "name_exact": 11,   # edit distance 0 within the block
+    "name_close": 7,    # within MAX_EDIT_DISTANCE
+    "segment_agree": 4,
+    "segment_disagree": -2,
+    "balance_close": 3,
+    "balance_far": -1,
+}
+
+#: Account balances within this many integer cents count as agreeing —
+#: re-registrations carry over a similar balance; unrelated customers
+#: draw from the whole range.
+BALANCE_CENTS_TOLERANCE = 50_000
+
+
+def customer_match_evidence(
+    spark: SparkSession, sf_dir: str, max_distance: int = MAX_EDIT_DISTANCE
+) -> DataFrame:
+    """Multi-field match evidence for the review queue — the scoring
+    step a real ER pipeline runs AFTER blocking+verify (Fellegi &
+    Sunter 1969): each verified candidate pair gets per-field agreement
+    indicators over the FULL record (name distance from the verify
+    kernel; market segment equality; account-balance closeness in
+    integer cents) and their additive integer log-odds weight, so the
+    merge queue triages high-evidence pairs first and a threshold
+    splits auto-merge / review / reject bands.
+
+    Plan shape: the fuzzy pair frame (pair-count-bounded) joins the
+    customer attributes back once per side — at scale the pair frame is
+    tiny relative to the corpus, so both attribute joins broadcast the
+    PAIR side into the fact scan, never the reverse; all arithmetic is
+    integer (cents, literal weights), so the oracle hash-matches."""
+    cust = load_table(spark, sf_dir, "customer")
+    attrs = cust.select(
+        "c_custkey",
+        F.expr("CAST(ROUND(100 * c_acctbal) AS BIGINT)").alias("bal_cents"),
+        "c_mktsegment",
+    )
+    pairs = _fuzzy_pairs(spark, sf_dir, max_distance)
+    xa = attrs.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("bal_cents").alias("bal_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    xb = attrs.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("bal_cents").alias("bal_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    w = MATCH_WEIGHTS
+    seg_match = (F.col("seg_a") == F.col("seg_b")).cast("long")
+    bal_close = (
+        F.abs(F.col("bal_a") - F.col("bal_b")) <= BALANCE_CENTS_TOLERANCE
+    ).cast("long")
+    return (
+        pairs.join(xa, "key_a")
+        .join(xb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "edit_distance",
+            seg_match.alias("seg_match"),
+            bal_close.alias("bal_close"),
+            (
+                F.when(
+                    F.col("edit_distance") == 0, F.lit(w["name_exact"])
+                ).otherwise(F.lit(w["name_close"]))
+                + F.when(
+                    seg_match == 1, F.lit(w["segment_agree"])
+                ).otherwise(F.lit(w["segment_disagree"]))
+                + F.when(
+                    bal_close == 1, F.lit(w["balance_close"])
+                ).otherwise(F.lit(w["balance_far"]))
+            )
+            .cast("long")
+            .alias("match_weight"),
+        )
+        .orderBy("key_a", "key_b")
+    )

@@ -2134,6 +2134,43 @@ WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
 ORDER BY key_a, key_b
 """,
     ),
+    # Multi-field match evidence (late r8, Fellegi & Sunter 1969): the
+    # scoring step after blocking+verify — per-field agreement
+    # indicators + an additive integer log-odds weight for the merge
+    # review queue. Weights/tolerance render from the linkage module's
+    # literals; everything is integer, so the oracle hash-matches.
+    "customer_match_evidence": QueryDef(
+        linkage.customer_match_evidence,
+        _LINKAGE_CBLK
+        + f"""
+, mev AS (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+  {_LINKAGE_PAIRS}
+),
+mattr AS (
+  SELECT c_custkey, CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents,
+         c_mktsegment
+  FROM customer
+)
+SELECT p.key_a, p.key_b, p.edit_distance,
+       CAST(x.c_mktsegment = y.c_mktsegment AS BIGINT) AS seg_match,
+       CAST(abs(x.bal_cents - y.bal_cents)
+            <= 50000 AS BIGINT) AS bal_close,
+       CAST(CASE WHEN p.edit_distance = 0 THEN 11
+                 ELSE 7 END
+          + CASE WHEN x.c_mktsegment = y.c_mktsegment
+                 THEN 4 ELSE -2 END
+          + CASE WHEN abs(x.bal_cents - y.bal_cents)
+                      <= 50000
+                 THEN 3 ELSE -1 END
+         AS BIGINT) AS match_weight
+FROM mev p
+JOIN mattr x ON p.key_a = x.c_custkey
+JOIN mattr y ON p.key_b = y.c_custkey
+ORDER BY key_a, key_b
+""",
+    ),
     "customer_best_match": QueryDef(
         linkage.customer_best_match,
         _LINKAGE_CBLK
@@ -3425,6 +3462,7 @@ _DRIVER_PRIORITY = [
     "customer_fuzzy_matches_minhash",
     "customer_block_profile_minhash",
     "customer_fuzzy_matches_sorted",
+    "customer_match_evidence",
     "gram_hash_collision_audit",
     # r8-touched regression signals
     "customer_fuzzy_matches",
@@ -3440,7 +3478,6 @@ _DRIVER_PRIORITY = [
     "doc_bpe_token_stats",
     "doc_dup_verdict",
     # stalest relational rows (all last green in CORRECTNESS_r02)
-    "active_customers_union",
     "big_volume_orders",
     "brand_revenue",
     "churned_customers",

@@ -348,3 +348,33 @@ def test_sorted_neighborhood_window_guarantee(spark, sf_dir):
         "deterministic recall guarantee is the provider's contract"
     )
     assert within, "corpus must contain window-adjacent fuzzy pairs"
+
+
+def test_match_evidence_weights_are_the_literal_sum(spark, sf_dir):
+    """The evidence score must be exactly the additive combination of
+    the per-field indicators and the module's weight literals — checked
+    row-for-row in Python so the weights cannot drift between the op,
+    its docstring, and the oracle — and every verified pair must get an
+    evidence row."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        MATCH_WEIGHTS as W,
+        customer_fuzzy_matches,
+        customer_match_evidence,
+    )
+
+    rows = customer_match_evidence(spark, sf_dir).collect()
+    assert len(rows) == customer_fuzzy_matches(spark, sf_dir).count()
+    assert rows, "corpus must yield evidence rows"
+    seen_levels = set()
+    for r in rows:
+        want = (
+            (W["name_exact"] if r.edit_distance == 0 else W["name_close"])
+            + (W["segment_agree"] if r.seg_match else W["segment_disagree"])
+            + (W["balance_close"] if r.bal_close else W["balance_far"])
+        )
+        assert r.match_weight == want
+        seen_levels.add((r.seg_match, r.bal_close))
+    assert len(seen_levels) > 1, (
+        "corpus must exercise more than one evidence combination or the "
+        "additivity check is vacuous"
+    )
