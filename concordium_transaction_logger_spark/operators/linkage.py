@@ -52,6 +52,21 @@ BLOCK_SUFFIX = 2
 MINHASH_P = 1_000_003
 MINHASH_AB = ((1299721, 104729), (7919, 1299709), (104729, 7919), (15485863, 32452843))
 
+#: Band-membership cap for the ``minhash_band`` provider (r8 verdict's
+#: one default-adjacent sharp edge): a band block larger than this is
+#: declared HOT — its LSH key carries no discrimination for those
+#: records (on this corpus because TPC-H names share ~90% of their
+#: grams; in general the Σ|band|² tail) — and its members fall back to
+#: the deterministic prefix fuzz-window key for that membership (the
+#: ``p:`` keys in :func:`capped_band_keys`). Chosen by measurement
+#: (tests + SCALE.md): at sf0.1 the cap converts 1.34M candidate pairs
+#: into ~43k with the worst minhash block capped at 32, while recall
+#: degrades to the prefix provider's floor (0.50 vs prefix's 0.52 at
+#: sf0.1, 0.68 vs 0.69 at sf0.01) instead of collapsing toward zero the
+#: way a drop-cap measures on this corpus (0.25 at the same cap — the
+#: hot bands are exactly where this corpus's true pairs live).
+MINHASH_BAND_CAP = 32
+
 
 def blocked_records(customers: DataFrame, key: str = "prefix") -> DataFrame:
     """Normalized + blocked records from a raw customer frame: the
@@ -212,6 +227,82 @@ def block_keys(rec: DataFrame, key: str = "prefix") -> DataFrame:
     )
 
 
+def capped_band_keys(banded: DataFrame, cap: int = MINHASH_BAND_CAP) -> DataFrame:
+    """Bound the ``minhash_band`` provider's hot bands (the
+    ``doc_stop_shingles`` treatment for the ER family, r8 verdict item):
+    band blocks with more than ``cap`` members are re-keyed — each
+    member's oversized membership falls back to the GLOBAL prefix
+    fuzz-window key (``'p:' + name[:-BLOCK_SUFFIX]``) instead of the
+    band key, so
+
+    - the Σ|band|² verify tail is gone: every surviving minhash block
+      has <= cap members by construction (a provable per-block bound);
+    - recall degrades to a floor instead of to zero: records whose
+      bands all ran hot still meet through the prefix provider's
+      deterministic key (measured in tests and SCALE.md — a DROP-cap
+      on this corpus loses the true pairs, because near-identical
+      names are exactly what makes a band hot);
+    - cold bands are untouched, so any pair sharing a <=cap band keeps
+      its LSH guarantee (asserted in tests).
+
+    The fallback keys inherit the PREFIX provider's block-size profile
+    (audited by ``customer_block_profile``), not the cap — the cap
+    kills the LSH-specific tail, it does not promise a global bound a
+    deterministic key cannot give. What the cap re-keys is enumerable
+    via :func:`customer_stop_bands` (no silent caps, SCALE.md).
+
+    Physical shape: one partial-aggregated groupBy over the banded
+    frame for the block sizes, then the hot-block list — tiny by
+    construction, only blocks above the cap — joins back as a
+    broadcast, so the banded frame never shuffles for the cap. A
+    record with BOTH bands hot yields two identical ``p:`` rows; the
+    band consumers' existing pair-level ``distinct`` folds the
+    duplicate pairs, so no extra corpus-wide dedup shuffle is spent
+    here."""
+    sizes = banded.groupBy("blk", "c_nationkey").agg(F.count("*").alias("_bsz"))
+    hot = (
+        sizes.filter(F.col("_bsz") > cap)
+        .select("blk", "c_nationkey")
+        .withColumn("_hot", F.lit(True))
+    )
+    fallback = F.concat(
+        F.lit("p:"),
+        F.expr(f"substring(name, 1, length(name) - {BLOCK_SUFFIX})"),
+    )
+    return (
+        banded.join(F.broadcast(hot), ["blk", "c_nationkey"], "left")
+        .withColumn(
+            "blk", F.when(F.col("_hot").isNotNull(), fallback).otherwise(F.col("blk"))
+        )
+        .drop("_hot")
+    )
+
+
+def customer_stop_bands(
+    spark: SparkSession, sf_dir: str, cap: int = MINHASH_BAND_CAP
+) -> DataFrame:
+    """The bands the minhash cap re-keys, with their sizes and the
+    C(size, 2) verify work each would have bought — the no-silent-caps
+    audit twin (the ``doc_stop_shingles`` artifact for the ER family):
+    whatever :func:`capped_band_keys` excludes from the LSH key space
+    is enumerable and auditable, never silently discarded. NULL band
+    keys are excluded exactly as in ``customer_block_profile`` (they
+    never join). All-integer apart from the key strings, so the oracle
+    hash-matches."""
+    return (
+        blocked_records(load_table(spark, sf_dir, "customer"), key="minhash_band")
+        .filter(F.col("blk").isNotNull())
+        .groupBy("blk", "c_nationkey")
+        .agg(F.count("*").alias("block_size"))
+        .filter(F.col("block_size") > cap)
+        .withColumn(
+            "candidate_pairs",
+            F.expr("block_size * (block_size - 1) DIV 2"),
+        )
+        .orderBy("blk", "c_nationkey")
+    )
+
+
 def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_records(load_table(spark, sf_dir, "customer"))
 
@@ -316,8 +407,35 @@ def _fuzzy_pairs(
     return verify_pairs(blocked, blocked, max_distance)
 
 
+def _minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_distance: int,
+    band_cap: int | None = MINHASH_BAND_CAP,
+) -> DataFrame:
+    """The unordered minhash-provider pair frame behind
+    :func:`customer_fuzzy_matches_minhash`, shared with the
+    provider-parametrized evidence/verdict ops (which feed it into
+    joins and must not inherit the presentation ORDER BY)."""
+    # pin the banded frame: the cap's size aggregation AND the verify
+    # self-join each read it (3 consumers) — unpinned, the signature
+    # aggregation would rebuild per consumer (two scans + two shuffles
+    # for a frame of 2 narrow rows per record). The CAPPED frame is
+    # pinned too: both self-join sides read it, and its lineage holds
+    # the size groupBy (a corpus-wide shuffle that must not run twice).
+    banded = blocked_records(
+        load_table(spark, sf_dir, "customer"), key="minhash_band"
+    ).localCheckpoint()
+    if band_cap is not None:
+        banded = capped_band_keys(banded, band_cap).localCheckpoint()
+    return verify_pairs(banded, banded, max_distance).distinct()
+
+
 def customer_fuzzy_matches_minhash(
-    spark: SparkSession, sf_dir: str, max_distance: int = MAX_EDIT_DISTANCE
+    spark: SparkSession,
+    sf_dir: str,
+    max_distance: int = MAX_EDIT_DISTANCE,
+    band_cap: int | None = MINHASH_BAND_CAP,
 ) -> DataFrame:
     """The fuzzy-match query on the ``minhash_band`` key provider — the
     proof that swapping the block key really does leave the join shape
@@ -329,22 +447,34 @@ def customer_fuzzy_matches_minhash(
     distinct over the pair-count-bounded output — the standard
     LSH-band dedup, shared with ``doc_minhash_band_pairs``.
 
+    The CAPPED form is the default (r9, the ``ngram_jaccard_pairs``
+    convention): bands above ``band_cap`` members fall back to the
+    prefix fuzz-window key (:func:`capped_band_keys` — rationale,
+    recall measurements and the audit twin there), so every minhash
+    block the verify join sees is <= cap. ``band_cap=None`` is the
+    declared-exact uncapped variant for bounded corpora and the recall
+    audits in tests.
+
     Output is a SUBSET of ``customer_fuzzy_matches``'s exhaustive
     same-nation ideal (verification is exact; only candidate RECALL is
     probabilistic — measured in tests); the oracle recomputes the
-    identical integer signatures, so even the missed pairs agree
-    cross-engine."""
-    # pin the banded frame: the self-join would otherwise rebuild the
-    # signature aggregation once per side (two scans + two shuffles for
-    # a frame of 2 narrow rows per record)
-    banded = blocked_records(
-        load_table(spark, sf_dir, "customer"), key="minhash_band"
-    ).localCheckpoint()
-    return (
-        verify_pairs(banded, banded, max_distance)
-        .distinct()
-        .orderBy("key_a", "key_b")
+    identical integer signatures and cap, so even the missed pairs
+    agree cross-engine."""
+    return _minhash_pairs(spark, sf_dir, max_distance, band_cap).orderBy(
+        "key_a", "key_b"
     )
+
+
+def _sorted_pairs(
+    spark: SparkSession, sf_dir: str, max_distance: int
+) -> DataFrame:
+    """The unordered sorted-neighborhood pair frame behind
+    :func:`customer_fuzzy_matches_sorted` (same split as
+    :func:`_minhash_pairs`)."""
+    banded = blocked_records(
+        load_table(spark, sf_dir, "customer"), key="sorted_neighborhood"
+    ).localCheckpoint()
+    return verify_pairs(banded, banded, max_distance).distinct()
 
 
 def customer_fuzzy_matches_sorted(
@@ -362,14 +492,24 @@ def customer_fuzzy_matches_sorted(
     w records), the property neither equality provider can promise.
     Same multi-band fold as the minhash query (a same-bucket pair
     matches in both its shared buckets)."""
-    banded = blocked_records(
-        load_table(spark, sf_dir, "customer"), key="sorted_neighborhood"
-    ).localCheckpoint()
-    return (
-        verify_pairs(banded, banded, max_distance)
-        .distinct()
-        .orderBy("key_a", "key_b")
-    )
+    return _sorted_pairs(spark, sf_dir, max_distance).orderBy("key_a", "key_b")
+
+
+def _pairs_for(
+    spark: SparkSession, sf_dir: str, max_distance: int, key: str
+) -> DataFrame:
+    """The unordered verified pair frame for a named block-key provider
+    — the one dispatch the provider-parametrized consumers (evidence,
+    verdict) share, each provider's DEFAULT candidate path (the capped
+    minhash form included), so a consumer cannot accidentally score
+    pairs a differently-dialed candidate stage produced."""
+    if key == "prefix":
+        return _fuzzy_pairs(spark, sf_dir, max_distance)
+    if key == "minhash_band":
+        return _minhash_pairs(spark, sf_dir, max_distance)
+    if key == "sorted_neighborhood":
+        return _sorted_pairs(spark, sf_dir, max_distance)
+    raise ValueError(f"unknown block-key provider {key!r}")
 
 
 def customer_best_match(
@@ -538,31 +678,31 @@ MATCH_WEIGHTS = {
 #: draw from the whole range.
 BALANCE_CENTS_TOLERANCE = 50_000
 
+#: Fellegi-Sunter decision thresholds over the additive match weight
+#: (the upper/lower cut the 1969 framework defines): at or above UPPER
+#: the pair auto-merges (an exact in-block name plus at least one more
+#: agreeing field, or a close name with every field agreeing); below
+#: LOWER it is rejected (a close name with both secondary fields
+#: disagreeing scores exactly 4); between them a human reviews. Integer
+#: literals shared verbatim with the oracle, like MATCH_WEIGHTS.
+MATCH_THRESHOLD_UPPER = 14
+MATCH_THRESHOLD_LOWER = 8
 
-def customer_match_evidence(
-    spark: SparkSession, sf_dir: str, max_distance: int = MAX_EDIT_DISTANCE
+
+def _evidence_frame(
+    spark: SparkSession, sf_dir: str, max_distance: int, key: str
 ) -> DataFrame:
-    """Multi-field match evidence for the review queue — the scoring
-    step a real ER pipeline runs AFTER blocking+verify (Fellegi &
-    Sunter 1969): each verified candidate pair gets per-field agreement
-    indicators over the FULL record (name distance from the verify
-    kernel; market segment equality; account-balance closeness in
-    integer cents) and their additive integer log-odds weight, so the
-    merge queue triages high-evidence pairs first and a threshold
-    splits auto-merge / review / reject bands.
-
-    Plan shape: the fuzzy pair frame (pair-count-bounded) joins the
-    customer attributes back once per side — at scale the pair frame is
-    tiny relative to the corpus, so both attribute joins broadcast the
-    PAIR side into the fact scan, never the reverse; all arithmetic is
-    integer (cents, literal weights), so the oracle hash-matches."""
+    """The unordered evidence frame behind
+    :func:`customer_match_evidence` and :func:`customer_match_verdict`
+    (one definition, so the verdict cannot band a different score than
+    the evidence op reports)."""
     cust = load_table(spark, sf_dir, "customer")
     attrs = cust.select(
         "c_custkey",
         F.expr("CAST(ROUND(100 * c_acctbal) AS BIGINT)").alias("bal_cents"),
         "c_mktsegment",
     )
-    pairs = _fuzzy_pairs(spark, sf_dir, max_distance)
+    pairs = _pairs_for(spark, sf_dir, max_distance, key)
     xa = attrs.select(
         F.col("c_custkey").alias("key_a"),
         F.col("bal_cents").alias("bal_a"),
@@ -600,6 +740,67 @@ def customer_match_evidence(
             )
             .cast("long")
             .alias("match_weight"),
+        )
+    )
+
+
+def customer_match_evidence(
+    spark: SparkSession,
+    sf_dir: str,
+    max_distance: int = MAX_EDIT_DISTANCE,
+    key: str = "prefix",
+) -> DataFrame:
+    """Multi-field match evidence for the review queue — the scoring
+    step a real ER pipeline runs AFTER blocking+verify (Fellegi &
+    Sunter 1969): each verified candidate pair gets per-field agreement
+    indicators over the FULL record (name distance from the verify
+    kernel; market segment equality; account-balance closeness in
+    integer cents) and their additive integer log-odds weight, so the
+    merge queue triages high-evidence pairs first and the
+    MATCH_THRESHOLD_UPPER/LOWER cuts split auto-merge / review / reject
+    bands (:func:`customer_match_verdict`).
+
+    ``key`` picks the BLOCK-KEY PROVIDER whose default candidate path
+    feeds the scorer (r9 — the scoring stage is provider-agnostic like
+    the profile and the verify kernel; each provider's own recall dial
+    applies upstream, the capped minhash form included).
+
+    Plan shape: the fuzzy pair frame (pair-count-bounded) joins the
+    customer attributes back once per side; at scale the pair frame is
+    far smaller than the corpus and AQE broadcasts the smaller side of
+    each attribute join (at harness scale that is the narrow attribute
+    frame; at 100 TB the pair side). All arithmetic is integer (cents,
+    literal weights), so the oracle hash-matches."""
+    return _evidence_frame(spark, sf_dir, max_distance, key).orderBy(
+        "key_a", "key_b"
+    )
+
+
+def customer_match_verdict(
+    spark: SparkSession,
+    sf_dir: str,
+    max_distance: int = MAX_EDIT_DISTANCE,
+    key: str = "prefix",
+) -> DataFrame:
+    """The decision layer over the evidence scores — the artifact a
+    merge queue actually consumes (r8 verdict item): every scored pair
+    banded by the Fellegi-Sunter upper/lower thresholds into
+    ``auto_merge`` (apply without review), ``review`` (human queue) or
+    ``reject`` (drop), carrying the full evidence row so the reviewer
+    sees WHY. Pure row-local CASE over :func:`_evidence_frame` — the
+    evidence op's own frame, so the banding can never disagree with
+    the reported score; thresholds are module literals shared verbatim
+    with the oracle."""
+    return (
+        _evidence_frame(spark, sf_dir, max_distance, key)
+        .withColumn(
+            "verdict",
+            F.when(
+                F.col("match_weight") >= MATCH_THRESHOLD_UPPER,
+                F.lit("auto_merge"),
+            )
+            .when(F.col("match_weight") >= MATCH_THRESHOLD_LOWER, F.lit("review"))
+            .otherwise(F.lit("reject")),
         )
         .orderBy("key_a", "key_b")
     )

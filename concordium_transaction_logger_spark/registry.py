@@ -645,6 +645,94 @@ mblk AS (
 )"""
 )
 
+#: Capped-minhash blocking fragment (r9): the band-size cap with the
+#: prefix fuzz-window fallback — KEEP IN LOCKSTEP with
+#: linkage.capped_band_keys; the cap and the fuzz window render from
+#: the linkage module's constants, so both engines re-key the
+#: identical hot bands.
+_MINHASH_MFIN = (
+    _MINHASH_MBLK
+    + f"""
+, msz AS (
+  SELECT blk, c_nationkey, COUNT(*) AS n
+  FROM mblk GROUP BY blk, c_nationkey
+),
+mfin AS (
+  SELECT m.c_custkey, m.name, m.c_nationkey,
+         CASE WHEN s.n > {linkage.MINHASH_BAND_CAP}
+              THEN 'p:' || substr(m.name, 1, length(m.name) - {linkage.BLOCK_SUFFIX})
+              ELSE m.blk END AS blk
+  FROM mblk m JOIN msz s USING (blk, c_nationkey)
+)"""
+)
+
+
+def _linkage_evidence_core(pairs_ctes: str) -> str:
+    """Render the Fellegi-Sunter evidence SELECT (sans presentation
+    ORDER BY) over a pair CTE named ``mev`` with (key_a, key_b,
+    edit_distance) columns — ONE rendering shared by the evidence
+    oracles for every provider and wrapped by the verdict oracle.
+    Weights, tolerance and thresholds interpolate from the linkage
+    module's literals (r8 ADVICE: the first cut hand-duplicated them,
+    so an edit to linkage.MATCH_WEIGHTS would have desynced op and
+    oracle)."""
+    w = linkage.MATCH_WEIGHTS
+    tol = linkage.BALANCE_CENTS_TOLERANCE
+    return (
+        pairs_ctes
+        + f""",
+mattr AS (
+  SELECT c_custkey, CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents,
+         c_mktsegment
+  FROM customer
+)
+SELECT p.key_a, p.key_b, p.edit_distance,
+       CAST(x.c_mktsegment = y.c_mktsegment AS BIGINT) AS seg_match,
+       CAST(abs(x.bal_cents - y.bal_cents)
+            <= {tol} AS BIGINT) AS bal_close,
+       CAST(CASE WHEN p.edit_distance = 0 THEN {w["name_exact"]}
+                 ELSE {w["name_close"]} END
+          + CASE WHEN x.c_mktsegment = y.c_mktsegment
+                 THEN {w["segment_agree"]} ELSE {w["segment_disagree"]} END
+          + CASE WHEN abs(x.bal_cents - y.bal_cents)
+                      <= {tol}
+                 THEN {w["balance_close"]} ELSE {w["balance_far"]} END
+         AS BIGINT) AS match_weight
+FROM mev p
+JOIN mattr x ON p.key_a = x.c_custkey
+JOIN mattr y ON p.key_b = y.c_custkey"""
+    )
+
+
+#: The prefix provider's pair CTE for the evidence renderer — the
+#: same _LINKAGE_CBLK/_LINKAGE_PAIRS fragments as every linkage oracle.
+_LINKAGE_MEV_PREFIX = (
+    _LINKAGE_CBLK
+    + f"""
+, mev AS (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+  {_LINKAGE_PAIRS}
+)"""
+)
+
+#: The capped-minhash provider's pair CTE for the evidence renderer —
+#: the DISTINCT folds multi-band matches exactly as the Spark pair
+#: frame does.
+_LINKAGE_MEV_MINHASH = (
+    _MINHASH_MFIN
+    + f"""
+, mev AS (
+  SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+  FROM mfin a JOIN mfin b
+    ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
+)"""
+)
+
+
 _BPAIRS_SQL = """
 , bpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2064,21 +2152,42 @@ ORDER BY key_a, key_b
     # (A, B, P) constants render into this SQL from the linkage module,
     # so both engines compute the identical integer signatures and the
     # blocked pair SET (not just the verified output) is cross-engine
-    # exact.
+    # exact. CAPPED default since r9 (the mfin fragment): bands above
+    # MINHASH_BAND_CAP fall back to the prefix fuzz-window key — the
+    # hot-band Σ|band|² tail is gone and both engines re-key the
+    # identical bands; what the cap re-keys is the customer_stop_bands
+    # audit below.
     "customer_fuzzy_matches_minhash": QueryDef(
         linkage.customer_fuzzy_matches_minhash,
-        _MINHASH_MBLK
+        _MINHASH_MFIN
         + f"""
 SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
        a.name AS name_a, b.name AS name_b,
        CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
-FROM mblk a JOIN mblk b
+FROM mfin a JOIN mfin b
   ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.name, b.name) <= {linkage.MAX_EDIT_DISTANCE}
 ORDER BY key_a, key_b
 """,
         bench=True,
+    ),
+    # The no-silent-caps audit twin for the cap (r9, the
+    # doc_stop_shingles artifact): every band the capped default
+    # re-keys, with the C(size,2) verify work it would have bought.
+    "customer_stop_bands": QueryDef(
+        linkage.customer_stop_bands,
+        _MINHASH_MBLK
+        + f"""
+, msb AS (
+  SELECT blk, c_nationkey, COUNT(*) AS block_size
+  FROM mblk WHERE blk IS NOT NULL GROUP BY blk, c_nationkey
+)
+SELECT blk, c_nationkey, block_size,
+       block_size * (block_size - 1) // 2 AS candidate_pairs
+FROM msb WHERE block_size > {linkage.MINHASH_BAND_CAP}
+ORDER BY blk, c_nationkey
+""",
     ),
     # Capacity audit for the CANDIDATE key (r8): profile a provider
     # BEFORE switching the pipeline to it — on this corpus the audit is
@@ -2137,37 +2246,43 @@ ORDER BY key_a, key_b
     # Multi-field match evidence (late r8, Fellegi & Sunter 1969): the
     # scoring step after blocking+verify — per-field agreement
     # indicators + an additive integer log-odds weight for the merge
-    # review queue. Weights/tolerance render from the linkage module's
-    # literals; everything is integer, so the oracle hash-matches.
+    # review queue. The whole SELECT renders through
+    # _linkage_evidence_core from the linkage module's weight/tolerance
+    # literals (r8 ADVICE fix); everything is integer, so the oracle
+    # hash-matches.
     "customer_match_evidence": QueryDef(
         linkage.customer_match_evidence,
-        _LINKAGE_CBLK
-        + f"""
-, mev AS (
-  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-         CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
-  {_LINKAGE_PAIRS}
-),
-mattr AS (
-  SELECT c_custkey, CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents,
-         c_mktsegment
-  FROM customer
-)
-SELECT p.key_a, p.key_b, p.edit_distance,
-       CAST(x.c_mktsegment = y.c_mktsegment AS BIGINT) AS seg_match,
-       CAST(abs(x.bal_cents - y.bal_cents)
-            <= 50000 AS BIGINT) AS bal_close,
-       CAST(CASE WHEN p.edit_distance = 0 THEN 11
-                 ELSE 7 END
-          + CASE WHEN x.c_mktsegment = y.c_mktsegment
-                 THEN 4 ELSE -2 END
-          + CASE WHEN abs(x.bal_cents - y.bal_cents)
-                      <= 50000
-                 THEN 3 ELSE -1 END
-         AS BIGINT) AS match_weight
-FROM mev p
-JOIN mattr x ON p.key_a = x.c_custkey
-JOIN mattr y ON p.key_b = y.c_custkey
+        _linkage_evidence_core(_LINKAGE_MEV_PREFIX)
+        + "\nORDER BY key_a, key_b\n",
+    ),
+    # Provider-parametrized evidence (r9 — the r8 verdict asked the
+    # scorer to accept key=... like the profile does): the SAME
+    # rendered evidence SELECT over the capped-minhash provider's
+    # default pair frame, proving the scoring stage is
+    # provider-agnostic with a non-default provider oracle-green.
+    "customer_match_evidence_minhash": QueryDef(
+        lambda spark, sf_dir: linkage.customer_match_evidence(
+            spark, sf_dir, key="minhash_band"
+        ),
+        _linkage_evidence_core(_LINKAGE_MEV_MINHASH)
+        + "\nORDER BY key_a, key_b\n",
+    ),
+    # The decision layer (r9, the Fellegi-Sunter upper/lower cut): the
+    # evidence frame banded into auto_merge / review / reject — the
+    # artifact a merge queue actually consumes. Thresholds interpolate
+    # from linkage.MATCH_THRESHOLD_UPPER/LOWER; the evidence subquery
+    # is the same single rendering as the evidence oracles, so op and
+    # oracle cannot band different scores.
+    "customer_match_verdict": QueryDef(
+        linkage.customer_match_verdict,
+        f"""
+SELECT *,
+       CASE WHEN match_weight >= {linkage.MATCH_THRESHOLD_UPPER}
+            THEN 'auto_merge'
+            WHEN match_weight >= {linkage.MATCH_THRESHOLD_LOWER}
+            THEN 'review'
+            ELSE 'reject' END AS verdict
+FROM ({_linkage_evidence_core(_LINKAGE_MEV_PREFIX)})
 ORDER BY key_a, key_b
 """,
     ),
@@ -3441,57 +3556,56 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # ---- round-8 rotation (31 slots): 3 never-driver-checked entries
-    # (the r7 backlog item customer_block_profile plus this round's two
-    # new ops), 7 regression signals for code this round touched (the
-    # whole linkage family — the components oracle moved onto the
-    # asserted RECURSIVE fragment — plus doc_bigram_surprisal, whose
-    # bigram constructor was factored into the shared bigram_zip the
-    # collision audit reuses, and the three r7-changed slope targets
-    # kept for continuity incl. the bench-watch item
-    # doc_ngram_jaccard_pairs), and the 21 STALEST oracle-backed
-    # entries — 17 relational rows last driver-checked in round 2 and
-    # the 4 stalest LLM-pipeline ops (round 3), computed from the
-    # CORRECTNESS_r01-r07 union — so the union's evidence stays fresh
-    # instead of resting on five-round-old runs, and the window keeps
-    # its >=10-LLM-ops invariant. All rotated-out names stay
-    # value-checked every pytest run by test_oracle_parity.
-    # never driver-checked (backlog -> 0; the late-r8 minhash profile
-    # takes the slot orders_by_weekday held)
-    "customer_block_profile",
+    # ---- round-9 rotation (31 slots): 3 never-driver-checked entries
+    # (this round's new ops — the cap audit, the provider-parametrized
+    # evidence, the decision layer), 3 regression signals for code this
+    # round changed (the minhash matches query switched to the CAPPED
+    # default — its result rows changed; the prefix evidence oracle was
+    # re-rendered through _linkage_evidence_core; the minhash profile
+    # sits on the same fragments), and the 25 STALEST oracle-backed
+    # entries — 12 relational rows last driver-checked in round 2, 11
+    # rows from round 3, and the 2 stalest round-4 ANN rows — computed
+    # from the CORRECTNESS_r01-r08 union (rotation backlog stays 0 and
+    # every entry's staleness stays <= 5 rounds, the r8 verdict's
+    # freshness target). 12 LLM-pipeline ops in the window keeps the
+    # >=10 invariant. All rotated-out names stay value-checked every
+    # pytest run by test_oracle_parity.
+    # never driver-checked (r9 additions)
+    "customer_stop_bands",
+    "customer_match_evidence_minhash",
+    "customer_match_verdict",
+    # r9-touched regression signals
     "customer_fuzzy_matches_minhash",
-    "customer_block_profile_minhash",
-    "customer_fuzzy_matches_sorted",
     "customer_match_evidence",
-    "gram_hash_collision_audit",
-    # r8-touched regression signals
-    "customer_fuzzy_matches",
-    "customer_best_match",
-    "customer_match_components",
-    "doc_bigram_surprisal",
-    "doc_ngram_jaccard_pairs",
-    "doc_tfidf_cosine_pairs",
-    "corpus_source_overlap",
-    # stalest LLM-pipeline ops (last green in CORRECTNESS_r03)
-    "ann_cosine_topk_int8",
-    "ann_ivf_assign",
-    "doc_bpe_token_stats",
-    "doc_dup_verdict",
-    # stalest relational rows (all last green in CORRECTNESS_r02)
-    "big_volume_orders",
-    "brand_revenue",
-    "churned_customers",
-    "customer_order_distribution",
-    "customer_order_gaps",
-    "doc_length_percentiles",
-    "doc_token_df_distribution",
-    "late_order_priority_counts",
-    "nation_monthly_cumulative",
-    "nation_revenue",
-    "nation_segment_pivot",
-    "order_priority_rollup",
-    "order_status_cube",
-    "part_supplier_variety",
+    "customer_block_profile_minhash",
+    # stalest relational rows (last green in CORRECTNESS_r02)
+    "above_average_orders",
+    "active_customers_union",
+    "orders_by_weekday",
+    "priority_part_breadth",
+    "priority_status_grouping_sets",
+    "region_nation_revenue",
+    "repeat_customers",
+    "rich_inactive_customers",
+    "small_quantity_revenue",
+    "supplier_rank_family",
+    "top_orders_by_revenue",
+    "top_spenders",
+    # stalest round-3 rows
+    "doc_exact_dup_groups",
+    "doc_lang_id",
+    "doc_minhash_signatures",
+    "doc_simhash",
+    "doc_split_contamination",
+    "doc_stratified_sample",
+    "doc_train_split",
+    "doc_winnow_dup_pairs",
+    "doc_winnow_fingerprints",
+    "error_followup_burst",
+    "media_frame_sample",
+    # stalest round-4 ANN rows
+    "ann_cosine_topk",
+    "ann_lsh_topk",
 ]
 
 # Star-contraction components twin: identical output contract and oracle

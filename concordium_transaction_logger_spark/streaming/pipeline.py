@@ -2125,7 +2125,20 @@ def _pin_sink_layout(
     would prune against the wrong layout and silently miss seen rows —
     the fail-open class this family refuses. Scheme-aware I/O like the
     re-batching ledger. ``defaults`` backfills fields older sidecars
-    predate (they were written when only the default existed)."""
+    predate (they were written when only the default existed).
+
+    A missing sidecar is only a VIRGIN sink when the directory holds no
+    data (r8 ADVICE): a sink written before the layout pin existed has
+    rows with no bucket columns at all — a new writer pinning a fresh
+    layout over it would read those legacy rows with bucket = NULL,
+    prune every one of them out of the seen state, and silently lose
+    prior history (records re-admitted, conflicts undetected, pairs
+    never emitted). So data-with-no-sidecar is refused with the reset
+    remedy, exactly like the pre-ledger history refusal in
+    :func:`_guard_delta_batching`. Only metadata entries (underscore-
+    prefixed sidecars/ledgers, ``.tmp`` staging) are exempt from the
+    probe — anything else in the directory is state this writer cannot
+    verify."""
     import json as _json
 
     path = out_dir.rstrip("/") + "/_layout.json"
@@ -2143,6 +2156,20 @@ def _pin_sink_layout(
                 f"the sink and checkpoint together"
             )
         return
+    data = [
+        e
+        for e in io.listdir(out_dir.rstrip("/"))
+        if not e.startswith("_") and not e.endswith(".tmp")
+    ]
+    if data:
+        raise ValueError(
+            f"sink {out_dir} holds data (e.g. {data[0]!r}) but no "
+            f"_layout.json sidecar — it predates the layout pin, so its "
+            f"rows carry no bucket columns and a freshly-pinned layout "
+            f"would prune ALL of them out of the seen state (silent "
+            f"history loss); reset the sink and checkpoint together to "
+            f"re-ingest under a pinned layout"
+        )
     io.write_text_atomic(path, _json.dumps(layout))
 
 
@@ -2681,8 +2708,14 @@ class StreamingLinkageIngest:
         bucket count would prune seen-state reads against the wrong
         layout and a mismatched block-key provider would verify new
         records against blocks built under a different key; both
-        silently MISS pairs (fail-open). Runs after every refusal gate
-        so a refused batch still leaves a virgin sink directory-free."""
+        silently MISS pairs (fail-open). Runs right after the batching
+        guard, BEFORE the payload refusal gates (r8 ADVICE): the pin
+        records construction parameters whose validity does not depend
+        on the batch's fate — pinning early makes the refusal texts'
+        fix-in-place remedy exact (ledger AND layout already durable
+        when a refusal fires), and the layout/legacy-data mismatch
+        refusals themselves fire here, before any probe could read
+        through a wrong layout."""
         _pin_sink_layout(
             self.out_dir, {"n_buckets": self.n_buckets, "key": self.key},
             defaults={"key": "prefix"},
@@ -2726,6 +2759,7 @@ class StreamingLinkageIngest:
         from ..operators import linkage
 
         _guard_delta_batching(self.out_dir, self.checkpoint_dir, batch_id)
+        self._pin_layout()
         # Record identity is c_custkey; an at-least-once source may
         # re-deliver a record in a later file (the hazard
         # StreamingCorpusIngest dedups by fingerprint). IDENTICAL-copy
@@ -2835,7 +2869,6 @@ class StreamingLinkageIngest:
             # to the batch query. The prefix path keeps its dedup-free
             # plan (its self-join emits each pair once by construction).
             fresh_pairs = fresh_pairs.distinct()
-        self._pin_layout()
         _write_batch_partition(fresh_pairs, batch_id, self.pairs_dir)
         _write_batch_partition(
             newb, batch_id, self.records_dir, extra_partition="kb"

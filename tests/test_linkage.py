@@ -350,6 +350,178 @@ def test_sorted_neighborhood_window_guarantee(spark, sf_dir):
     assert within, "corpus must contain window-adjacent fuzzy pairs"
 
 
+def _lev_le1(a, b):
+    """Cheap edit-distance<=1 check shared by the ground-truth builders."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def test_minhash_band_cap_semantics(spark, sf_dir):
+    """The hot-band cap's contracts, exercised with a FORCED tiny cap —
+    the real MINHASH_BAND_CAP never binds at this corpus size (max band
+    7 at sf0.001); the driver's sf0.01 oracle parity exercises it at a
+    scale where it does. With cap=3: (a) every emitted pair is a true
+    same-nation pair within the threshold; (b) any pair sharing a band
+    at or under the cap is still found — cold bands are untouched by
+    the cap; (c) oversized-band members still meet through the prefix
+    fallback key when both carry a hot membership and agree inside the
+    fuzz window — the recall-floor half of the design (a drop-cap has
+    no such floor); (d) the stop-band audit enumerates exactly the
+    oversized bands with their C(size,2) work; and (e) band_cap=None
+    reproduces the declared-exact uncapped frame."""
+    from collections import Counter, defaultdict
+
+    from concordium_transaction_logger_spark.operators.linkage import (
+        blocked_records,
+        customer_fuzzy_matches_minhash,
+        customer_stop_bands,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    cap = 3
+    banded = blocked_records(
+        load_table(spark, sf_dir, "customer"), key="minhash_band"
+    ).collect()
+    sizes = Counter((r.blk, r.c_nationkey) for r in banded)
+    assert any(n > cap for n in sizes.values()), "forced cap must bind"
+    assert max(sizes.values()) <= 32, (
+        "if the corpus ever grows bands past the real MINHASH_BAND_CAP "
+        "at test scale, add a binding-default assertion here"
+    )
+
+    # (d) the audit IS the python histogram's oversized tail
+    audit = {
+        (r.blk, r.c_nationkey): (r.block_size, r.candidate_pairs)
+        for r in customer_stop_bands(spark, sf_dir, cap=cap).collect()
+    }
+    assert audit == {
+        k: (n, n * (n - 1) // 2) for k, n in sizes.items() if n > cap
+    }
+
+    capped = customer_fuzzy_matches_minhash(spark, sf_dir, band_cap=cap)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.key_a, r.key_b) for r in capped.collect()}
+
+    by_key = {}
+    for r in banded:
+        by_key[r.c_custkey] = (r.name, r.c_nationkey)
+
+    def true_pair(ka, kb):
+        (na, ta), (nb, tb) = by_key[ka], by_key[kb]
+        return ta == tb and _lev_le1(na, nb)
+
+    # (a) verification stays exact under the cap
+    assert all(true_pair(ka, kb) for ka, kb in got)
+
+    # (b) cold-band guarantee + (e) uncapped equivalence
+    groups = defaultdict(list)
+    for r in banded:
+        groups[(r.blk, r.c_nationkey)].append(r.c_custkey)
+    cold_pairs, all_band_pairs = set(), set()
+    for k, members in groups.items():
+        for i, ka in enumerate(sorted(members)):
+            for kb in sorted(members)[i + 1:]:
+                if true_pair(ka, kb):
+                    all_band_pairs.add((ka, kb))
+                    if sizes[k] <= cap:
+                        cold_pairs.add((ka, kb))
+    assert cold_pairs <= got, "pairs sharing a cold band must survive the cap"
+    uncapped = {
+        (r.key_a, r.key_b)
+        for r in customer_fuzzy_matches_minhash(
+            spark, sf_dir, band_cap=None
+        ).collect()
+    }
+    assert uncapped == all_band_pairs
+
+    # (c) the prefix-fallback floor: two records that EACH sit in some
+    # oversized band and agree outside the fuzz window must still meet
+    hot_members = {
+        m for k, members in groups.items() if sizes[k] > cap for m in members
+    }
+    floor = {
+        (ka, kb)
+        for ka in hot_members
+        for kb in hot_members
+        if ka < kb
+        and by_key[ka][1] == by_key[kb][1]
+        and by_key[ka][0][:-BLOCK_SUFFIX] == by_key[kb][0][:-BLOCK_SUFFIX]
+        and _lev_le1(by_key[ka][0], by_key[kb][0])
+    }
+    assert floor, "test corpus must exercise the fallback path"
+    assert floor <= got
+
+
+def test_match_evidence_is_provider_parametrized(spark, sf_dir):
+    """The scoring stage must accept key=... like the profile does (r8
+    verdict item): evidence over the minhash provider scores exactly
+    that provider's default (capped) pair frame, with the same additive
+    weight contract, and an unknown provider is refused by the shared
+    dispatch."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        MATCH_WEIGHTS as W,
+        customer_fuzzy_matches_minhash,
+        customer_match_evidence,
+    )
+
+    rows = customer_match_evidence(spark, sf_dir, key="minhash_band").collect()
+    want_pairs = {
+        (r.key_a, r.key_b)
+        for r in customer_fuzzy_matches_minhash(spark, sf_dir).collect()
+    }
+    assert {(r.key_a, r.key_b) for r in rows} == want_pairs
+    assert len(rows) == len(want_pairs)
+    for r in rows:
+        want = (
+            (W["name_exact"] if r.edit_distance == 0 else W["name_close"])
+            + (W["segment_agree"] if r.seg_match else W["segment_disagree"])
+            + (W["balance_close"] if r.bal_close else W["balance_far"])
+        )
+        assert r.match_weight == want
+    with pytest.raises(ValueError, match="block-key provider"):
+        customer_match_evidence(spark, sf_dir, key="soundex").collect()
+
+
+def test_match_verdict_bands_by_the_thresholds(spark, sf_dir):
+    """The decision layer: one verdict row per evidence row, banded
+    exactly by the module's threshold literals — recomputed in Python
+    so the thresholds cannot drift between op, docstring and oracle —
+    and the corpus must exercise more than one band (all-reject would
+    make the banding vacuous)."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        MATCH_THRESHOLD_LOWER,
+        MATCH_THRESHOLD_UPPER,
+        customer_match_evidence,
+        customer_match_verdict,
+    )
+
+    rows = customer_match_verdict(spark, sf_dir).collect()
+    assert len(rows) == customer_match_evidence(spark, sf_dir).count()
+    assert rows
+    for r in rows:
+        if r.match_weight >= MATCH_THRESHOLD_UPPER:
+            want = "auto_merge"
+        elif r.match_weight >= MATCH_THRESHOLD_LOWER:
+            want = "review"
+        else:
+            want = "reject"
+        assert r.verdict == want
+    assert len({r.verdict for r in rows}) > 1
+
+
 def test_match_evidence_weights_are_the_literal_sum(spark, sf_dir):
     """The evidence score must be exactly the additive combination of
     the per-field indicators and the module's weight literals — checked

@@ -349,6 +349,35 @@ def test_seen_side_reads_are_partition_pruned(spark, sf_dir, dirs):
     assert ingest._seen_keys(before_batch=3, kbs=[]).count() == 0
 
 
+def test_legacy_sink_without_layout_sidecar_is_refused(spark, sf_dir, dirs):
+    """A sink written BEFORE the layout pin existed holds data but no
+    _layout.json (r8 ADVICE): its rows predate the bucket columns, so a
+    writer that silently pinned a fresh layout over it would read the
+    legacy seen rows with bucket = NULL, prune every one of them out of
+    both probes, and lose prior state without a sound — records
+    re-admitted, conflicts undetected, cross-batch pairs never emitted.
+    Simulated by deleting the sidecar from a healthy sink: the next
+    writer must refuse before mutating anything, naming the remedy."""
+    import os
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    want = _pairs(linkage_pairs_from_sink(spark, dirs["out"]))
+    os.remove(dirs["out"] + "/_layout.json")
+
+    # lost-checkpoint replay over the now-sidecar-less sink: the
+    # batching ledger would wave the identical replay through, so the
+    # layout pin is the gate that must catch it
+    shutil.rmtree(dirs["ckpt"])
+    with pytest.raises(Exception, match="predates the layout pin"):
+        StreamingLinkageIngest(
+            spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+        ).run_available_now()
+    assert _pairs(linkage_pairs_from_sink(spark, dirs["out"])) == want
+
+
 def test_mismatched_bucket_count_is_refused_before_writing(spark, sf_dir, dirs):
     """n_buckets is pinned at first write: a writer constructed with a
     different count would prune seen-state reads against the wrong
