@@ -2575,7 +2575,15 @@ class StreamingLinkageIngest:
     multi-band pair duplicates with one pair-bounded distinct before
     the append-only sink, and the provider is pinned in the layout
     sidecar so a mismatched writer is refused before it can verify new
-    records against blocks built under a different key).
+    records against blocks built under a different key). The minhash
+    provider streams UNCAPPED: the batch default's band-size cap
+    (``linkage.MINHASH_BAND_CAP``) is a corpus-level statistic — a band
+    crossing the cap as records arrive would need retroactive re-keying
+    of already-written block state, inexpressible in append-only block
+    history (the same corpus-relative argument that excludes
+    sorted_neighborhood); a deployment needing the cap's bound runs the
+    batch query over the served corpus, and ``customer_block_profile``
+    over the sink records is the monitoring dial.
 
     Not an additive-delta sink but INCREMENTAL-JOIN state, and the pair
     emission is batching-invariant by construction: each micro-batch is

@@ -307,6 +307,55 @@ def _streaming_linkage_ingest(spark, cdir: str):
     return linkage_pairs_from_sink(spark, os.path.join(root, "out"))
 
 
+def _streaming_corpus_mode(near_dup: bool = False, span_dedup: bool = False):
+    """The corpus-dedup sink's admission modes measured end-to-end (r8
+    verdict evidence gap: the linkage sink got its slope row in r8; the
+    corpus side sinks got the same bucket-pruning treatment but no
+    measurement): a 6-batch availableNow ingest of the corpus documents
+    into a FRESH sink with the requested admission layer, then the
+    admitted view. Fresh dirs per pass so the min-of-2 never times a
+    no-op rerun.
+
+    Same regime note as the linkage row (SCALE.md): 6 corpus-growing
+    batches span all 64 hash buckets, so the directory pruning is inert
+    at harness scale and the row measures the admission JOIN+WRITE
+    linearity in the corpus; the pruned-read win pays off at the
+    registry shape and its EXACTNESS is what tests/test_streaming.py
+    pins."""
+    import tempfile as _tf
+
+    import atexit as _atexit
+
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingCorpusIngest,
+    )
+
+    def run(spark, cdir: str):
+        root = _tf.mkdtemp(prefix="ctl_scorp_")
+        _atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        docs = spark.read.parquet(os.path.join(cdir, "documents.parquet"))
+        for m in range(6):
+            (
+                docs.filter(F.col("doc_id") % 6 == m)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        StreamingCorpusIngest(
+            spark,
+            src,
+            os.path.join(root, "out"),
+            os.path.join(root, "ckpt"),
+            max_files_per_trigger=1,
+            near_dup=near_dup,
+            span_dedup=span_dedup,
+        ).run_available_now()
+        return spark.read.parquet(os.path.join(root, "out"))
+
+    return run
+
+
 def main() -> None:
     from concordium_transaction_logger_spark.operators import (
         dedup,
@@ -380,6 +429,14 @@ def main() -> None:
             # the block-size distribution is replica-invariant and pair
             # work grows linearly — the sum(|block|^2) bound in action
             "fuzzy_matches": linkage.customer_fuzzy_matches,
+            # the minhash band provider (r8 verdict evidence gap): the
+            # CAPPED default — replicas rewrite names from shifted keys,
+            # so per-replica gram structure is invariant, but min-gram
+            # signatures DO collide across replicas (hot bands grow with
+            # the corpus — the exact shape the cap exists for; the
+            # uncapped form is what SCALE.md's 2.7M-candidate note
+            # measured)
+            "fuzzy_matches_minhash": linkage.customer_fuzzy_matches_minhash,
             # the closure over the pair graph: components rounds are
             # bounded by the PAIR count (2-clique propagation), so the
             # slope should track fuzzy_matches, not the corpus
@@ -388,6 +445,11 @@ def main() -> None:
             # ingest into a fresh sink + served pair read) — see
             # _streaming_linkage_ingest for the regime note
             "streaming_linkage": _streaming_linkage_ingest,
+            # the corpus-dedup sink's two stateful admission modes,
+            # end-to-end (r8 verdict evidence gap) — see
+            # _streaming_corpus_mode for the regime note
+            "streaming_corpus_neardup": _streaming_corpus_mode(near_dup=True),
+            "streaming_corpus_span": _streaming_corpus_mode(span_dedup=True),
         }
 
     def boiler_families(m: int):
