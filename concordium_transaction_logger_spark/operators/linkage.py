@@ -776,6 +776,148 @@ def customer_match_evidence(
     )
 
 
+def customer_match_field_odds(
+    spark: SparkSession,
+    sf_dir: str,
+    max_distance: int = MAX_EDIT_DISTANCE,
+    key: str = "prefix",
+) -> DataFrame:
+    """Estimate the Fellegi-Sunter m/u parameters FROM THE DATA — the
+    step that justifies (or indicts) the hand-quantized MATCH_WEIGHTS
+    literals: for each secondary field, the agreement rate among
+    MATCHED pairs (m — the verified fuzzy pair frame is the standard
+    match proxy) vs among ALL record pairs (u — random pairs are
+    almost surely non-matches), both as integer parts-per-million, plus
+    their integer odds ratio. A field whose ratio is high deserves a
+    large positive agreement weight; near 1, the field carries no
+    evidence. One row per field:
+
+    - ``name_exact``: m = share of verified pairs at edit distance 0;
+      u = probability two RANDOM records share the exact normalized
+      name — computed EXACTLY from the name histogram (sum C(n,2) over
+      name groups / C(N,2)), one partial-agg groupBy, no pair join.
+    - ``segment``: m from the pair frame; u exactly from the segment
+      histogram the same way — the classic closed form for a
+      categorical field.
+    - ``balance``: m from the pair frame; u = share of ALL pairs
+      within BALANCE_CENTS_TOLERANCE, counted by a BANDED self-join on
+      ``bal_cents DIV tol`` buckets (each record probes its own and
+      both neighbor buckets — the tolerance window spans at most two
+      boundaries, so the 3-bucket probe is exact): pair work is
+      Σ per-bucket products bounded by the tolerance/range density,
+      never a cartesian — the same banded-equi-join shape as the
+      sorted-neighborhood provider, and the count is a partial
+      aggregate (no pair frame materializes).
+
+    Everything is integer (counts, ppm via DIV, ratio via DIV with a
+    max(1,·) guard), so the oracle hash-matches; u for ``name_close``
+    would need an all-pairs edit-distance pass and is deliberately
+    absent (the blocked pair frame cannot estimate it unbiasedly —
+    documented, not silently approximated).
+
+    What it reveals on THIS corpus is itself the point: TPC-H draws
+    segments and balances independently of the name-typo structure, so
+    the measured ratios sit near (segment: below) 1 and name_exact is
+    degenerate — the MATCH_WEIGHTS literals demonstrate the scoring
+    MECHANICS, and a real deployment runs this estimator on its own
+    corpus before trusting any weight table (pinned in tests)."""
+    cust = load_table(spark, sf_dir, "customer")
+    rec = cust.select(
+        "c_custkey",
+        F.lower(F.col("c_name")).alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(ROUND(100 * c_acctbal) AS BIGINT)").alias("bal_cents"),
+    ).localCheckpoint()
+
+    ev = _evidence_frame(spark, sf_dir, max_distance, key)
+    m = ev.agg(
+        F.count("*").alias("m_total"),
+        F.sum((F.col("edit_distance") == 0).cast("long")).alias("m_name_exact"),
+        F.sum("seg_match").alias("m_seg"),
+        F.sum("bal_close").alias("m_bal"),
+    )
+
+    n_total = rec.agg(F.count("*").alias("n")).select(
+        "n", F.expr("n * (n - 1) DIV 2").alias("u_total")
+    )
+    u_name = (
+        rec.groupBy("name")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("u_name_agree"))
+    )
+    u_seg = (
+        rec.groupBy("seg")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("u_seg_agree"))
+    )
+    tol = BALANCE_CENTS_TOLERANCE
+    bkt = rec.select(
+        "c_custkey",
+        "bal_cents",
+        F.expr(
+            # floor-division bucket: subtract the POSITIVE remainder
+            # (pmod) first — balances go negative, and truncating DIV
+            # would fold buckets -1 and 0 together; the numerator is
+            # then an exact multiple of tol, so DIV (and the oracle's
+            # //) is exact regardless of either engine's rounding mode
+            f"(bal_cents - pmod(bal_cents, {tol})) DIV {tol}"
+        ).alias("b"),
+    )
+    probe = bkt.select(
+        "c_custkey",
+        "bal_cents",
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("b"),
+    )
+    u_bal = (
+        bkt.alias("x")
+        .join(
+            probe.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.c_custkey") < F.col("y.c_custkey")),
+        )
+        .filter(
+            F.abs(F.col("x.bal_cents") - F.col("y.bal_cents")) <= tol
+        )
+        .agg(F.count("*").alias("u_bal_agree"))
+    )
+
+    one = (
+        m.join(F.broadcast(n_total))
+        .join(F.broadcast(u_name))
+        .join(F.broadcast(u_seg))
+        .join(F.broadcast(u_bal))
+        .localCheckpoint()
+    )
+    rows = []
+    for field, m_col, u_col in (
+        ("balance", "m_bal", "u_bal_agree"),
+        ("name_exact", "m_name_exact", "u_name_agree"),
+        ("segment", "m_seg", "u_seg_agree"),
+    ):
+        rows.append(
+            one.select(
+                F.lit(field).alias("field"),
+                F.expr(f"CAST(1000000 * {m_col} DIV m_total AS BIGINT)").alias(
+                    "m_ppm"
+                ),
+                F.expr(
+                    f"CAST(1000000 * {u_col} DIV u_total AS BIGINT)"
+                ).alias("u_ppm"),
+                F.expr(
+                    f"CAST((1000000 * {m_col} DIV m_total) * 1000 "
+                    f"DIV greatest(1, 1000000 * {u_col} DIV u_total) "
+                    f"AS BIGINT)"
+                ).alias("mu_ratio_x1000"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("field")
+
+
 def customer_match_verdict(
     spark: SparkSession,
     sf_dir: str,

@@ -2286,6 +2286,74 @@ FROM ({_linkage_evidence_core(_LINKAGE_MEV_PREFIX)})
 ORDER BY key_a, key_b
 """,
     ),
+    # Fellegi-Sunter m/u parameter ESTIMATION (r9): the step that
+    # justifies the hand-quantized MATCH_WEIGHTS — per-field agreement
+    # rates among verified pairs (m) vs among ALL pairs (u), exact
+    # closed forms from the value histograms for name/segment, a banded
+    # tolerance self-join (counted, never materialized) for balance.
+    # All integer (ppm via DIV), so the oracle hash-matches; tolerance
+    # renders from the linkage module like everything else.
+    "customer_match_field_odds": QueryDef(
+        linkage.customer_match_field_odds,
+        _LINKAGE_MEV_PREFIX
+        + f"""
+, oat AS (
+  SELECT c_custkey, lower(c_name) AS name, c_mktsegment AS seg,
+         CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents
+  FROM customer
+),
+om AS (
+  SELECT COUNT(*) AS m_total,
+         SUM(CASE WHEN p.edit_distance = 0 THEN 1 ELSE 0 END) AS m_name_exact,
+         SUM(CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END) AS m_seg,
+         SUM(CASE WHEN abs(x.bal_cents - y.bal_cents)
+                  <= {linkage.BALANCE_CENTS_TOLERANCE} THEN 1 ELSE 0 END) AS m_bal
+  FROM mev p
+  JOIN oat x ON p.key_a = x.c_custkey
+  JOIN oat y ON p.key_b = y.c_custkey
+),
+otot AS (SELECT COUNT(*) * (COUNT(*) - 1) // 2 AS u_total FROM oat),
+oun AS (SELECT SUM(c * (c - 1) // 2) AS u_name_agree
+        FROM (SELECT COUNT(*) AS c FROM oat GROUP BY name)),
+ous AS (SELECT SUM(c * (c - 1) // 2) AS u_seg_agree
+        FROM (SELECT COUNT(*) AS c FROM oat GROUP BY seg)),
+obk AS (
+  SELECT c_custkey, bal_cents,
+         (bal_cents - ((bal_cents % {linkage.BALANCE_CENTS_TOLERANCE})
+                       + {linkage.BALANCE_CENTS_TOLERANCE})
+                      % {linkage.BALANCE_CENTS_TOLERANCE})
+         // {linkage.BALANCE_CENTS_TOLERANCE} AS b
+  FROM oat
+),
+opr AS (
+  SELECT c_custkey, bal_cents, unnest([b - 1, b, b + 1]) AS b FROM obk
+),
+oub AS (
+  SELECT COUNT(*) AS u_bal_agree
+  FROM obk x JOIN opr y ON x.b = y.b AND x.c_custkey < y.c_custkey
+  WHERE abs(x.bal_cents - y.bal_cents) <= {linkage.BALANCE_CENTS_TOLERANCE}
+),
+ofld AS (
+  SELECT 'balance' AS field, m_bal AS m_agree, u_bal_agree AS u_agree,
+         m_total, u_total
+  FROM om, otot, oub
+  UNION ALL
+  SELECT 'name_exact', m_name_exact, u_name_agree, m_total, u_total
+  FROM om, otot, oun
+  UNION ALL
+  SELECT 'segment', m_seg, u_seg_agree, m_total, u_total
+  FROM om, otot, ous
+)
+SELECT field,
+       CAST(1000000 * m_agree // m_total AS BIGINT) AS m_ppm,
+       CAST(1000000 * u_agree // u_total AS BIGINT) AS u_ppm,
+       CAST((1000000 * m_agree // m_total) * 1000
+            // greatest(1, 1000000 * u_agree // u_total) AS BIGINT)
+         AS mu_ratio_x1000
+FROM ofld
+ORDER BY field
+""",
+    ),
     "customer_best_match": QueryDef(
         linkage.customer_best_match,
         _LINKAGE_CBLK
@@ -3556,24 +3624,29 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # ---- round-9 rotation (31 slots): 3 never-driver-checked entries
+    # ---- round-9 rotation (31 slots): 4 never-driver-checked entries
     # (this round's new ops — the cap audit, the provider-parametrized
-    # evidence, the decision layer), 3 regression signals for code this
-    # round changed (the minhash matches query switched to the CAPPED
-    # default — its result rows changed; the prefix evidence oracle was
-    # re-rendered through _linkage_evidence_core; the minhash profile
-    # sits on the same fragments), and the 25 STALEST oracle-backed
-    # entries — 12 relational rows last driver-checked in round 2, 11
-    # rows from round 3, and the 2 stalest round-4 ANN rows — computed
-    # from the CORRECTNESS_r01-r08 union (rotation backlog stays 0 and
-    # every entry's staleness stays <= 5 rounds, the r8 verdict's
-    # freshness target). 12 LLM-pipeline ops in the window keeps the
-    # >=10 invariant. All rotated-out names stay value-checked every
-    # pytest run by test_oracle_parity.
-    # never driver-checked (r9 additions)
+    # evidence, the decision layer, the m/u field-odds estimator), 3
+    # regression signals for code this round changed (the minhash
+    # matches query switched to the CAPPED default — its result rows
+    # changed; the prefix evidence oracle was re-rendered through
+    # _linkage_evidence_core; the minhash profile sits on the same
+    # fragments), and the 24 STALEST oracle-backed entries — 12
+    # relational rows last driver-checked in round 2, 11 rows from
+    # round 3, and the stalest round-4 ANN row — computed from the
+    # CORRECTNESS_r01-r08 union (rotation backlog stays 0 and every
+    # previously-covered entry's staleness stays <= 5 rounds, the r8
+    # verdict's freshness target). 11 LLM-pipeline ops in the window
+    # keeps the >=10 invariant. All rotated-out names stay
+    # value-checked every pytest run by test_oracle_parity.
+    # never driver-checked (r9 additions; field-odds takes the slot a
+    # second stale-ANN row would have held — ann_lsh_topk stays
+    # pytest-parity-checked and rotates next round; 11 LLM ops remain
+    # in the window, invariant >= 10 holds)
     "customer_stop_bands",
     "customer_match_evidence_minhash",
     "customer_match_verdict",
+    "customer_match_field_odds",
     # r9-touched regression signals
     "customer_fuzzy_matches_minhash",
     "customer_match_evidence",
@@ -3603,9 +3676,8 @@ _DRIVER_PRIORITY = [
     "doc_winnow_fingerprints",
     "error_followup_burst",
     "media_frame_sample",
-    # stalest round-4 ANN rows
+    # stalest round-4 ANN row
     "ann_cosine_topk",
-    "ann_lsh_topk",
 ]
 
 # Star-contraction components twin: identical output contract and oracle

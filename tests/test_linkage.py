@@ -495,6 +495,82 @@ def test_match_evidence_is_provider_parametrized(spark, sf_dir):
         customer_match_evidence(spark, sf_dir, key="soundex").collect()
 
 
+def test_match_field_odds_equal_exhaustive_python(spark, sf_dir):
+    """The m/u estimator's ground truth, recomputed exhaustively in
+    Python (O(N²) is fine at test scale): m rates over the verified
+    pair frame, u rates over ALL C(N,2) record pairs — including the
+    balance tolerance count the operator gets from a banded self-join,
+    checked here against the brute-force all-pairs count (the banding
+    argument: a within-tolerance pair spans at most one bucket
+    boundary). Also pins what the estimator honestly REVEALS about this
+    synthetic corpus: TPC-H assigns segments/balances independently of
+    the name typos, so the secondary fields carry (almost) no evidence
+    here — segment's m/u ratio sits BELOW 1 and name_exact is
+    degenerate (TPC-H names are unique; no verified pair has distance
+    0) — which is exactly why the op exists: MATCH_WEIGHTS are
+    demonstration literals for the scoring mechanics, and a real
+    deployment runs this estimator on ITS corpus before trusting any
+    weight table."""
+    from itertools import combinations
+
+    from concordium_transaction_logger_spark.operators.linkage import (
+        BALANCE_CENTS_TOLERANCE,
+        customer_fuzzy_matches,
+        customer_match_field_odds,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    recs = {
+        r.c_custkey: (
+            r.c_name.lower(),
+            r.c_mktsegment,
+            round(100 * r.c_acctbal),
+        )
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    pairs = customer_fuzzy_matches(spark, sf_dir).collect()
+    m_total = len(pairs)
+    m_name = sum(1 for p in pairs if p.edit_distance == 0)
+    m_seg = sum(1 for p in pairs if recs[p.key_a][1] == recs[p.key_b][1])
+    m_bal = sum(
+        1
+        for p in pairs
+        if abs(recs[p.key_a][2] - recs[p.key_b][2]) <= BALANCE_CENTS_TOLERANCE
+    )
+    u_total = len(recs) * (len(recs) - 1) // 2
+    u_name = u_seg = u_bal = 0
+    for a, b in combinations(recs.values(), 2):
+        u_name += a[0] == b[0]
+        u_seg += a[1] == b[1]
+        u_bal += abs(a[2] - b[2]) <= BALANCE_CENTS_TOLERANCE
+
+    def row(m_agree, u_agree):
+        m_ppm = 1_000_000 * m_agree // m_total
+        u_ppm = 1_000_000 * u_agree // u_total
+        return (m_ppm, u_ppm, m_ppm * 1000 // max(1, u_ppm))
+
+    want = {
+        "balance": row(m_bal, u_bal),
+        "name_exact": row(m_name, u_name),
+        "segment": row(m_seg, u_seg),
+    }
+    got = {
+        r.field: (r.m_ppm, r.u_ppm, r.mu_ratio_x1000)
+        for r in customer_match_field_odds(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the corpus-shape findings the docstring describes — if the
+    # generator ever changes to correlate fields with the typo
+    # structure, these flips are worth noticing, not silently absorbing
+    assert got["name_exact"] == (0, 0, 0), "TPC-H names are unique"
+    assert got["segment"][1] > 0 and got["balance"][1] > 0, (
+        "u rates must be measurable at test scale"
+    )
+    assert got["segment"][2] < 1500 and got["balance"][2] < 1500, (
+        "synthetic fields carry ~no match evidence; see docstring"
+    )
+
+
 def test_match_verdict_bands_by_the_thresholds(spark, sf_dir):
     """The decision layer: one verdict row per evidence row, banded
     exactly by the module's threshold literals — recomputed in Python
