@@ -680,9 +680,11 @@ BALANCE_CENTS_TOLERANCE = 50_000
 
 #: Fellegi-Sunter decision thresholds over the additive match weight
 #: (the upper/lower cut the 1969 framework defines): at or above UPPER
-#: the pair auto-merges (an exact in-block name plus at least one more
-#: agreeing field, or a close name with every field agreeing); below
-#: LOWER it is rejected (a close name with both secondary fields
+#: the pair auto-merges — an exact in-block name with the segment
+#: agreeing (11+4-1 = 14 even when balance is far), or a close name
+#: with every field agreeing (7+4+3 = 14); an exact name whose only
+#: other agreement is balance scores 11-2+3 = 12 and stays in review.
+#: Below LOWER it is rejected (a close name with both secondary fields
 #: disagreeing scores exactly 4); between them a human reviews. Integer
 #: literals shared verbatim with the oracle, like MATCH_WEIGHTS.
 MATCH_THRESHOLD_UPPER = 14
@@ -800,14 +802,20 @@ def customer_match_field_odds(
       histogram the same way — the classic closed form for a
       categorical field.
     - ``balance``: m from the pair frame; u = share of ALL pairs
-      within BALANCE_CENTS_TOLERANCE, counted by a BANDED self-join on
-      ``bal_cents DIV tol`` buckets (each record probes its own and
-      both neighbor buckets — the tolerance window spans at most two
-      boundaries, so the 3-bucket probe is exact): pair work is
-      Σ per-bucket products bounded by the tolerance/range density,
-      never a cartesian — the same banded-equi-join shape as the
-      sorted-neighborhood provider, and the count is a partial
-      aggregate (no pair frame materializes).
+      within BALANCE_CENTS_TOLERANCE, counted WITHOUT enumerating a
+      single pair: the within-tolerance pair count is a pure function
+      of the balance CDF — for each distinct value v with count c,
+      cross pairs = c·(CDF(v+tol) − CDF(v)) and ties add C(c,2) — and
+      the CDF at every needed point comes from ONE distributed prefix
+      sum (:func:`relational.global_cumsum`, the global_ranked
+      two-pass) over the distinct-value frame unioned with its
+      (v+tol) probe points, VAL rows sorting before TGT rows at equal
+      position so the inclusive boundary is exact. The first cut
+      counted pairs through a 3-bucket banded self-join — exact, but
+      Θ(#within-tol pairs): the slope harness measured it at 29 s /
+      slope 1.19 at 10× (~10⁹ pairs counted to produce one number),
+      the textbook case for the CDF identity — O(N log N) regardless
+      of the tolerance density, slope re-measured near-flat.
 
     Everything is integer (counts, ppm via DIV, ratio via DIV with a
     max(1,·) guard), so the oracle hash-matches; u for ``name_close``
@@ -851,36 +859,47 @@ def customer_match_field_odds(
         .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("u_seg_agree"))
     )
     tol = BALANCE_CENTS_TOLERANCE
-    bkt = rec.select(
-        "c_custkey",
-        "bal_cents",
-        F.expr(
-            # floor-division bucket: subtract the POSITIVE remainder
-            # (pmod) first — balances go negative, and truncating DIV
-            # would fold buckets -1 and 0 together; the numerator is
-            # then an exact multiple of tol, so DIV (and the oracle's
-            # //) is exact regardless of either engine's rounding mode
-            f"(bal_cents - pmod(bal_cents, {tol})) DIV {tol}"
-        ).alias("b"),
+    from .relational import global_cumsum
+
+    # CDF events: each distinct balance value contributes a VAL row
+    # (kind 0, carrying its count) and a TGT probe row at v+tol
+    # (kind 1, zero mass). One distributed prefix sum over the unique
+    # (val, kind) order yields, at every TGT row, CDF(v+tol) inclusive
+    # — VAL sorts before TGT at an equal position, so a record sitting
+    # exactly at the tolerance boundary is counted, matching the <=
+    # in the evidence indicator. |events| = 2·|distinct values|;
+    # nothing pair-shaped ever exists.
+    vals = rec.groupBy("bal_cents").agg(F.count("*").alias("c"))
+    ev_pts = vals.select(
+        F.col("bal_cents").alias("val"),
+        F.lit(0).alias("kind"),
+        F.col("c"),
+        F.col("bal_cents").alias("src"),
+    ).unionByName(
+        vals.select(
+            (F.col("bal_cents") + tol).alias("val"),
+            F.lit(1).alias("kind"),
+            F.lit(0).cast("long").alias("c"),
+            F.col("bal_cents").alias("src"),
+        )
     )
-    probe = bkt.select(
-        "c_custkey",
-        "bal_cents",
-        F.explode(
-            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
-        ).alias("b"),
+    cum = global_cumsum(ev_pts, ["val", "kind"], "c", "cum")
+    cdf_lo = cum.filter(F.col("kind") == 0).select(
+        F.col("src").alias("bal_cents"),
+        F.col("c").alias("cv"),
+        F.col("cum").alias("cdf_lo"),
+    )
+    cdf_hi = cum.filter(F.col("kind") == 1).select(
+        F.col("src").alias("bal_cents"), F.col("cum").alias("cdf_hi")
     )
     u_bal = (
-        bkt.alias("x")
-        .join(
-            probe.alias("y"),
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.c_custkey") < F.col("y.c_custkey")),
+        cdf_lo.join(cdf_hi, "bal_cents")
+        .agg(
+            F.sum(
+                F.col("cv") * (F.col("cdf_hi") - F.col("cdf_lo"))
+                + F.expr("cv * (cv - 1) DIV 2")
+            ).alias("u_bal_agree")
         )
-        .filter(
-            F.abs(F.col("x.bal_cents") - F.col("y.bal_cents")) <= tol
-        )
-        .agg(F.count("*").alias("u_bal_agree"))
     )
 
     one = (

@@ -839,6 +839,49 @@ def global_ranked(df: DataFrame, sort_cols: list, rank_col: str = "rn") -> DataF
     )
 
 
+def global_cumsum(
+    df: DataFrame, sort_cols: list, value_col: str, out_col: str = "cum"
+) -> DataFrame:
+    """Distributed EXACT inclusive prefix sum over a total order — the
+    SUM sibling of :func:`global_ranked`, same two-pass shape: range-
+    repartition on the sort key, cumulative-sum locally inside each
+    partition, add each partition's prefix-total offset (computed
+    in-plan over the P-row totals frame and broadcast back — see
+    global_ranked's docstring for why not driver literals). The sort
+    key must be UNIQUE per row: with duplicate keys the per-row
+    inclusive sum would depend on the arbitrary order among ties (a
+    ROWS frame, which is what the local window uses — callers needing
+    peer-inclusive semantics should pre-aggregate to distinct keys
+    first, which also shrinks the frame). Shares the pin cache with
+    global_ranked (same release-on-next-call contract)."""
+    from pyspark.sql.window import Window
+
+    release_ranked_cache()
+    p = df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(p, *sort_cols).persist()
+    _RANKED_CACHE.append(parted)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    totals = with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    # P rows — the single-partition cumulative window is control-plane
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off")
+    )
+    wlocal = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            (F.sum(value_col).over(wlocal) + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(10) over per-customer total spend — the global-ranking shape,
     computed WITHOUT a single-partition window: :func:`global_ranked`

@@ -2289,10 +2289,12 @@ ORDER BY key_a, key_b
     # Fellegi-Sunter m/u parameter ESTIMATION (r9): the step that
     # justifies the hand-quantized MATCH_WEIGHTS — per-field agreement
     # rates among verified pairs (m) vs among ALL pairs (u), exact
-    # closed forms from the value histograms for name/segment, a banded
-    # tolerance self-join (counted, never materialized) for balance.
-    # All integer (ppm via DIV), so the oracle hash-matches; tolerance
-    # renders from the linkage module like everything else.
+    # closed forms from the value histograms for name/segment, and the
+    # balance tolerance count via the CDF prefix-sum identity (the
+    # oracle's plain cumulative window mirrors the Spark side's
+    # distributed global_cumsum — no pair is ever enumerated on either
+    # engine). All integer (ppm via DIV), so the oracle hash-matches;
+    # tolerance renders from the linkage module like everything else.
     "customer_match_field_odds": QueryDef(
         linkage.customer_match_field_odds,
         _LINKAGE_MEV_PREFIX
@@ -2317,21 +2319,23 @@ oun AS (SELECT SUM(c * (c - 1) // 2) AS u_name_agree
         FROM (SELECT COUNT(*) AS c FROM oat GROUP BY name)),
 ous AS (SELECT SUM(c * (c - 1) // 2) AS u_seg_agree
         FROM (SELECT COUNT(*) AS c FROM oat GROUP BY seg)),
-obk AS (
-  SELECT c_custkey, bal_cents,
-         (bal_cents - ((bal_cents % {linkage.BALANCE_CENTS_TOLERANCE})
-                       + {linkage.BALANCE_CENTS_TOLERANCE})
-                      % {linkage.BALANCE_CENTS_TOLERANCE})
-         // {linkage.BALANCE_CENTS_TOLERANCE} AS b
-  FROM oat
+ovls AS (SELECT bal_cents AS val, COUNT(*) AS c FROM oat GROUP BY bal_cents),
+oev AS (
+  SELECT val, 0 AS kind, c, val AS src FROM ovls
+  UNION ALL
+  SELECT val + {linkage.BALANCE_CENTS_TOLERANCE}, 1, 0, val FROM ovls
 ),
-opr AS (
-  SELECT c_custkey, bal_cents, unnest([b - 1, b, b + 1]) AS b FROM obk
+ocum AS (
+  SELECT src, kind, c,
+         SUM(c) OVER (ORDER BY val, kind
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM oev
 ),
 oub AS (
-  SELECT COUNT(*) AS u_bal_agree
-  FROM obk x JOIN opr y ON x.b = y.b AND x.c_custkey < y.c_custkey
-  WHERE abs(x.bal_cents - y.bal_cents) <= {linkage.BALANCE_CENTS_TOLERANCE}
+  SELECT SUM(lo.c * (hi.cum - lo.cum) + lo.c * (lo.c - 1) // 2)
+           AS u_bal_agree
+  FROM (SELECT src, c, cum FROM ocum WHERE kind = 0) lo
+  JOIN (SELECT src, cum FROM ocum WHERE kind = 1) hi USING (src)
 ),
 ofld AS (
   SELECT 'balance' AS field, m_bal AS m_agree, u_bal_agree AS u_agree,

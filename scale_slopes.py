@@ -441,6 +441,10 @@ def main() -> None:
             # bounded by the PAIR count (2-clique propagation), so the
             # slope should track fuzzy_matches, not the corpus
             "match_components": linkage.customer_match_components,
+            # the m/u estimator (r9): histogram closed forms + the
+            # banded balance-tolerance self-join — pair work bounded by
+            # the tolerance/range density (counted, never materialized)
+            "match_field_odds": linkage.customer_match_field_odds,
             # the streaming twin, end-to-end (6-batch availableNow
             # ingest into a fresh sink + served pair read) — see
             # _streaming_linkage_ingest for the regime note
@@ -514,6 +518,29 @@ def main() -> None:
         print("warm pass done", flush=True)
 
         for m in MULTS:
+            # the boilerplate block runs FIRST per mult (r9): it used to
+            # run last, after ~35 families including the heavy streaming
+            # ingests, and its 1x cell caught late-session load — 7.96 s
+            # vs 0.86 s on a fresh-JVM quiet re-measure, enough to mask
+            # the declared-quadratic twin's signal as a flat slope. A
+            # cautionary row whose verdict flips under cell pollution is
+            # exactly the row that must run on the cleanest part of the
+            # session; methodology (own corpus, own warm, min-of-2) is
+            # unchanged.
+            bdir = os.path.join(root, f"x{m}_boiler")
+            build_corpus(spark, m, bdir, boilerplate=True)
+            dedup.shingle_index(spark, bdir).count()
+            for fam, fn in boiler_families(m).items():
+                best, n = None, 0
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = len(fn(spark, bdir).toPandas())
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                results["times"].setdefault(fam, {})[m] = round(best, 3)
+                print(f"x{m} {fam}: {results['times'][fam][m]}s ({n} rows)", flush=True)
+            release_corpus(spark, bdir)
+
             cdir = os.path.join(root, f"x{m}")
             build_corpus(spark, m, cdir, trade=True)
             sizes[m] = {
@@ -551,20 +578,7 @@ def main() -> None:
                 results["times"].setdefault(fam, {})[m] = round(best, 3)
                 print(f"x{m} {fam}: {results['times'][fam][m]}s ({n} rows)", flush=True)
 
-            bdir = os.path.join(root, f"x{m}_boiler")
-            build_corpus(spark, m, bdir, boilerplate=True)
-            dedup.shingle_index(spark, bdir).count()
-            for fam, fn in boiler_families(m).items():
-                best, n = None, 0
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    n = len(fn(spark, bdir).toPandas())
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                results["times"].setdefault(fam, {})[m] = round(best, 3)
-                print(f"x{m} {fam}: {results['times'][fam][m]}s ({n} rows)", flush=True)
             release_corpus(spark, cdir)
-            release_corpus(spark, bdir)
             print(f"x{m} corpus={sizes[m]}", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -395,7 +395,11 @@ def test_minhash_band_cap_semantics(spark, sf_dir):
     ).collect()
     sizes = Counter((r.blk, r.c_nationkey) for r in banded)
     assert any(n > cap for n in sizes.values()), "forced cap must bind"
-    assert max(sizes.values()) <= 32, (
+    from concordium_transaction_logger_spark.operators.linkage import (
+        MINHASH_BAND_CAP,
+    )
+
+    assert max(sizes.values()) <= MINHASH_BAND_CAP, (
         "if the corpus ever grows bands past the real MINHASH_BAND_CAP "
         "at test scale, add a binding-default assertion here"
     )
@@ -499,10 +503,10 @@ def test_match_field_odds_equal_exhaustive_python(spark, sf_dir):
     """The m/u estimator's ground truth, recomputed exhaustively in
     Python (O(N²) is fine at test scale): m rates over the verified
     pair frame, u rates over ALL C(N,2) record pairs — including the
-    balance tolerance count the operator gets from a banded self-join,
-    checked here against the brute-force all-pairs count (the banding
-    argument: a within-tolerance pair spans at most one bucket
-    boundary). Also pins what the estimator honestly REVEALS about this
+    balance tolerance count the operator derives from the CDF
+    prefix-sum identity (distributed global_cumsum; no pair
+    enumerated), checked here against the brute-force all-pairs count
+    including the inclusive <= boundary. Also pins what the estimator honestly REVEALS about this
     synthetic corpus: TPC-H assigns segments/balances independently of
     the name typos, so the secondary fields carry (almost) no evidence
     here — segment's m/u ratio sits BELOW 1 and name_exact is
