@@ -194,6 +194,41 @@ def test_global_ranked_equals_single_partition_window(spark, rows):
     assert got == want
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-(10**6), 10**6)),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_global_cumsum_equals_local_prefix_sum(spark, rows):
+    """The distributed two-pass prefix sum (global_cumsum — the SUM
+    sibling of global_ranked) must equal a plain Python running total
+    over the sorted order on arbitrary data, including NEGATIVE values
+    (the offsets must subtract correctly) and zero-mass rows (the
+    field-odds estimator's TGT probe points)."""
+    from concordium_transaction_logger_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    running, want = 0, {}
+    for k, v in sorted(rows):
+        running += v
+        want[k] = running
+    got = {
+        r["k"]: r["cum"]
+        for r in global_cumsum(df, ["k"], "v", "cum").collect()
+    }
+    assert got == want
+
+
 def test_global_ranked_interleaved_results_stay_consistent(spark):
     """A result consumed AFTER a second global_ranked call released its
     persisted input must still carry a valid global ranking: the prefix
