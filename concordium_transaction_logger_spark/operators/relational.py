@@ -852,8 +852,12 @@ def global_cumsum(
     inclusive sum would depend on the arbitrary order among ties (a
     ROWS frame, which is what the local window uses — callers needing
     peer-inclusive semantics should pre-aggregate to distinct keys
-    first, which also shrinks the frame). Shares the pin cache with
-    global_ranked (same release-on-next-call contract)."""
+    first, which also shrinks the frame). ``value_col`` must be
+    NON-NULL: a NULL prefix yields cum = NULL rows, later NULLs fold
+    to 0, and an all-NULL partition drops out of the offsets — three
+    silently different treatments; coalesce to 0 (or filter) before
+    calling. Shares the pin cache with global_ranked (same
+    release-on-next-call contract)."""
     from pyspark.sql.window import Window
 
     release_ranked_cache()

@@ -442,8 +442,9 @@ def main() -> None:
             # slope should track fuzzy_matches, not the corpus
             "match_components": linkage.customer_match_components,
             # the m/u estimator (r9): histogram closed forms + the
-            # banded balance-tolerance self-join — pair work bounded by
-            # the tolerance/range density (counted, never materialized)
+            # balance-tolerance count via the CDF prefix-sum identity
+            # (global_cumsum — no pair ever enumerated; this row is
+            # what caught the first-cut banded self-join at slope 1.19)
             "match_field_odds": linkage.customer_match_field_odds,
             # the streaming twin, end-to-end (6-batch availableNow
             # ingest into a fresh sink + served pair read) — see
