@@ -691,20 +691,20 @@ MATCH_THRESHOLD_UPPER = 14
 MATCH_THRESHOLD_LOWER = 8
 
 
-def _evidence_frame(
-    spark: SparkSession, sf_dir: str, max_distance: int, key: str
-) -> DataFrame:
-    """The unordered evidence frame behind
-    :func:`customer_match_evidence` and :func:`customer_match_verdict`
-    (one definition, so the verdict cannot band a different score than
-    the evidence op reports)."""
-    cust = load_table(spark, sf_dir, "customer")
-    attrs = cust.select(
+def match_evidence_over(pairs: DataFrame, customers: DataFrame) -> DataFrame:
+    """The ONE evidence-scoring kernel: a verified pair frame
+    (``key_a``, ``key_b``, ``edit_distance``) scored against a raw
+    customer attribute frame — shared by the batch evidence/verdict
+    queries and the stream-served
+    :func:`streaming.pipeline.linkage_evidence_from_sink` (the merge
+    queue scores served pairs against CURRENT attributes; one kernel,
+    so stream-served and batch scores cannot drift). Output is
+    unordered; callers add their presentation ORDER BY."""
+    attrs = customers.select(
         "c_custkey",
         F.expr("CAST(ROUND(100 * c_acctbal) AS BIGINT)").alias("bal_cents"),
         "c_mktsegment",
     )
-    pairs = _pairs_for(spark, sf_dir, max_distance, key)
     xa = attrs.select(
         F.col("c_custkey").alias("key_a"),
         F.col("bal_cents").alias("bal_a"),
@@ -743,6 +743,34 @@ def _evidence_frame(
             .cast("long")
             .alias("match_weight"),
         )
+    )
+
+
+def verdict_over(evidence: DataFrame) -> DataFrame:
+    """The ONE threshold-banding projection over an evidence frame —
+    shared by :func:`customer_match_verdict` and the stream-served
+    twin, so the two can never band differently."""
+    return evidence.withColumn(
+        "verdict",
+        F.when(
+            F.col("match_weight") >= MATCH_THRESHOLD_UPPER,
+            F.lit("auto_merge"),
+        )
+        .when(F.col("match_weight") >= MATCH_THRESHOLD_LOWER, F.lit("review"))
+        .otherwise(F.lit("reject")),
+    )
+
+
+def _evidence_frame(
+    spark: SparkSession, sf_dir: str, max_distance: int, key: str
+) -> DataFrame:
+    """The unordered evidence frame behind
+    :func:`customer_match_evidence` and :func:`customer_match_verdict`
+    (one definition, so the verdict cannot band a different score than
+    the evidence op reports)."""
+    return match_evidence_over(
+        _pairs_for(spark, sf_dir, max_distance, key),
+        load_table(spark, sf_dir, "customer"),
     )
 
 
@@ -952,16 +980,6 @@ def customer_match_verdict(
     evidence op's own frame, so the banding can never disagree with
     the reported score; thresholds are module literals shared verbatim
     with the oracle."""
-    return (
+    return verdict_over(
         _evidence_frame(spark, sf_dir, max_distance, key)
-        .withColumn(
-            "verdict",
-            F.when(
-                F.col("match_weight") >= MATCH_THRESHOLD_UPPER,
-                F.lit("auto_merge"),
-            )
-            .when(F.col("match_weight") >= MATCH_THRESHOLD_LOWER, F.lit("review"))
-            .otherwise(F.lit("reject")),
-        )
-        .orderBy("key_a", "key_b")
-    )
+    ).orderBy("key_a", "key_b")

@@ -2950,6 +2950,43 @@ def linkage_pairs_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def linkage_evidence_from_sink(
+    spark: SparkSession, out_dir: str, customers: DataFrame
+) -> DataFrame:
+    """Fellegi-Sunter match evidence served from the pair sink: the
+    SAME scoring kernel as the batch ``customer_match_evidence``
+    (:func:`operators.linkage.match_evidence_over` — one definition,
+    zero drift) over the sink's served pairs and a caller-provided
+    CURRENT customer attribute frame — which is what a merge queue
+    actually does: pairs accumulate in the sink as records arrive, and
+    each review pass scores them against the attributes as they stand.
+    Once the stream has consumed the same corpus the batch query reads,
+    this equals ``customer_match_evidence`` row-for-row (asserted in
+    tests). The join cost is pair-count-bounded like the batch op."""
+    from ..operators.linkage import match_evidence_over
+
+    pairs = _delta_sink_view(
+        spark, out_dir.rstrip("/") + "/pairs", _LINKAGE_PAIRS_SCHEMA
+    ).select("key_a", "key_b", "edit_distance")
+    return match_evidence_over(pairs, customers).orderBy("key_a", "key_b")
+
+
+def linkage_verdict_from_sink(
+    spark: SparkSession, out_dir: str, customers: DataFrame
+) -> DataFrame:
+    """The decision layer over the served evidence — the shared
+    :func:`operators.linkage.verdict_over` banding, so stream-served
+    and batch verdicts can never band differently."""
+    from ..operators.linkage import match_evidence_over, verdict_over
+
+    pairs = _delta_sink_view(
+        spark, out_dir.rstrip("/") + "/pairs", _LINKAGE_PAIRS_SCHEMA
+    ).select("key_a", "key_b", "edit_distance")
+    return verdict_over(match_evidence_over(pairs, customers)).orderBy(
+        "key_a", "key_b"
+    )
+
+
 def linkage_components_from_sink(
     spark: SparkSession, out_dir: str, max_iter: int = 20
 ) -> DataFrame:

@@ -349,6 +349,40 @@ def test_seen_side_reads_are_partition_pruned(spark, sf_dir, dirs):
     assert ingest._seen_keys(before_batch=3, kbs=[]).count() == 0
 
 
+def test_evidence_and_verdict_served_from_sink_equal_batch(spark, sf_dir, dirs):
+    """The scoring/decision layers served from the pair sink: once the
+    stream has consumed the corpus, evidence and verdict over the
+    served pairs + the current customer attributes must equal the
+    batch customer_match_evidence / customer_match_verdict frames
+    row-for-row — both sides run the ONE match_evidence_over /
+    verdict_over kernels, so this pins that the sink's pair set (not
+    just its keys) feeds the scorer losslessly, and that every band is
+    exercised end-to-end through the served path at driver scale's
+    little sibling."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_match_evidence,
+        customer_match_verdict,
+    )
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        linkage_evidence_from_sink,
+        linkage_verdict_from_sink,
+    )
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    cust = load_table(spark, sf_dir, "customer")
+
+    got_ev = _pairs(linkage_evidence_from_sink(spark, dirs["out"], cust))
+    assert got_ev == _pairs(customer_match_evidence(spark, sf_dir))
+    assert got_ev, "corpus must yield evidence rows"
+
+    got_vd = _pairs(linkage_verdict_from_sink(spark, dirs["out"], cust))
+    assert got_vd == _pairs(customer_match_verdict(spark, sf_dir))
+    assert len({r[-1] for r in got_vd}) > 1, "bands must be exercised"
+
+
 def test_legacy_sink_without_layout_sidecar_is_refused(spark, sf_dir, dirs):
     """A sink written BEFORE the layout pin existed holds data but no
     _layout.json (r8 ADVICE): its rows predate the bucket columns, so a
