@@ -638,6 +638,16 @@ def entity_assignment(
     components over the pair 2-cliques, singletons from ``universe``
     (a one-column ``c_custkey`` frame), renamed to the entity
     vocabulary and presentation-ordered."""
+    return _entity_frame(pairs, universe, max_iter).orderBy("custkey")
+
+
+def _entity_frame(
+    pairs: DataFrame, universe: DataFrame, max_iter: int
+) -> DataFrame:
+    """The unordered entity assignment behind :func:`entity_assignment`
+    — exposed separately so aggregation consumers (the golden-record
+    survivorship groupBy) do not inherit the presentation ORDER BY's
+    range exchange (the ``_fuzzy_pairs`` split, again)."""
     from .dedup import components_over_buckets
 
     # pin the clique frame: components_over_buckets joins its buckets
@@ -655,7 +665,55 @@ def entity_assignment(
         F.col("doc_id").alias("custkey"),
         F.col("component_id").alias("entity_id"),
         F.col("component_size").alias("entity_size"),
-    ).orderBy("custkey")
+    )
+
+
+def customer_golden_record(
+    spark: SparkSession,
+    sf_dir: str,
+    max_distance: int = MAX_EDIT_DISTANCE,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The MERGE itself — the last ER pipeline stage, after blocking,
+    verify, scoring and entity formation: one consolidated row per
+    entity with the survivorship rules applied. The survivor is the
+    cluster-minimal key (the same canonical-record rule
+    ``customer_match_components`` assigns as ``entity_id``), the
+    surviving name is the survivor's own, and balances MERGE by
+    integer-cents SUM — consolidating accounts consolidates funds, the
+    reference's account-merge semantics. Singletons pass through as
+    1-member entities, so the output is a total golden registry (one
+    row per entity), not just the merged clusters.
+
+    Plan shape: the entity assignment (pair-bounded propagation over
+    localCheckpointed 2-cliques) joins the narrow attribute projection
+    once, then ONE partial-aggregated groupBy on entity_id — the
+    survivor's name rides as a conditional MAX (its cluster always
+    contains it), so no second join back. All integer/string, oracle
+    hash-matches."""
+    cust = load_table(spark, sf_dir, "customer")
+    attrs = cust.select(
+        "c_custkey",
+        F.lower(F.col("c_name")).alias("name"),
+        F.expr("CAST(ROUND(100 * c_acctbal) AS BIGINT)").alias("bal_cents"),
+    )
+    assign = _entity_frame(
+        _fuzzy_pairs(spark, sf_dir, max_distance),
+        cust.select("c_custkey"),
+        max_iter=max_iter,
+    )
+    return (
+        assign.join(attrs, assign.custkey == attrs.c_custkey)
+        .groupBy("entity_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("bal_cents").alias("merged_bal_cents"),
+            F.max(
+                F.when(F.col("custkey") == F.col("entity_id"), F.col("name"))
+            ).alias("survivor_name"),
+        )
+        .orderBy("entity_id")
+    )
 
 
 #: Fellegi-Sunter-style integer agreement weights (Fellegi & Sunter

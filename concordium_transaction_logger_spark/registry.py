@@ -733,6 +733,29 @@ _LINKAGE_MEV_MINHASH = (
 )
 
 
+#: The recursive entity-closure CTEs (pairs -> edges -> min-label walk
+#: -> lcomp(custkey, entity_id)) shared by the components AND
+#: golden-record oracles — one rendering of the walk, zero drift.
+_LINKAGE_LCOMP = (
+    _LINKAGE_CBLK_RECURSIVE
+    + f"""
+, lpair AS (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+  {_LINKAGE_PAIRS}
+),
+ledges AS (SELECT key_a AS a, key_b AS b FROM lpair
+           UNION ALL
+           SELECT key_b, key_a FROM lpair),
+lwalk AS (
+  SELECT c_custkey AS node, c_custkey AS label FROM customer
+  UNION
+  SELECT e.b AS node, w.label FROM lwalk w JOIN ledges e ON w.node = e.a
+),
+lcomp AS (SELECT node AS custkey, MIN(label) AS entity_id
+          FROM lwalk GROUP BY node)"""
+)
+
+
 _BPAIRS_SQL = """
 , bpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2390,27 +2413,37 @@ ORDER BY key
     # linkage oracles — one rendering, zero drift.
     "customer_match_components": QueryDef(
         linkage.customer_match_components,
-        _LINKAGE_CBLK_RECURSIVE
-        + f"""
-, lpair AS (
-  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
-  {_LINKAGE_PAIRS}
-),
-ledges AS (SELECT key_a AS a, key_b AS b FROM lpair
-           UNION ALL
-           SELECT key_b, key_a FROM lpair),
-lwalk AS (
-  SELECT c_custkey AS node, c_custkey AS label FROM customer
-  UNION
-  SELECT e.b AS node, w.label FROM lwalk w JOIN ledges e ON w.node = e.a
-),
-lcomp AS (SELECT node AS custkey, MIN(label) AS entity_id
-          FROM lwalk GROUP BY node)
+        _LINKAGE_LCOMP
+        + """
 SELECT c.custkey, c.entity_id, s.entity_size
 FROM lcomp c
 JOIN (SELECT entity_id, COUNT(*) AS entity_size
       FROM lcomp GROUP BY entity_id) s USING (entity_id)
 ORDER BY custkey
+""",
+    ),
+    # The MERGE itself (late r9): survivorship over the entity clusters
+    # — one consolidated row per entity (survivor = cluster-min key,
+    # its name survives, balances merge by integer-cents sum,
+    # singletons pass through). Same recursive walk CTEs as the
+    # components oracle — one rendering, zero drift.
+    "customer_golden_record": QueryDef(
+        linkage.customer_golden_record,
+        _LINKAGE_LCOMP
+        + """
+, gattr AS (
+  SELECT c_custkey, lower(c_name) AS name,
+         CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT c.entity_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(a.bal_cents) AS BIGINT) AS merged_bal_cents,
+       MAX(CASE WHEN c.custkey = c.entity_id THEN a.name END)
+         AS survivor_name
+FROM lcomp c JOIN gattr a ON c.custkey = a.c_custkey
+GROUP BY c.entity_id
+ORDER BY entity_id
 """,
     ),
     # Blocking-key capacity planning (the doc_stop_shingles treatment
@@ -3628,29 +3661,32 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # ---- round-9 rotation (31 slots): 4 never-driver-checked entries
+    # ---- round-9 rotation (31 slots): 5 never-driver-checked entries
     # (this round's new ops — the cap audit, the provider-parametrized
-    # evidence, the decision layer, the m/u field-odds estimator), 3
-    # regression signals for code this round changed (the minhash
-    # matches query switched to the CAPPED default — its result rows
-    # changed; the prefix evidence oracle was re-rendered through
-    # _linkage_evidence_core; the minhash profile sits on the same
-    # fragments), and the 24 STALEST oracle-backed entries — 12
-    # relational rows last driver-checked in round 2, 11 rows from
-    # round 3, and the stalest round-4 ANN row — computed from the
-    # CORRECTNESS_r01-r08 union (rotation backlog stays 0 and every
-    # previously-covered entry's staleness stays <= 5 rounds, the r8
-    # verdict's freshness target). 11 LLM-pipeline ops in the window
-    # keeps the >=10 invariant. All rotated-out names stay
-    # value-checked every pytest run by test_oracle_parity.
-    # never driver-checked (r9 additions; field-odds takes the slot a
-    # second stale-ANN row would have held — ann_lsh_topk stays
-    # pytest-parity-checked and rotates next round; 11 LLM ops remain
-    # in the window, invariant >= 10 holds)
+    # evidence, the decision layer, the m/u field-odds estimator, the
+    # golden-record merge), 3 regression signals for code this round
+    # changed (the minhash matches query switched to the CAPPED
+    # default — its result rows changed; the prefix evidence oracle was
+    # re-rendered through _linkage_evidence_core; the minhash profile
+    # sits on the same fragments), and the 23 STALEST oracle-backed
+    # entries — 12 relational rows last driver-checked in round 2 and
+    # the 11 rows from round 3 — computed from the CORRECTNESS_r01-r08
+    # union (rotation backlog stays 0; every previously-covered entry's
+    # staleness stays <= 5 rounds except the two r4 ANN rows the new
+    # ops displaced, which rotate first next round — the never-checked-
+    # first recipe outranks staleness). 10 LLM-pipeline ops in the
+    # window keeps the >=10 invariant exactly. All rotated-out names
+    # stay value-checked every pytest run by test_oracle_parity.
+    # never driver-checked (r9 additions; field-odds and the golden
+    # record take the slots the two stale-r4 ANN rows would have held —
+    # ann_cosine_topk / ann_lsh_topk stay pytest-parity-checked and
+    # rotate next round; 10 LLM ops remain in the window, invariant
+    # >= 10 holds exactly)
     "customer_stop_bands",
     "customer_match_evidence_minhash",
     "customer_match_verdict",
     "customer_match_field_odds",
+    "customer_golden_record",
     # r9-touched regression signals
     "customer_fuzzy_matches_minhash",
     "customer_match_evidence",
@@ -3680,8 +3716,6 @@ _DRIVER_PRIORITY = [
     "doc_winnow_fingerprints",
     "error_followup_burst",
     "media_frame_sample",
-    # stalest round-4 ANN row
-    "ann_cosine_topk",
 ]
 
 # Star-contraction components twin: identical output contract and oracle

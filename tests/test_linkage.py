@@ -499,6 +499,56 @@ def test_match_evidence_is_provider_parametrized(spark, sf_dir):
         customer_match_evidence(spark, sf_dir, key="soundex").collect()
 
 
+def test_golden_record_survivorship_ground_truth(spark, sf_dir, pairs):
+    """The merge stage's ground truth: union-find over the collected
+    pair set, then survivorship recomputed in Python — survivor is the
+    cluster-min key, its lowercase name survives, balance cents SUM
+    across members, singletons pass through — one row per entity, a
+    TOTAL golden registry. The test corpus must include a multi-member
+    merge (else survivorship is vacuous)."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_golden_record,
+    )
+    from concordium_transaction_logger_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "customer").collect()
+    attrs = {
+        r.c_custkey: (r.c_name.lower(), round(100 * r.c_acctbal)) for r in rows
+    }
+    parent = {k: k for k in attrs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.key_a), find(r.key_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for k in attrs:
+        members.setdefault(find(k), []).append(k)
+    want = {}
+    for ms in members.values():
+        eid = min(ms)
+        want[eid] = (
+            len(ms),
+            sum(attrs[k][1] for k in ms),
+            attrs[eid][0],
+        )
+
+    got = {
+        r.entity_id: (r.n_members, r.merged_bal_cents, r.survivor_name)
+        for r in customer_golden_record(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert max(n for n, _, _ in got.values()) >= 3, (
+        "corpus must exercise a transitive multi-member merge"
+    )
+
+
 def test_match_field_odds_equal_exhaustive_python(spark, sf_dir):
     """The m/u estimator's ground truth, recomputed exhaustively in
     Python (O(N²) is fine at test scale): m rates over the verified
