@@ -733,6 +733,152 @@ _LINKAGE_MEV_MINHASH = (
 )
 
 
+#: The Fellegi-Sunter m/u estimation CTE chain (oat attributes -> om
+#: pair-frame m-rates -> exact histogram/CDF u-rates -> oppm per-field
+#: ppm) — ONE rendering shared by the field-odds oracle and the
+#: estimated-weights verdict oracle (r10), appended after a pair CTE
+#: named ``mev`` (the _LINKAGE_MEV_* fragments). The balance u-count
+#: mirrors the Spark side's distributed global_cumsum with a plain
+#: cumulative window — no pair is ever enumerated on either engine.
+_LINKAGE_ODDS_CTES = f"""
+, oat AS (
+  SELECT c_custkey, lower(c_name) AS name, c_mktsegment AS seg,
+         CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents
+  FROM customer
+),
+om AS (
+  SELECT COUNT(*) AS m_total,
+         SUM(CASE WHEN p.edit_distance = 0 THEN 1 ELSE 0 END) AS m_name_exact,
+         SUM(CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END) AS m_seg,
+         SUM(CASE WHEN abs(x.bal_cents - y.bal_cents)
+                  <= {linkage.BALANCE_CENTS_TOLERANCE} THEN 1 ELSE 0 END) AS m_bal
+  FROM mev p
+  JOIN oat x ON p.key_a = x.c_custkey
+  JOIN oat y ON p.key_b = y.c_custkey
+),
+otot AS (SELECT COUNT(*) * (COUNT(*) - 1) // 2 AS u_total FROM oat),
+oun AS (SELECT SUM(c * (c - 1) // 2) AS u_name_agree
+        FROM (SELECT COUNT(*) AS c FROM oat GROUP BY name)),
+ous AS (SELECT SUM(c * (c - 1) // 2) AS u_seg_agree
+        FROM (SELECT COUNT(*) AS c FROM oat GROUP BY seg)),
+ovls AS (SELECT bal_cents AS val, COUNT(*) AS c FROM oat GROUP BY bal_cents),
+oev AS (
+  SELECT val, 0 AS kind, c, val AS src FROM ovls
+  UNION ALL
+  SELECT val + {linkage.BALANCE_CENTS_TOLERANCE}, 1, 0, val FROM ovls
+),
+ocum AS (
+  SELECT src, kind, c,
+         SUM(c) OVER (ORDER BY val, kind
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM oev
+),
+oub AS (
+  SELECT SUM(lo.c * (hi.cum - lo.cum) + lo.c * (lo.c - 1) // 2)
+           AS u_bal_agree
+  FROM (SELECT src, c, cum FROM ocum WHERE kind = 0) lo
+  JOIN (SELECT src, cum FROM ocum WHERE kind = 1) hi USING (src)
+),
+ofld AS (
+  SELECT 'balance' AS field, m_bal AS m_agree, u_bal_agree AS u_agree,
+         m_total, u_total
+  FROM om, otot, oub
+  UNION ALL
+  SELECT 'name_exact', m_name_exact, u_name_agree, m_total, u_total
+  FROM om, otot, oun
+  UNION ALL
+  SELECT 'segment', m_seg, u_seg_agree, m_total, u_total
+  FROM om, otot, ous
+),
+oppm AS (
+  SELECT field,
+         CAST(1000000 * m_agree // m_total AS BIGINT) AS m_ppm,
+         CAST(1000000 * u_agree // u_total AS BIGINT) AS u_ppm
+  FROM ofld
+)"""
+
+
+def _plan_stat_sql(src: str) -> str:
+    """One provider's capacity-stat aggregate for the blocking-plan
+    oracle (KEEP IN LOCKSTEP with the ``stats`` inner function of
+    linkage.customer_blocking_plan): block sizes over the named blocked
+    CTE, then counts / max / exact C(size,2) pair work, with the
+    hot-band split at the minhash cap."""
+    cap = linkage.MINHASH_BAND_CAP
+    return f"""SELECT COUNT(*) AS n_blocks, MAX(bs) AS max_block_size,
+       CAST(SUM(bs * (bs - 1) // 2) AS BIGINT) AS candidate_pairs,
+       CAST(SUM(CASE WHEN bs > {cap} THEN bs * (bs - 1) // 2 ELSE 0 END)
+            AS BIGINT) AS hot_block_pairs
+  FROM (SELECT COUNT(*) AS bs FROM {src} WHERE blk IS NOT NULL
+        GROUP BY blk, c_nationkey)"""
+
+
+def _est_w(ratio_sql: str) -> str:
+    """The ONE estimated-weight quantization rendering (KEEP IN LOCKSTEP
+    with linkage.estimated_weights_over): clamp(floor(log2(ratio_x1000))
+    - 9) via length(bin(x)) - 1 = floor(log2 x), cap from the linkage
+    module."""
+    cap = linkage.ESTIMATED_WEIGHT_CAP
+    return (
+        f"least({cap}, greatest(-{cap},"
+        f" length(bin(greatest(CAST(1 AS BIGINT), {ratio_sql}))) - 10))"
+    )
+
+
+def _linkage_estimated_verdict_sql() -> str:
+    """Render the estimated-weights verdict oracle: the shared odds CTEs
+    quantized to one weight row (owts), cross-joined into the evidence
+    SELECT, banded by the linkage module's ESTIMATED thresholds."""
+    tol = linkage.BALANCE_CENTS_TOLERANCE
+    total = (
+        "CASE WHEN p.edit_distance = 0 THEN w.w_name_agree"
+        " ELSE w.w_name_disagree END"
+        " + CASE WHEN x.c_mktsegment = y.c_mktsegment THEN w.w_seg_agree"
+        " ELSE w.w_seg_disagree END"
+        f" + CASE WHEN abs(x.bal_cents - y.bal_cents) <= {tol}"
+        " THEN w.w_bal_agree ELSE w.w_bal_disagree END"
+    )
+    return (
+        _LINKAGE_MEV_PREFIX
+        + _LINKAGE_ODDS_CTES
+        + f""",
+owts AS (
+  SELECT
+    MAX(CASE WHEN field = 'name_exact' THEN wa END) AS w_name_agree,
+    MAX(CASE WHEN field = 'name_exact' THEN wd END) AS w_name_disagree,
+    MAX(CASE WHEN field = 'segment' THEN wa END) AS w_seg_agree,
+    MAX(CASE WHEN field = 'segment' THEN wd END) AS w_seg_disagree,
+    MAX(CASE WHEN field = 'balance' THEN wa END) AS w_bal_agree,
+    MAX(CASE WHEN field = 'balance' THEN wd END) AS w_bal_disagree
+  FROM (
+    SELECT field,
+           {_est_w("m_ppm * 1000 // greatest(1, u_ppm)")} AS wa,
+           {_est_w("(1000000 - m_ppm) * 1000 // greatest(1, 1000000 - u_ppm)")} AS wd
+    FROM oppm)
+),
+emattr AS (
+  SELECT c_custkey, CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents,
+         c_mktsegment
+  FROM customer
+)
+SELECT p.key_a, p.key_b, p.edit_distance,
+       CAST(x.c_mktsegment = y.c_mktsegment AS BIGINT) AS seg_match,
+       CAST(abs(x.bal_cents - y.bal_cents) <= {tol} AS BIGINT) AS bal_close,
+       CAST({total} AS BIGINT) AS match_weight,
+       CASE WHEN {total} >= {linkage.ESTIMATED_THRESHOLD_UPPER}
+            THEN 'auto_merge'
+            WHEN {total} >= {linkage.ESTIMATED_THRESHOLD_LOWER}
+            THEN 'review'
+            ELSE 'reject' END AS verdict
+FROM mev p
+JOIN emattr x ON p.key_a = x.c_custkey
+JOIN emattr y ON p.key_b = y.c_custkey
+CROSS JOIN owts w
+ORDER BY key_a, key_b
+"""
+    )
+
+
 #: The recursive entity-closure CTEs (pairs -> edges -> min-label walk
 #: -> lcomp(custkey, entity_id)) shared by the components AND
 #: golden-record oracles — one rendering of the walk, zero drift.
@@ -2321,65 +2467,26 @@ ORDER BY key_a, key_b
     "customer_match_field_odds": QueryDef(
         linkage.customer_match_field_odds,
         _LINKAGE_MEV_PREFIX
-        + f"""
-, oat AS (
-  SELECT c_custkey, lower(c_name) AS name, c_mktsegment AS seg,
-         CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents
-  FROM customer
-),
-om AS (
-  SELECT COUNT(*) AS m_total,
-         SUM(CASE WHEN p.edit_distance = 0 THEN 1 ELSE 0 END) AS m_name_exact,
-         SUM(CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END) AS m_seg,
-         SUM(CASE WHEN abs(x.bal_cents - y.bal_cents)
-                  <= {linkage.BALANCE_CENTS_TOLERANCE} THEN 1 ELSE 0 END) AS m_bal
-  FROM mev p
-  JOIN oat x ON p.key_a = x.c_custkey
-  JOIN oat y ON p.key_b = y.c_custkey
-),
-otot AS (SELECT COUNT(*) * (COUNT(*) - 1) // 2 AS u_total FROM oat),
-oun AS (SELECT SUM(c * (c - 1) // 2) AS u_name_agree
-        FROM (SELECT COUNT(*) AS c FROM oat GROUP BY name)),
-ous AS (SELECT SUM(c * (c - 1) // 2) AS u_seg_agree
-        FROM (SELECT COUNT(*) AS c FROM oat GROUP BY seg)),
-ovls AS (SELECT bal_cents AS val, COUNT(*) AS c FROM oat GROUP BY bal_cents),
-oev AS (
-  SELECT val, 0 AS kind, c, val AS src FROM ovls
-  UNION ALL
-  SELECT val + {linkage.BALANCE_CENTS_TOLERANCE}, 1, 0, val FROM ovls
-),
-ocum AS (
-  SELECT src, kind, c,
-         SUM(c) OVER (ORDER BY val, kind
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM oev
-),
-oub AS (
-  SELECT SUM(lo.c * (hi.cum - lo.cum) + lo.c * (lo.c - 1) // 2)
-           AS u_bal_agree
-  FROM (SELECT src, c, cum FROM ocum WHERE kind = 0) lo
-  JOIN (SELECT src, cum FROM ocum WHERE kind = 1) hi USING (src)
-),
-ofld AS (
-  SELECT 'balance' AS field, m_bal AS m_agree, u_bal_agree AS u_agree,
-         m_total, u_total
-  FROM om, otot, oub
-  UNION ALL
-  SELECT 'name_exact', m_name_exact, u_name_agree, m_total, u_total
-  FROM om, otot, oun
-  UNION ALL
-  SELECT 'segment', m_seg, u_seg_agree, m_total, u_total
-  FROM om, otot, ous
-)
-SELECT field,
-       CAST(1000000 * m_agree // m_total AS BIGINT) AS m_ppm,
-       CAST(1000000 * u_agree // u_total AS BIGINT) AS u_ppm,
-       CAST((1000000 * m_agree // m_total) * 1000
-            // greatest(1, 1000000 * u_agree // u_total) AS BIGINT)
-         AS mu_ratio_x1000
-FROM ofld
+        + _LINKAGE_ODDS_CTES
+        + """
+SELECT field, m_ppm, u_ppm,
+       CAST(m_ppm * 1000 // greatest(1, u_ppm) AS BIGINT) AS mu_ratio_x1000
+FROM oppm
 ORDER BY field
 """,
+    ),
+    # Closing the Fellegi-Sunter loop (r10, the r9 verdict's #1 item):
+    # the verdict scored with weights DERIVED from the field-odds
+    # estimate — quantized integer log2 of the m/u ratios
+    # (length(bin(x)) - 1 = floor(log2 x), the tfidf idf_bits primitive,
+    # identical on both engines), clamped to +/-ESTIMATED_WEIGHT_CAP,
+    # banded by the calibrated ESTIMATED_THRESHOLD cuts. The odds CTEs
+    # are the SAME single rendering as the field-odds oracle
+    # (_LINKAGE_ODDS_CTES) and the weight formula renders once
+    # (_EST_W), so op and oracle cannot quantize differently.
+    "customer_match_verdict_estimated": QueryDef(
+        linkage.customer_match_verdict_estimated,
+        _linkage_estimated_verdict_sql(),
     ),
     "customer_best_match": QueryDef(
         linkage.customer_best_match,
@@ -2445,6 +2552,10 @@ FROM lcomp c JOIN gattr a ON c.custkey = a.c_custkey
 GROUP BY c.entity_id
 ORDER BY entity_id
 """,
+        # bench presence for the completed ER arc (r9 verdict item #6):
+        # the merge stage rides the component fixpoint, so a perf
+        # regression anywhere in the ER lineage shows up in its cell.
+        bench=True,
     ),
     # Blocking-key capacity planning (the doc_stop_shingles treatment
     # for ER): block-size histogram + exact C(size,2) pair work per
@@ -2463,6 +2574,56 @@ SELECT block_size, COUNT(*) AS n_blocks,
 FROM bsz GROUP BY block_size
 ORDER BY block_size
 """,
+    ),
+    # The planner's CONCLUSION (r10, r9 verdict item #4): per-provider
+    # capacity stats + hot-band mass share + a machine-readable
+    # recommendation — the dominated capped-minhash configuration is
+    # flagged by the engine, not just by SCALE.md prose. Blocking CTEs
+    # are the same three shared fragments as every linkage oracle
+    # (cblk / mblk / mfin); threshold, cap and note strings render from
+    # the linkage module; the permille is the engine-wide _mm_sql
+    # rounding.
+    "customer_blocking_plan": QueryDef(
+        linkage.customer_blocking_plan,
+        _MINHASH_MFIN
+        + ",\n"
+        + _LINKAGE_CBLK[len(_LINKAGE_PROLOGUE):]
+        + f"""
+, pstat AS (
+  SELECT 'prefix' AS provider, * FROM ({_plan_stat_sql("cblk")})
+  UNION ALL
+  SELECT 'minhash_band', * FROM ({_plan_stat_sql("mblk")})
+  UNION ALL
+  SELECT 'minhash_band_capped', * FROM ({_plan_stat_sql("mfin")})
+),
+pperm AS (
+  SELECT *, {_mm_sql("hot_block_pairs", "candidate_pairs")} AS hot_pair_permille
+  FROM pstat
+),
+pmh AS (SELECT hot_pair_permille AS mh_hot FROM pperm
+        WHERE provider = 'minhash_band')
+SELECT provider, n_blocks, max_block_size, candidate_pairs, hot_block_pairs,
+       hot_pair_permille,
+       CAST(CASE WHEN (SELECT mh_hot FROM pmh) > {linkage.HOT_MASS_PERMILLE_MAX}
+                 THEN provider = 'prefix'
+                 ELSE provider = 'minhash_band' END AS BIGINT) AS recommended,
+       CASE WHEN provider = 'prefix' THEN '{linkage.PLAN_NOTES["prefix"]}'
+            WHEN provider = 'minhash_band_capped'
+            THEN '{linkage.PLAN_NOTES["capped"]}'
+            WHEN (SELECT mh_hot FROM pmh) > {linkage.HOT_MASS_PERMILLE_MAX}
+            THEN '{linkage.PLAN_NOTES["minhash_hot"]}'
+            ELSE '{linkage.PLAN_NOTES["minhash_cold"]}' END AS note
+FROM pperm
+ORDER BY provider
+""",
+    ),
+    # The deliberately-missing u(name_close) estimate, by fixed-size
+    # deterministic sampling (r10, r9 verdict stretch) — DECLARED
+    # APPROXIMATE, rows-only like the PQ designs: a sampled rate has no
+    # recomputable exact oracle; the tiny-scale ground-truth test pins
+    # that at k=1 (sample == corpus) it equals the exhaustive truth.
+    "customer_match_field_odds_sampled": QueryDef(
+        linkage.customer_match_field_odds_sampled, None
     ),
     "corpus_dedup_stats": QueryDef(
         dedup.corpus_dedup_stats,
@@ -3661,61 +3822,53 @@ _DRIVER_PRIORITY = [
     "account_activity_salted",
     "summary_parse",
     "cis2_supply_guarded",
-    # ---- round-9 rotation (31 slots): 5 never-driver-checked entries
-    # (this round's new ops — the cap audit, the provider-parametrized
-    # evidence, the decision layer, the m/u field-odds estimator, the
-    # golden-record merge), 3 regression signals for code this round
-    # changed (the minhash matches query switched to the CAPPED
-    # default — its result rows changed; the prefix evidence oracle was
-    # re-rendered through _linkage_evidence_core; the minhash profile
-    # sits on the same fragments), and the 23 STALEST oracle-backed
-    # entries — 12 relational rows last driver-checked in round 2 and
-    # the 11 rows from round 3 — computed from the CORRECTNESS_r01-r08
-    # union (rotation backlog stays 0; every previously-covered entry's
-    # staleness stays <= 5 rounds except the two r4 ANN rows the new
-    # ops displaced, which rotate first next round — the never-checked-
-    # first recipe outranks staleness). 10 LLM-pipeline ops in the
-    # window keeps the >=10 invariant exactly. All rotated-out names
-    # stay value-checked every pytest run by test_oracle_parity.
-    # never driver-checked (r9 additions; field-odds and the golden
-    # record take the slots the two stale-r4 ANN rows would have held —
-    # ann_cosine_topk / ann_lsh_topk stay pytest-parity-checked and
-    # rotate next round; 10 LLM ops remain in the window, invariant
-    # >= 10 holds exactly)
-    "customer_stop_bands",
-    "customer_match_evidence_minhash",
-    "customer_match_verdict",
+    # ---- round-10 rotation (31 slots): 2 never-driver-checked r10 ops
+    # (the estimated-weights verdict closing the Fellegi-Sunter loop;
+    # the blocking planner's machine-readable recommendation), 3
+    # regression signals for code r10 touched (field-odds refactored
+    # behind _field_odds_frame and its oracle re-rendered through
+    # _LINKAGE_ODDS_CTES; the evidence kernel gained the fail-closed
+    # coverage gate; the golden record now rides the shared
+    # golden_record_over kernel), the 18 staleness-5 rows last green in
+    # CORRECTNESS_r04 (the <=5-round invariant breaks if r10 skips
+    # them), and the 8 stalest r5 rows (fronting r11's backlog). 22
+    # LLM-pipeline ops in the window (invariant >= 10). All rotated-out
+    # names stay value-checked every pytest run by test_oracle_parity.
+    # never driver-checked (r10 additions)
+    "customer_match_verdict_estimated",
+    "customer_blocking_plan",
+    # r10-touched regression signals
     "customer_match_field_odds",
-    "customer_golden_record",
-    # r9-touched regression signals
-    "customer_fuzzy_matches_minhash",
     "customer_match_evidence",
-    "customer_block_profile_minhash",
-    # stalest relational rows (last green in CORRECTNESS_r02)
-    "above_average_orders",
-    "active_customers_union",
-    "orders_by_weekday",
-    "priority_part_breadth",
-    "priority_status_grouping_sets",
-    "region_nation_revenue",
-    "repeat_customers",
-    "rich_inactive_customers",
-    "small_quantity_revenue",
-    "supplier_rank_family",
-    "top_orders_by_revenue",
-    "top_spenders",
-    # stalest round-3 rows
-    "doc_exact_dup_groups",
-    "doc_lang_id",
-    "doc_minhash_signatures",
-    "doc_simhash",
-    "doc_split_contamination",
-    "doc_stratified_sample",
-    "doc_train_split",
-    "doc_winnow_dup_pairs",
-    "doc_winnow_fingerprints",
-    "error_followup_burst",
-    "media_frame_sample",
+    "customer_golden_record",
+    # staleness-5 rows (last green in CORRECTNESS_r04)
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "asof_purchase_last_click",
+    "customer_spend_deciles",
+    "doc_bm25_topk",
+    "doc_dedup_survivors",
+    "doc_dup_components",
+    "doc_minhash_band_pairs",
+    "doc_minhash_jaccard_estimate",
+    "doc_shuffle_shards",
+    "doc_tfdf_top_terms",
+    "embedding_kmeans_profile",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_blocked",
+    "media_validation",
+    "pricing_summary",
+    "user_sessions",
+    # stalest round-5 rows
+    "corpus_bpe_apply",
+    "doc_dup_components_star",
+    "doc_fingerprints",
+    "doc_ngram_jaccard_exact",
+    "doc_pii_redact",
+    "doc_pii_stats",
+    "doc_simhash_dup_pairs",
+    "doc_source_profile",
 ]
 
 # Star-contraction components twin: identical output contract and oracle

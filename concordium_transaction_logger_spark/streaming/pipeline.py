@@ -2961,14 +2961,26 @@ def linkage_evidence_from_sink(
     actually does: pairs accumulate in the sink as records arrive, and
     each review pass scores them against the attributes as they stand.
     Once the stream has consumed the same corpus the batch query reads,
-    this equals ``customer_match_evidence`` row-for-row (asserted in
-    tests). The join cost is pair-count-bounded like the batch op."""
+    this equals the batch evidence over THE PROVIDER'S OWN pair frame
+    row-for-row (asserted in tests): exactly ``customer_match_evidence``
+    for the prefix provider; for a minhash-keyed sink the served pairs
+    stream UNCAPPED (see the class docstring), so equality is to the
+    ``band_cap=None`` batch variant — the capped batch default
+    coincides only while no band exceeds ``linkage.MINHASH_BAND_CAP``.
+    The join cost is pair-count-bounded like the batch op.
+
+    Fail-closed like the rest of the family (r9 ADVICE): a served pair
+    whose key is missing from ``customers`` (stale/partial attribute
+    snapshot) RAISES at execution instead of silently vanishing from
+    the merge queue (``match_evidence_over(require_coverage=True)``)."""
     from ..operators.linkage import match_evidence_over
 
     pairs = _delta_sink_view(
         spark, out_dir.rstrip("/") + "/pairs", _LINKAGE_PAIRS_SCHEMA
     ).select("key_a", "key_b", "edit_distance")
-    return match_evidence_over(pairs, customers).orderBy("key_a", "key_b")
+    return match_evidence_over(pairs, customers, require_coverage=True).orderBy(
+        "key_a", "key_b"
+    )
 
 
 def linkage_verdict_from_sink(
@@ -2976,15 +2988,17 @@ def linkage_verdict_from_sink(
 ) -> DataFrame:
     """The decision layer over the served evidence — the shared
     :func:`operators.linkage.verdict_over` banding, so stream-served
-    and batch verdicts can never band differently."""
+    and batch verdicts can never band differently. Same equality
+    contract and fail-closed coverage gate as
+    :func:`linkage_evidence_from_sink`."""
     from ..operators.linkage import match_evidence_over, verdict_over
 
     pairs = _delta_sink_view(
         spark, out_dir.rstrip("/") + "/pairs", _LINKAGE_PAIRS_SCHEMA
     ).select("key_a", "key_b", "edit_distance")
-    return verdict_over(match_evidence_over(pairs, customers)).orderBy(
-        "key_a", "key_b"
-    )
+    return verdict_over(
+        match_evidence_over(pairs, customers, require_coverage=True)
+    ).orderBy("key_a", "key_b")
 
 
 def linkage_components_from_sink(
@@ -3004,3 +3018,41 @@ def linkage_components_from_sink(
         spark, out_dir.rstrip("/") + "/records", _LINKAGE_RECORDS_SCHEMA
     ).select("c_custkey")
     return entity_assignment(pairs, universe, max_iter=max_iter)
+
+
+def linkage_golden_from_sink(
+    spark: SparkSession,
+    out_dir: str,
+    customers: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The MERGE served from the sink (r9 verdict item #5 — the last
+    batch ER stage without a streaming twin): golden-record
+    survivorship over the sink's entity assignment, via the SAME
+    kernels as the batch ``customer_golden_record``
+    (:func:`operators.linkage._entity_frame` over served pairs +
+    records universe, then :func:`operators.linkage.golden_record_over`
+    against :func:`operators.linkage.golden_attrs` of the
+    caller-provided CURRENT customer frame — one survivorship
+    definition, zero drift). The merge queue's consumers read the sink,
+    not the batch job: once the stream has consumed the corpus the
+    batch query reads, this equals ``customer_golden_record``
+    row-for-row (asserted in tests).
+
+    Fail-closed like the evidence twin: an entity member the records
+    sink knows but ``customers`` does not RAISES at execution
+    (``require_coverage=True``) — an inner join would not just drop a
+    row, it would emit a WRONG merged balance for the member's whole
+    entity."""
+    from ..operators.linkage import _entity_frame, golden_attrs, golden_record_over
+
+    pairs = _delta_sink_view(
+        spark, out_dir.rstrip("/") + "/pairs", _LINKAGE_PAIRS_SCHEMA
+    ).drop("ingest_batch")
+    universe = _delta_sink_view(
+        spark, out_dir.rstrip("/") + "/records", _LINKAGE_RECORDS_SCHEMA
+    ).select("c_custkey")
+    assign = _entity_frame(pairs, universe, max_iter)
+    return golden_record_over(
+        assign, golden_attrs(customers), require_coverage=True
+    ).orderBy("entity_id")

@@ -70,6 +70,11 @@ HEADLINE = [
     "customer_match_verdict",
     "customer_match_field_odds",
     "customer_golden_record",
+    # r10: the estimated-weights verdict (odds CTEs + one 1-row
+    # broadcast weight cross join) and the planner's recommendation
+    # (three provider profiles + a 1-row broadcast hot-share fold)
+    "customer_match_verdict_estimated",
+    "customer_blocking_plan",
 ]
 
 

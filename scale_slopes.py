@@ -446,6 +446,14 @@ def main() -> None:
             # (global_cumsum — no pair ever enumerated; this row is
             # what caught the first-cut banded self-join at slope 1.19)
             "match_field_odds": linkage.customer_match_field_odds,
+            # the decision stages (r10, r9 verdict item #7): both are
+            # pair-bounded projections/aggregations over the evidence /
+            # entity lineage — their slopes should track fuzzy_matches
+            # (the estimated verdict adds the odds aggregates + one
+            # 1-row broadcast weight join; the golden record adds one
+            # attribute join + one partial-agg groupBy)
+            "match_verdict_estimated": linkage.customer_match_verdict_estimated,
+            "golden_record": linkage.customer_golden_record,
             # the streaming twin, end-to-end (6-batch availableNow
             # ingest into a fresh sink + served pair read) — see
             # _streaming_linkage_ingest for the regime note

@@ -687,3 +687,69 @@ def test_unknown_provider_refused_at_construction(spark, dirs):
         StreamingLinkageIngest(
             spark, dirs["source"], dirs["out"], dirs["ckpt"], key="soundex"
         )
+
+
+def test_golden_record_served_from_sink_equals_batch(spark, sf_dir, dirs):
+    """The MERGE served from the sink (the last batch ER stage to get a
+    streaming twin): once the stream has consumed the corpus, golden-
+    record survivorship over the served entity assignment + current
+    customer attributes must equal the batch customer_golden_record
+    row-for-row — both sides run the ONE _entity_frame /
+    golden_record_over kernels, so merged balances, member counts and
+    survivor names cannot drift between the merge queue's served view
+    and the batch job."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_golden_record,
+    )
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        linkage_golden_from_sink,
+    )
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    cust = load_table(spark, sf_dir, "customer")
+
+    got = _pairs(linkage_golden_from_sink(spark, dirs["out"], cust))
+    assert got == _pairs(customer_golden_record(spark, sf_dir))
+    assert any(r[1] > 1 for r in got), "corpus must yield a real merge"
+
+
+def test_serving_with_partial_customer_frame_is_refused(spark, sf_dir, dirs):
+    """The fail-closed coverage gate (r9 ADVICE): serving evidence,
+    verdicts or golden records against a customer frame that is missing
+    a served record must RAISE at execution, not silently drop the pair
+    from the merge queue (evidence/verdict) or emit a wrong merged
+    balance (golden record). The stale-snapshot caller is simulated by
+    withholding one custkey that the sink has seen and paired."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_fuzzy_matches,
+    )
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        linkage_evidence_from_sink,
+        linkage_golden_from_sink,
+        linkage_verdict_from_sink,
+    )
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    cust = load_table(spark, sf_dir, "customer")
+    a_paired_key = customer_fuzzy_matches(spark, sf_dir).collect()[0].key_a
+    partial = cust.filter(F.col("c_custkey") != a_paired_key)
+
+    for serve in (
+        linkage_evidence_from_sink,
+        linkage_verdict_from_sink,
+        linkage_golden_from_sink,
+    ):
+        with pytest.raises(Exception, match="fail-closed"):
+            serve(spark, dirs["out"], partial).collect()
+
+    # the full frame still serves: the gate costs nothing when coverage
+    # holds (and the evidence twin's row count is unchanged)
+    assert linkage_evidence_from_sink(spark, dirs["out"], cust).count() == (
+        customer_fuzzy_matches(spark, sf_dir).count()
+    )
