@@ -1010,6 +1010,22 @@ def customer_match_field_odds(
     return _field_odds_frame(spark, sf_dir, max_distance, key).orderBy("field")
 
 
+def odds_rec(customers: DataFrame) -> DataFrame:
+    """The estimator's normalized record projection (lowercased name,
+    categorical segment, integer-cents balance) — one definition shared
+    by the batch :func:`customer_match_field_odds` and the stream-served
+    :func:`streaming.pipeline.linkage_field_odds_from_sink`, so the two
+    cannot normalize the u-side histograms differently (the
+    :func:`golden_attrs` convention, plus the segment column the
+    survivorship projection does not need)."""
+    return customers.select(
+        "c_custkey",
+        F.lower(F.col("c_name")).alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(ROUND(100 * c_acctbal) AS BIGINT)").alias("bal_cents"),
+    )
+
+
 def _field_odds_frame(
     spark: SparkSession,
     sf_dir: str,
@@ -1022,16 +1038,21 @@ def _field_odds_frame(
     weights without inheriting the presentation ORDER BY, and can pass
     a pre-pinned evidence frame (``ev``) so the pair join is not built
     twice in one query."""
-    cust = load_table(spark, sf_dir, "customer")
-    rec = cust.select(
-        "c_custkey",
-        F.lower(F.col("c_name")).alias("name"),
-        F.col("c_mktsegment").alias("seg"),
-        F.expr("CAST(ROUND(100 * c_acctbal) AS BIGINT)").alias("bal_cents"),
-    ).localCheckpoint()
-
+    rec = odds_rec(load_table(spark, sf_dir, "customer")).localCheckpoint()
     if ev is None:
         ev = _evidence_frame(spark, sf_dir, max_distance, key)
+    return field_odds_over(rec, ev)
+
+
+def field_odds_over(rec: DataFrame, ev: DataFrame) -> DataFrame:
+    """The ONE m/u estimation kernel: a PINNED normalized record frame
+    (:func:`odds_rec` shape — the caller localCheckpoints it, because
+    the n/u aggregations and the CDF events all re-read it) and an
+    evidence frame, yielding the 3-row field-odds frame — shared by the
+    batch :func:`customer_match_field_odds` and the stream-served
+    :func:`streaming.pipeline.linkage_field_odds_from_sink`, so the
+    served estimate and the batch estimate cannot drift. All the
+    closed-form u arithmetic documented on the batch op lives here."""
     m = ev.agg(
         F.count("*").alias("m_total"),
         F.sum((F.col("edit_distance") == 0).cast("long")).alias("m_name_exact"),

@@ -3056,3 +3056,105 @@ def linkage_golden_from_sink(
     return golden_record_over(
         assign, golden_attrs(customers), require_coverage=True
     ).orderBy("entity_id")
+
+
+def _sink_covered_rec(
+    spark: SparkSession, out_dir: str, customers: DataFrame
+) -> DataFrame:
+    """The estimator's record frame as the SINK defines the corpus: the
+    records sink supplies the key universe (the stream decides which
+    records exist, exactly as :func:`linkage_components_from_sink` takes
+    its singleton universe from it), the caller-provided CURRENT
+    customer frame supplies the attributes, and a record the sink has
+    seen but ``customers`` has not RAISES at execution (fail-closed:
+    a silently thinner u-side histogram would skew every odds ratio
+    without any visible failure — the quiet-fail-open the family
+    refuses everywhere else). Same LEFT-join + lazy per-row
+    ``assert_true`` gate as the evidence/golden kernels."""
+    from ..operators.linkage import odds_rec
+
+    universe = _delta_sink_view(
+        spark, out_dir.rstrip("/") + "/records", _LINKAGE_RECORDS_SCHEMA
+    ).select("c_custkey")
+    return universe.join(odds_rec(customers), "c_custkey", "left").filter(
+        F.assert_true(
+            F.col("name").isNotNull(),
+            F.concat(
+                F.lit("linkage field odds: record custkey="),
+                F.col("c_custkey").cast("string"),
+                F.lit(
+                    " is missing from the provided customers frame —"
+                    " stale/partial attribute snapshot (fail-closed:"
+                    " provide a frame covering every served record)"
+                ),
+            ),
+        ).isNull()
+    )
+
+
+def linkage_field_odds_from_sink(
+    spark: SparkSession, out_dir: str, customers: DataFrame
+) -> DataFrame:
+    """The Fellegi-Sunter m/u ESTIMATE served from the sink — the last
+    batch ER stage without a streaming twin (r9 verdict "capability
+    seam"): the m side aggregates the sink-served evidence (the SAME
+    :func:`operators.linkage.match_evidence_over` kernel, fail-closed
+    coverage gate included), the u side runs the closed-form histogram /
+    CDF arithmetic of :func:`operators.linkage.field_odds_over` over the
+    records-sink universe joined to the CURRENT attributes — one
+    estimation kernel, zero drift. Once the stream has consumed the
+    corpus the batch query reads, this equals
+    ``customer_match_field_odds`` row-for-row for a prefix-keyed sink
+    (asserted in tests); for a minhash-keyed sink the served pairs
+    stream UNCAPPED, so the m side follows the ``band_cap=None`` batch
+    variant (the :func:`linkage_evidence_from_sink` equality contract).
+
+    Plan shape identical to the batch estimator: the pinned record frame
+    (localCheckpoint — which also fires the coverage gate ONCE, at pin
+    time, instead of once per downstream aggregate), three histogram
+    groupBys + one distributed CDF prefix sum, broadcast 1-row joins —
+    nothing pair-shaped, nothing corpus-shuffled beyond the histograms."""
+    from ..operators.linkage import field_odds_over, match_evidence_over
+
+    pairs = _delta_sink_view(
+        spark, out_dir.rstrip("/") + "/pairs", _LINKAGE_PAIRS_SCHEMA
+    ).select("key_a", "key_b", "edit_distance")
+    ev = match_evidence_over(pairs, customers, require_coverage=True)
+    rec = _sink_covered_rec(spark, out_dir, customers).localCheckpoint()
+    return field_odds_over(rec, ev).orderBy("field")
+
+
+def linkage_verdict_estimated_from_sink(
+    spark: SparkSession, out_dir: str, customers: DataFrame
+) -> DataFrame:
+    """The estimated-weights decision layer served from the sink —
+    completing the streaming ER arc: with this twin EVERY batch stage
+    (pairs, evidence, hand verdict, field odds, estimated verdict,
+    components, golden record) has a sink-served sibling running the
+    same kernels. The served evidence pins once (localCheckpoint, the
+    batch op's own pattern — the odds aggregation and the final scoring
+    both read it), the odds derive from :func:`_sink_covered_rec` +
+    :func:`operators.linkage.field_odds_over`, the weights quantize via
+    :func:`operators.linkage.estimated_weights_over`, and the re-scored
+    banding is :func:`operators.linkage.estimated_verdict_over` — the
+    merge queue's estimated verdicts can never band differently from
+    the batch job's. Same per-provider equality contract and fail-closed
+    coverage gates as the other serving twins."""
+    from ..operators.linkage import (
+        estimated_verdict_over,
+        estimated_weights_over,
+        field_odds_over,
+        match_evidence_over,
+    )
+
+    pairs = _delta_sink_view(
+        spark, out_dir.rstrip("/") + "/pairs", _LINKAGE_PAIRS_SCHEMA
+    ).select("key_a", "key_b", "edit_distance")
+    ev = match_evidence_over(
+        pairs, customers, require_coverage=True
+    ).localCheckpoint()
+    rec = _sink_covered_rec(spark, out_dir, customers).localCheckpoint()
+    odds = field_odds_over(rec, ev)
+    return estimated_verdict_over(ev, estimated_weights_over(odds)).orderBy(
+        "key_a", "key_b"
+    )

@@ -716,6 +716,41 @@ def test_golden_record_served_from_sink_equals_batch(spark, sf_dir, dirs):
     assert any(r[1] > 1 for r in got), "corpus must yield a real merge"
 
 
+def test_field_odds_and_estimated_verdict_served_from_sink_equal_batch(
+    spark, sf_dir, dirs
+):
+    """The estimator loop served from the sink (the r9 verdict's last
+    'capability seam'): once the stream has consumed the corpus, the
+    m/u field-odds estimate over the served evidence + records universe
+    must equal the batch customer_match_field_odds row-for-row, and the
+    estimated-weights verdict must equal customer_match_verdict_estimated
+    — both sides run the ONE field_odds_over / estimated_weights_over /
+    estimated_verdict_over kernels, so with this pair of twins EVERY
+    batch ER stage has a sink-served sibling that cannot drift."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_match_field_odds,
+        customer_match_verdict_estimated,
+    )
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        linkage_field_odds_from_sink,
+        linkage_verdict_estimated_from_sink,
+    )
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    cust = load_table(spark, sf_dir, "customer")
+
+    got_odds = _pairs(linkage_field_odds_from_sink(spark, dirs["out"], cust))
+    assert got_odds == _pairs(customer_match_field_odds(spark, sf_dir))
+    assert len(got_odds) == 3, "one served row per estimated field"
+
+    got_est = _pairs(linkage_verdict_estimated_from_sink(spark, dirs["out"], cust))
+    assert got_est == _pairs(customer_match_verdict_estimated(spark, sf_dir))
+    assert got_est, "corpus must yield estimated verdicts"
+
+
 def test_serving_with_partial_customer_frame_is_refused(spark, sf_dir, dirs):
     """The fail-closed coverage gate (r9 ADVICE): serving evidence,
     verdicts or golden records against a customer frame that is missing
@@ -728,7 +763,9 @@ def test_serving_with_partial_customer_frame_is_refused(spark, sf_dir, dirs):
     )
     from concordium_transaction_logger_spark.streaming.pipeline import (
         linkage_evidence_from_sink,
+        linkage_field_odds_from_sink,
         linkage_golden_from_sink,
+        linkage_verdict_estimated_from_sink,
         linkage_verdict_from_sink,
     )
 
@@ -744,6 +781,8 @@ def test_serving_with_partial_customer_frame_is_refused(spark, sf_dir, dirs):
         linkage_evidence_from_sink,
         linkage_verdict_from_sink,
         linkage_golden_from_sink,
+        linkage_field_odds_from_sink,
+        linkage_verdict_estimated_from_sink,
     ):
         with pytest.raises(Exception, match="fail-closed"):
             serve(spark, dirs["out"], partial).collect()
