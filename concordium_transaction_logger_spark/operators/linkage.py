@@ -733,19 +733,13 @@ def golden_record_over(
     how = "left" if require_coverage else "inner"
     joined = assign.join(attrs, assign.custkey == attrs.c_custkey, how)
     if require_coverage:
-        joined = joined.filter(
-            F.assert_true(
-                F.col("name").isNotNull(),
-                F.concat(
-                    F.lit("linkage golden record: entity member custkey="),
-                    F.col("custkey").cast("string"),
-                    F.lit(
-                        " is missing from the provided customers frame —"
-                        " stale/partial attribute snapshot (fail-closed:"
-                        " provide a frame covering every served record)"
-                    ),
-                ),
-            ).isNull()
+        joined = _require_coverage(
+            joined,
+            F.col("name").isNotNull(),
+            F.concat(
+                F.lit("linkage golden record: entity member custkey="),
+                F.col("custkey").cast("string"),
+            ),
         )
     return joined.groupBy("entity_id").agg(
         F.count("*").alias("n_members"),
@@ -805,6 +799,29 @@ ESTIMATED_THRESHOLD_UPPER = 6
 ESTIMATED_THRESHOLD_LOWER = 0
 
 
+def _require_coverage(df: DataFrame, ok, subject) -> DataFrame:
+    """The ONE fail-closed attribute-coverage gate (r9 ADVICE) shared by
+    every serving-path kernel — a LEFT-joined row where ``ok`` is false
+    RAISES at execution (lazy per-row ``assert_true``: no extra join, no
+    eager action) with ``subject`` (a string Column) naming the
+    offender; one rendering of the condition and the remedy text, so the
+    three serving paths cannot drift in failure semantics or in the
+    'fail-closed' wording the tests pin."""
+    return df.filter(
+        F.assert_true(
+            ok,
+            F.concat(
+                subject,
+                F.lit(
+                    " is missing from the provided customers frame —"
+                    " stale/partial attribute snapshot (fail-closed:"
+                    " provide a frame covering every served record)"
+                ),
+            ),
+        ).isNull()
+    )
+
+
 def match_evidence_over(
     pairs: DataFrame, customers: DataFrame, require_coverage: bool = False
 ) -> DataFrame:
@@ -846,22 +863,16 @@ def match_evidence_over(
     how = "left" if require_coverage else "inner"
     joined = pairs.join(xa, "key_a", how).join(xb, "key_b", how)
     if require_coverage:
-        joined = joined.filter(
-            F.assert_true(
-                F.col("bal_a").isNotNull() & F.col("bal_b").isNotNull(),
-                F.concat(
-                    F.lit("linkage evidence: pair ("),
-                    F.col("key_a").cast("string"),
-                    F.lit(", "),
-                    F.col("key_b").cast("string"),
-                    F.lit(
-                        ") has a key missing from the provided customers"
-                        " frame — stale/partial attribute snapshot"
-                        " (fail-closed: provide a frame covering every"
-                        " served record)"
-                    ),
-                ),
-            ).isNull()
+        joined = _require_coverage(
+            joined,
+            F.col("bal_a").isNotNull() & F.col("bal_b").isNotNull(),
+            F.concat(
+                F.lit("linkage evidence: a key of pair ("),
+                F.col("key_a").cast("string"),
+                F.lit(", "),
+                F.col("key_b").cast("string"),
+                F.lit(")"),
+            ),
         )
     w = MATCH_WEIGHTS
     seg_match = (F.col("seg_a") == F.col("seg_b")).cast("long")
@@ -1376,6 +1387,11 @@ def customer_blocking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hot_block_pairs"),
         ).select(F.lit(provider).alias("provider"), "*")
 
+    # pin the 3-row plan: the recommendation's mh_hot filter below would
+    # otherwise re-execute the minhash stats aggregate a second time
+    # (Catalyst prunes the other union branches via the literal provider
+    # filter, but the surviving branch is a full groupBy over the banded
+    # frame)
     plan = (
         stats(block_keys(rec, "prefix"), "prefix")
         .unionByName(stats(banded, "minhash_band"))
@@ -1384,6 +1400,7 @@ def customer_blocking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hot_pair_permille",
             permille_expr("hot_block_pairs", "candidate_pairs"),
         )
+        .localCheckpoint()
     )
     mh_hot = plan.filter(F.col("provider") == "minhash_band").select(
         F.col("hot_pair_permille").alias("_mh_hot")

@@ -667,16 +667,22 @@ mfin AS (
 )
 
 
-def _linkage_evidence_core(pairs_ctes: str) -> str:
-    """Render the Fellegi-Sunter evidence SELECT (sans presentation
-    ORDER BY) over a pair CTE named ``mev`` with (key_a, key_b,
-    edit_distance) columns — ONE rendering shared by the evidence
-    oracles for every provider and wrapped by the verdict oracle.
-    Weights, tolerance and thresholds interpolate from the linkage
-    module's literals (r8 ADVICE: the first cut hand-duplicated them,
-    so an edit to linkage.MATCH_WEIGHTS would have desynced op and
-    oracle)."""
-    w = linkage.MATCH_WEIGHTS
+def _linkage_evidence_select(
+    pairs_ctes: str,
+    weight_sql: str,
+    verdict_cols: str = "",
+    extra_join: str = "",
+) -> str:
+    """The ONE evidence-frame SELECT rendering (attribute CTE ``mattr``,
+    per-field agreement indicators, attribute joins) over a pair CTE
+    named ``mev`` with (key_a, key_b, edit_distance) columns — shared by
+    the hand-weight evidence core AND the estimated-weights verdict
+    oracle, so an edit to the indicator semantics (tolerance, segment
+    comparison, join shape) cannot desync the two renderings (the same
+    drift class the r8 ADVICE weight-literal fix closed).
+    ``weight_sql`` computes match_weight; ``verdict_cols``/``extra_join``
+    let the verdict oracles append their banding column and weight-row
+    join."""
     tol = linkage.BALANCE_CENTS_TOLERANCE
     return (
         pairs_ctes
@@ -690,17 +696,33 @@ SELECT p.key_a, p.key_b, p.edit_distance,
        CAST(x.c_mktsegment = y.c_mktsegment AS BIGINT) AS seg_match,
        CAST(abs(x.bal_cents - y.bal_cents)
             <= {tol} AS BIGINT) AS bal_close,
-       CAST(CASE WHEN p.edit_distance = 0 THEN {w["name_exact"]}
+       CAST({weight_sql} AS BIGINT) AS match_weight{verdict_cols}
+FROM mev p
+JOIN mattr x ON p.key_a = x.c_custkey
+JOIN mattr y ON p.key_b = y.c_custkey{extra_join}"""
+    )
+
+
+def _linkage_evidence_core(pairs_ctes: str) -> str:
+    """Render the Fellegi-Sunter evidence SELECT (sans presentation
+    ORDER BY) over a pair CTE named ``mev`` — the hand-weight form of
+    :func:`_linkage_evidence_select`, shared by the evidence oracles
+    for every provider and wrapped by the verdict oracle. Weights,
+    tolerance and thresholds interpolate from the linkage module's
+    literals (r8 ADVICE: the first cut hand-duplicated them, so an
+    edit to linkage.MATCH_WEIGHTS would have desynced op and
+    oracle)."""
+    w = linkage.MATCH_WEIGHTS
+    tol = linkage.BALANCE_CENTS_TOLERANCE
+    return _linkage_evidence_select(
+        pairs_ctes,
+        f"""CASE WHEN p.edit_distance = 0 THEN {w["name_exact"]}
                  ELSE {w["name_close"]} END
           + CASE WHEN x.c_mktsegment = y.c_mktsegment
                  THEN {w["segment_agree"]} ELSE {w["segment_disagree"]} END
           + CASE WHEN abs(x.bal_cents - y.bal_cents)
                       <= {tol}
-                 THEN {w["balance_close"]} ELSE {w["balance_far"]} END
-         AS BIGINT) AS match_weight
-FROM mev p
-JOIN mattr x ON p.key_a = x.c_custkey
-JOIN mattr y ON p.key_b = y.c_custkey"""
+                 THEN {w["balance_close"]} ELSE {w["balance_far"]} END""",
     )
 
 
@@ -827,8 +849,10 @@ def _est_w(ratio_sql: str) -> str:
 
 def _linkage_estimated_verdict_sql() -> str:
     """Render the estimated-weights verdict oracle: the shared odds CTEs
-    quantized to one weight row (owts), cross-joined into the evidence
-    SELECT, banded by the linkage module's ESTIMATED thresholds."""
+    quantized to one weight row (owts), cross-joined into the ONE
+    evidence SELECT rendering (:func:`_linkage_evidence_select` — the
+    indicators/joins are not re-spelled here), banded by the linkage
+    module's ESTIMATED thresholds."""
     tol = linkage.BALANCE_CENTS_TOLERANCE
     total = (
         "CASE WHEN p.edit_distance = 0 THEN w.w_name_agree"
@@ -838,7 +862,7 @@ def _linkage_estimated_verdict_sql() -> str:
         f" + CASE WHEN abs(x.bal_cents - y.bal_cents) <= {tol}"
         " THEN w.w_bal_agree ELSE w.w_bal_disagree END"
     )
-    return (
+    pairs_ctes = (
         _LINKAGE_MEV_PREFIX
         + _LINKAGE_ODDS_CTES
         + f""",
@@ -855,27 +879,21 @@ owts AS (
            {_est_w("m_ppm * 1000 // greatest(1, u_ppm)")} AS wa,
            {_est_w("(1000000 - m_ppm) * 1000 // greatest(1, 1000000 - u_ppm)")} AS wd
     FROM oppm)
-),
-emattr AS (
-  SELECT c_custkey, CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents,
-         c_mktsegment
-  FROM customer
-)
-SELECT p.key_a, p.key_b, p.edit_distance,
-       CAST(x.c_mktsegment = y.c_mktsegment AS BIGINT) AS seg_match,
-       CAST(abs(x.bal_cents - y.bal_cents) <= {tol} AS BIGINT) AS bal_close,
-       CAST({total} AS BIGINT) AS match_weight,
+)"""
+    )
+    return (
+        _linkage_evidence_select(
+            pairs_ctes,
+            total,
+            verdict_cols=f""",
        CASE WHEN {total} >= {linkage.ESTIMATED_THRESHOLD_UPPER}
             THEN 'auto_merge'
             WHEN {total} >= {linkage.ESTIMATED_THRESHOLD_LOWER}
             THEN 'review'
-            ELSE 'reject' END AS verdict
-FROM mev p
-JOIN emattr x ON p.key_a = x.c_custkey
-JOIN emattr y ON p.key_b = y.c_custkey
-CROSS JOIN owts w
-ORDER BY key_a, key_b
-"""
+            ELSE 'reject' END AS verdict""",
+            extra_join="\nCROSS JOIN owts w",
+        )
+        + "\nORDER BY key_a, key_b\n"
     )
 
 

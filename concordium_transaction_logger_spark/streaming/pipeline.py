@@ -3069,26 +3069,21 @@ def _sink_covered_rec(
     seen but ``customers`` has not RAISES at execution (fail-closed:
     a silently thinner u-side histogram would skew every odds ratio
     without any visible failure — the quiet-fail-open the family
-    refuses everywhere else). Same LEFT-join + lazy per-row
-    ``assert_true`` gate as the evidence/golden kernels."""
-    from ..operators.linkage import odds_rec
+    refuses everywhere else). The shared
+    :func:`operators.linkage._require_coverage` gate, same as the
+    evidence/golden kernels."""
+    from ..operators.linkage import _require_coverage, odds_rec
 
     universe = _delta_sink_view(
         spark, out_dir.rstrip("/") + "/records", _LINKAGE_RECORDS_SCHEMA
     ).select("c_custkey")
-    return universe.join(odds_rec(customers), "c_custkey", "left").filter(
-        F.assert_true(
-            F.col("name").isNotNull(),
-            F.concat(
-                F.lit("linkage field odds: record custkey="),
-                F.col("c_custkey").cast("string"),
-                F.lit(
-                    " is missing from the provided customers frame —"
-                    " stale/partial attribute snapshot (fail-closed:"
-                    " provide a frame covering every served record)"
-                ),
-            ),
-        ).isNull()
+    return _require_coverage(
+        universe.join(odds_rec(customers), "c_custkey", "left"),
+        F.col("name").isNotNull(),
+        F.concat(
+            F.lit("linkage field odds: record custkey="),
+            F.col("c_custkey").cast("string"),
+        ),
     )
 
 

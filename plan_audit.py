@@ -75,6 +75,11 @@ HEADLINE = [
     # (three provider profiles + a 1-row broadcast hot-share fold)
     "customer_match_verdict_estimated",
     "customer_blocking_plan",
+    # the sampled u(name_close) estimator: fixed-size hash sample
+    # self-compared via one bounded-Levenshtein cross join — the plan
+    # must show the sample filter BEFORE the join (pair work constant
+    # at any corpus size)
+    "customer_match_field_odds_sampled",
 ]
 
 

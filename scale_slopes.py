@@ -454,6 +454,21 @@ def main() -> None:
             # attribute join + one partial-agg groupBy)
             "match_verdict_estimated": linkage.customer_match_verdict_estimated,
             "golden_record": linkage.customer_golden_record,
+            # the planner's conclusion (r10): three provider stat
+            # aggregates over the pinned record/banded frames + the
+            # capped re-key join-back — block-count-bounded partial
+            # aggs, so the slope should sit near the blocking scan,
+            # and a lost broadcast on the cap join-back would show
+            # here first
+            "blocking_plan": linkage.customer_blocking_plan,
+            # the sampled u(name_close) estimator (r10, declared
+            # approximate): the self-compared sample is FIXED-SIZE
+            # (k = N DIV 1024 hash-sampling toward
+            # NAME_U_SAMPLE_TARGET rows), so the pair work is constant
+            # by construction and the slope should be the corpus
+            # scan's alone — this row is what would catch the sample
+            # accidentally growing with the corpus
+            "match_field_odds_sampled": linkage.customer_match_field_odds_sampled,
             # the streaming twin, end-to-end (6-batch availableNow
             # ingest into a fresh sink + served pair read) — see
             # _streaming_linkage_ingest for the regime note
