@@ -689,6 +689,52 @@ def test_unknown_provider_refused_at_construction(spark, dirs):
         )
 
 
+def test_serving_twins_survive_sink_compaction(spark, sf_dir, dirs):
+    """The compaction lifecycle extended to the merge queue's CONSUMERS:
+    after compact_sink folds the pairs and records views, every
+    sink-served ER stage — evidence, verdict, components, golden record,
+    field odds, estimated verdict — must still equal its batch frame
+    row-for-row. The serving reads ride the same manifest-aware
+    _delta_sink_view as the admission probes, so a fold (which rewrites
+    the table into a fresh version directory and swaps the manifest)
+    must be invisible to everything downstream of the sink — this pins
+    that no serving path accidentally reads the raw directory layout
+    the fold just dropped."""
+    from concordium_transaction_logger_spark.operators.linkage import (
+        customer_golden_record,
+        customer_match_evidence,
+        customer_match_field_odds,
+    )
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        compact_sink,
+        linkage_components_from_sink,
+        linkage_evidence_from_sink,
+        linkage_field_odds_from_sink,
+        linkage_golden_from_sink,
+    )
+
+    _write_split(spark, sf_dir, dirs["source"])
+    StreamingLinkageIngest(
+        spark, dirs["source"], dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    ).run_available_now()
+    compact_sink(spark, dirs["out"], "pairs", target_files=2)
+    compact_sink(spark, dirs["out"], "records", target_files=2)
+    cust = load_table(spark, sf_dir, "customer")
+
+    assert _pairs(linkage_evidence_from_sink(spark, dirs["out"], cust)) == (
+        _pairs(customer_match_evidence(spark, sf_dir))
+    )
+    assert _pairs(linkage_components_from_sink(spark, dirs["out"])) == (
+        _pairs(customer_match_components(spark, sf_dir))
+    )
+    assert _pairs(linkage_golden_from_sink(spark, dirs["out"], cust)) == (
+        _pairs(customer_golden_record(spark, sf_dir))
+    )
+    assert _pairs(linkage_field_odds_from_sink(spark, dirs["out"], cust)) == (
+        _pairs(customer_match_field_odds(spark, sf_dir))
+    )
+
+
 def test_golden_record_served_from_sink_equals_batch(spark, sf_dir, dirs):
     """The MERGE served from the sink (the last batch ER stage to get a
     streaming twin): once the stream has consumed the corpus, golden-
