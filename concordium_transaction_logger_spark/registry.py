@@ -2505,6 +2505,10 @@ ORDER BY field
     "customer_match_verdict_estimated": QueryDef(
         linkage.customer_match_verdict_estimated,
         _linkage_estimated_verdict_sql(),
+        # detail-bench presence (the r9 item-6 treatment): the round's
+        # flagship decision path gets a regression-visible cell without
+        # touching the 28-query headline
+        bench=True,
     ),
     "customer_best_match": QueryDef(
         linkage.customer_best_match,
@@ -2634,6 +2638,10 @@ SELECT provider, n_blocks, max_block_size, candidate_pairs, hot_block_pairs,
 FROM pperm
 ORDER BY provider
 """,
+        # detail-bench presence: the planner aggregates three corpus
+        # blocking profiles — a lost broadcast or pin would show here
+        # between slope refreshes
+        bench=True,
     ),
     # The deliberately-missing u(name_close) estimate, by fixed-size
     # deterministic sampling (r10, r9 verdict stretch) — DECLARED
