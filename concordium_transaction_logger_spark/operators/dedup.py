@@ -420,38 +420,65 @@ def components_over_buckets(
         # return every doc as its own singleton — silently wrong, the
         # exact failure mode the non-convergence raise exists to prevent
         raise ValueError(f"components_over_buckets: max_iter must be >= 1, got {max_iter}")
-    labels = (
-        buckets.select("doc_id")
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
-    )
-    changed = 0
-    for _ in range(max_iter):
-        bucket_min = (
-            buckets.join(labels, "doc_id")
-            .groupBy("bucket")
-            .agg(F.min("label").alias("blabel"))
-        )
+    from pyspark.sql.window import Window
+
+    # Convergence is detected by the LABEL-SUM invariant instead of a
+    # per-round labels⋈labels diff join (r10 optimization): hash-min is
+    # monotone — new_label(d) = min over d's buckets of the bucket min,
+    # and d sits in each of its buckets, so no label ever increases.
+    # Hence Σ labels strictly decreases until the fixpoint and
+    # "sum unchanged" ⟺ "no label changed". The sum is a cheap partial
+    # aggregate over the just-checkpointed round frame (control-plane
+    # scalar), replacing a corpus-sized join + count job per round;
+    # DECIMAL(38,0) keeps it exact for arbitrary 64-bit label ids at any
+    # corpus size (an int64 sum could wrap).
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    labels = None
+    prev_sum: object = None
+    converged = False
+    for i in range(max_iter):
+        if labels is None:
+            # Round 1 folds the identity-label join away: every doc's
+            # initial label IS its doc_id, so the first bucket min is a
+            # plain aggregate over the bucket frame — one join and the
+            # init-labels checkpoint job cheaper than joining an
+            # identity frame.
+            bucket_min = buckets.groupBy("bucket").agg(
+                F.min("doc_id").alias("blabel")
+            )
+        else:
+            bucket_min = (
+                buckets.join(labels, "doc_id")
+                .groupBy("bucket")
+                .agg(F.min("label").alias("blabel"))
+            )
         new_labels = (
             buckets.join(bucket_min, "bucket")
             .groupBy("doc_id")
             .agg(F.min("blabel").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        if prev_sum is None:
+            # the initial-label sum (Σ doc_id) comes from the SAME frame:
+            # round 1's groupBy keys are exactly the docs that carry
+            # labels, so one aggregate yields both sides of the first
+            # convergence comparison.
+            row = new_labels.agg(
+                label_sum, F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("s0")
+            ).collect()[0]
+            prev_sum, new_sum = row["s0"], row["s"]
+        else:
+            new_sum = new_labels.agg(label_sum).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = new_sum
+    if not converged:
         raise ValueError(
             f"components_over_buckets: hash-min propagation did not "
-            f"converge in {max_iter} rounds ({changed} labels still "
-            f"moving) — the candidate graph has a component whose "
+            f"converge in {max_iter} rounds (the label sum is still "
+            f"decreasing) — the candidate graph has a component whose "
             f"diameter exceeds the round budget; raise max_iter or use "
             f"star_components (O(log^2 n) rounds on any graph shape)"
         )
@@ -461,13 +488,21 @@ def components_over_buckets(
         .select("doc_id", F.col("doc_id").alias("label"))
     )
     labels = labels.union(singletons)
-    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    # component_size as ONE window count over the labeled frame (r10
+    # optimization): the former groupBy+join-back spelled the same thing
+    # as TWO executions of the labels∪singletons subtree (the singleton
+    # anti-join re-ran inside both the sizes aggregate and the join
+    # probe — visible as duplicated SortMergeJoin LeftAnti subtrees in
+    # the golden-record plan) plus a labels⋈sizes join. The window is
+    # one hash exchange on label over a single execution of the subtree.
     return (
-        labels.join(sizes, "label")
-        .select(
+        labels.select(
             "doc_id",
             F.col("label").alias("component_id"),
-            "component_size",
+            F.count("*")
+            .over(Window.partitionBy("label"))
+            .cast("long")
+            .alias("component_size"),
         )
         .orderBy("doc_id")
     )

@@ -190,7 +190,15 @@ def pagerank_over_edges(
 
     ranks = nodes.select("node", F.lit(PR_MASS_MICRO).cast("long").alias("r"))
     for i in range(iters):
-        contrib = e.join(ranks, e.src == ranks.node).select(
+        # SHUFFLE_HASH hint (r10, guide §3.1): the per-round rank⋈edge
+        # join planned as sort-merge, paying a sort of BOTH sides every
+        # round (the edge side re-sorts its persisted partitions each
+        # iteration). Hash-building the rank side skips both sorts; the
+        # build is one rank row per node per partition — the same
+        # per-partition footprint the sort needed anyway — and exchange
+        # reuse is unchanged (ranks arrive partitioned by the groupBy,
+        # edges by the persisted adjacency layout).
+        contrib = e.join(ranks.hint("shuffle_hash"), e.src == ranks.node).select(
             F.col("dst").alias("node"),
             # Both sides of the DIV are computed in DECIMAL(38,0)
             # (DuckDB: HUGEINT): rank mass scales with node count (r up

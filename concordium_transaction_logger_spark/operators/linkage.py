@@ -1133,34 +1133,36 @@ def field_odds_over(rec: DataFrame, ev: DataFrame) -> DataFrame:
         .join(F.broadcast(u_name))
         .join(F.broadcast(u_seg))
         .join(F.broadcast(u_bal))
-        .localCheckpoint()
     )
-    rows = []
-    for field, m_col, u_col in (
-        ("balance", "m_bal", "u_bal_agree"),
-        ("name_exact", "m_name_exact", "u_name_agree"),
-        ("segment", "m_seg", "u_seg_agree"),
-    ):
-        rows.append(
-            one.select(
-                F.lit(field).alias("field"),
-                F.expr(f"CAST(1000000 * {m_col} DIV m_total AS BIGINT)").alias(
-                    "m_ppm"
-                ),
-                F.expr(
-                    f"CAST(1000000 * {u_col} DIV u_total AS BIGINT)"
-                ).alias("u_ppm"),
-                F.expr(
-                    f"CAST((1000000 * {m_col} DIV m_total) * 1000 "
-                    f"DIV greatest(1, 1000000 * {u_col} DIV u_total) "
-                    f"AS BIGINT)"
-                ).alias("mu_ratio_x1000"),
+    # The 3 field rows INLINE out of the single aggregate row (r10
+    # optimization): the former 3-branch union re-read the aggregate
+    # frame once per field, which forced a localCheckpoint to stop the
+    # whole m/u aggregation tree executing three times — one pin job per
+    # query. ``inline`` emits the same three rows from ONE execution of
+    # the aggregate subtree, so the pin (and its job) is gone; every
+    # consumer (the public orderBy, the estimated-weights pivot, the
+    # stream-served twin) reads the frame exactly once.
+    def _odds_row(field: str, m_col: str, u_col: str):
+        return F.struct(
+            F.lit(field).alias("field"),
+            F.expr(f"CAST(1000000 * {m_col} DIV m_total AS BIGINT)").alias("m_ppm"),
+            F.expr(f"CAST(1000000 * {u_col} DIV u_total AS BIGINT)").alias("u_ppm"),
+            F.expr(
+                f"CAST((1000000 * {m_col} DIV m_total) * 1000 "
+                f"DIV greatest(1, 1000000 * {u_col} DIV u_total) "
+                f"AS BIGINT)"
+            ).alias("mu_ratio_x1000"),
+        )
+
+    return one.select(
+        F.inline(
+            F.array(
+                _odds_row("balance", "m_bal", "u_bal_agree"),
+                _odds_row("name_exact", "m_name_exact", "u_name_agree"),
+                _odds_row("segment", "m_seg", "u_seg_agree"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
 
 
 def customer_match_verdict(

@@ -226,13 +226,24 @@ def curation_verdict(
     kept) and the split for kept docs.
 
     Composition cost: every stage except the dedup keeper is row-local,
-    so the funnel is ONE shuffle (the fingerprint groupBy) regardless of
+    so the funnel is ONE shuffle (the fingerprint window) regardless of
     how many rules stack — Catalyst fuses the gate, classifier, and split
     expressions into the same scan. This is the argument for declarative
-    curation: N pipeline passes collapse into one plan."""
+    curation: N pipeline passes collapse into one plan.
+
+    The keeper is a conditional MIN WINDOW over the fingerprint (r10
+    optimization): the former groupBy+left-join spelling executed the
+    md5/gate/classifier scan expressions in TWO join subtrees (the
+    keepers aggregate re-scanned the corpus and re-ran the gate regexes
+    — visible as a second Scan parquet in the before plan); the window
+    computes the same keeper (min ignores the non-ok NULLs; a fingerprint
+    group with no gate-ok member yields NULL exactly like the missed left
+    join) in ONE pass over one exchange."""
     # gate_reason is THE shared gate expression (textstats) — the batch
     # gate query, the streaming curation ingest, and this funnel must all
     # gate identically, so none of them re-states the rules inline
+    from pyspark.sql.window import Window
+
     from .textstats import classifier_score, gate_reason
 
     docs = load_table(spark, sf_dir, "documents")
@@ -243,11 +254,9 @@ def curation_verdict(
         classifier_score(F.col("text")).alias("q"),
         _bucket(F.col("doc_id"), salt).alias("bucket"),
     )
-    keepers = (
-        base.filter(F.col("gate_reason") == "ok")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("keeper_id"))
-    )
+    keeper_id = F.min(
+        F.when(F.col("gate_reason") == "ok", F.col("doc_id"))
+    ).over(Window.partitionBy("fp"))
     verdict = (
         F.when(F.col("gate_reason") != "ok", F.col("gate_reason"))
         .when(F.col("doc_id") != F.col("keeper_id"), F.lit("duplicate"))
@@ -255,7 +264,7 @@ def curation_verdict(
         .otherwise(F.lit("kept"))
     )
     return (
-        base.join(keepers, ["fp"], "left")
+        base.withColumn("keeper_id", keeper_id)
         .select(
             "doc_id",
             verdict.alias("verdict"),

@@ -1353,20 +1353,37 @@ def _cms_col(tok: Column, j: Column) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
 
 
+def cms_cells_from_counts(tok_counts: DataFrame) -> DataFrame:
+    """depth×width cell counts over a pre-aggregated ``(tok, n)`` token
+    frequency frame — the r10-optimized core of :func:`cms_cells`: the
+    depth md5 probes are computed once per DISTINCT token (vocabulary-
+    sized) instead of once per occurrence, and the cell count is the SUM
+    of the token counts landing in the cell — cell-identical by the
+    commutativity of the sum, at 1/(mean token frequency) of the hash
+    work (guide §2.3: aggregate before the expensive per-row step)."""
+    js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
+    return (
+        tok_counts.select("tok", "n", F.explode(js).alias("j"))
+        .select("n", "j", _cms_col(F.col("tok"), F.col("j")).alias("col"))
+        .groupBy("j", "col")
+        .agg(F.sum("n").cast("long").alias("cell_n"))
+    )
+
+
 def cms_cells(occ: DataFrame) -> DataFrame:
     """depth×width cell counts over a token-occurrence frame (any frame
     with a ``tok`` column, one row per occurrence) — the shared
     sketch-build kernel of the batch :func:`token_cms_topk` AND the
     streaming ``StreamingCmsIngest`` (whose per-batch deltas use exactly
     these expressions, so stream-merged and batch-built sketches are
-    cell-identical). groupBy (j, col) with map-side partial aggregation:
-    each task emits at most depth·width cells regardless of input size."""
-    js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
-    return (
-        occ.select("tok", F.explode(js).alias("j"))
-        .select("j", _cms_col(F.col("tok"), F.col("j")).alias("col"))
-        .groupBy("j", "col")
-        .agg(F.count("*").cast("long").alias("cell_n"))
+    cell-identical). Since r10 the occurrence frame pre-aggregates to
+    (tok, n) frequencies before the depth-way md5 explode — the md5s run
+    per distinct token, not per occurrence, and the partial-aggregated
+    (j, col) groupBy still emits at most depth·width cells per task
+    regardless of input size. Cell values are unchanged (sum of per-token
+    counts ≡ count of occurrence rows per cell)."""
+    return cms_cells_from_counts(
+        occ.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
     )
 
 
@@ -1394,8 +1411,14 @@ def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     occ = _spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
-    cells = cms_cells(occ)
-    cnt = occ.groupBy("tok").agg(F.count("*").cast("long").alias("exact_n"))
+    # ONE tokenize + aggregate pass feeds BOTH the sketch build and the
+    # exact top-k (r10: the two sides previously re-tokenized the corpus
+    # as independent subtrees); the pinned frame is vocabulary-sized.
+    tok_counts = (
+        occ.groupBy("tok").agg(F.count("*").cast("long").alias("n")).localCheckpoint()
+    )
+    cells = cms_cells_from_counts(tok_counts)
+    cnt = tok_counts.select("tok", F.col("n").alias("exact_n"))
     top = cnt.orderBy(F.desc("exact_n"), F.asc("tok")).limit(CMS_TOP)
     probes = top.select(
         "tok", "exact_n", F.explode(js).alias("j")
