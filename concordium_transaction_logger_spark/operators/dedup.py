@@ -164,14 +164,23 @@ def ngram_jaccard_pairs(
     uncapped variant for bounded corpora / recall audits."""
     sh = shingle_index(spark, sf_dir).select("doc_id", "shh")
     if max_df is not None:
+        # pin the stop list (r10): it is referenced by FOUR subtrees (both
+        # self-join sides and both size joins), and unpinned the full
+        # df-count aggregate over the shingle index re-executed once per
+        # reference (4 HashAggregate passes in the before plan). The frame
+        # is tiny by construction (only shingles with df > max_df).
         stop = (
             sh.groupBy("shh")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
             .select("shh")
+            .localCheckpoint()
         )
         sh = sh.join(F.broadcast(stop), "shh", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # pin the per-doc sizes too (r10): na and nb below are two broadcast
+    # consumers, each of which re-ran the capped-index groupBy unpinned;
+    # the frame is |docs| rows of two longs.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -1252,8 +1261,14 @@ def tfidf_cosine_pairs(
         )
         .localCheckpoint()
     )
-    norms = w.groupBy("doc_id").agg(
-        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
+    # pin the norms (r10): na and nb are two consumers, and unpinned the
+    # norm aggregate re-read the full postings checkpoint once per side
+    # (two HashAggregate passes in the before plan). |docs| rows of two
+    # longs — the same narrow-sizes-frame treatment as the jaccard family.
+    norms = (
+        w.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2"))
+        .localCheckpoint()
     )
     inv = w.filter(F.col("keep")).select("doc_id", "th", "w")
     a = inv.select(
@@ -1270,9 +1285,15 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb"))
+    # broadcast the two norm joins (r10): unpinned/unhinted they planned
+    # as SortMergeJoins that re-shuffled AND re-sorted the pair frame by
+    # doc_a then doc_b — two full pair-frame exchanges to attach two
+    # longs. The norm frame is the |docs|-row narrow side; broadcast is
+    # the jaccard family's convention (the sf-local stand-in for the
+    # at-scale shuffled-hash join on the pair key).
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -269,7 +269,16 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = pairs.select(F.col("doc_a").alias("node")).unionByName(
         pairs.select(F.col("doc_b").alias("node"))
     )
-    deg = ends.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    # pin the degree frame (r10): it feeds the orientation joins, the
+    # node count and the wedge-sum aggregate — unpinned, the union +
+    # groupBy subtree re-executed per consumer (two duplicate Union/
+    # HashAggregate subtrees in the before plan). |nodes| rows of two
+    # longs.
+    deg = (
+        ends.groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint()
+    )
 
     da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("deg_b"))
@@ -285,13 +294,19 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()
 
+    # SHUFFLE_HASH hints (r10, guide §3.1): both the apex self-join and
+    # the closure semi-join planned as sort-merge, paying sorts of the
+    # oriented-edge frame (×2) and of the wedge fan-out; hash-building
+    # the right side drops every one of those sorts. The build sides are
+    # per-partition bounded — out-edge lists by the √m orientation bound,
+    # the closure side is the edge set itself.
     w1 = oriented.select("src", F.col("dst").alias("v"))
     w2 = oriented.select("src", F.col("dst").alias("w"))
-    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
+    wedges = w1.join(w2.hint("shuffle_hash"), "src").filter(F.col("v") < F.col("w"))
     closing = pairs.select(
         F.col("doc_a").alias("v"), F.col("doc_b").alias("w")
     )  # pairs already canonical: doc_a < doc_b
-    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    tri = wedges.join(closing.hint("shuffle_hash"), ["v", "w"], "left_semi")
 
     n_nodes = deg.select(F.count("*").cast("long").alias("n_nodes"))
     n_edges = pairs.select(F.count("*").cast("long").alias("n_edges"))

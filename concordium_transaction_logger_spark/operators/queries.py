@@ -208,8 +208,22 @@ def parse_tagged_summary(df: DataFrame) -> DataFrame:
     construct_row postgres.rs:389-406): permissive ``from_json`` yields a
     NULL struct for corrupt payloads, which are silently dropped —
     read-lenient, in contrast to the strict-on-write ingest (SURVEY §4
-    asymmetry). ``df`` needs (id, summary)."""
-    parsed = df.withColumn("p", F.from_json("summary", SUMMARY_SCHEMA))
+    asymmetry). ``df`` needs (id, summary).
+
+    The parse runs ONCE per row (r10): spelled as filter-over-projection,
+    Catalyst pushes the tag-null predicate below the project and every
+    row pays ``from_json`` twice — once (schema-pruned) in the pushed
+    filter, once in the projection — and ``JsonToStructs`` is
+    CodegenFallback, so both run interpreted. Routing the struct through
+    a one-element ``explode`` puts a Generate barrier under the filter:
+    a predicate on generator output cannot push below the Generate, so
+    the struct materializes once and both the filter and the field
+    extraction read the materialized column. Same rows, same values —
+    ``explode`` of a 1-element array is row-preserving, and a corrupt
+    payload still yields the NULL-tag struct the filter drops."""
+    parsed = df.select(
+        "id", F.explode(F.array(F.from_json("summary", SUMMARY_SCHEMA))).alias("p")
+    )
     return parsed.filter(F.col("p.tag").isNotNull()).select(
         "id",
         F.col("p.tag").alias("tag"),

@@ -508,11 +508,17 @@ def winnow_dup_pairs(
     the exact uncapped join for bounded corpora."""
     fp = winnow_index(spark, sf_dir)
     if max_df is not None:
+        # pin the stop list (r10, the ngram_jaccard treatment): the capped
+        # frame feeds both self-join sides, and unpinned the df-count
+        # aggregate over the winnow index re-executed per side (broadcast
+        # subtrees are not exchange-reused across the two references).
+        # Tiny by construction — only fingerprints with df > max_df.
         stop = (
             fp.groupBy("fp")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
             .select("fp")
+            .localCheckpoint()
         )
         fp = fp.join(F.broadcast(stop), "fp", "left_anti")
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
