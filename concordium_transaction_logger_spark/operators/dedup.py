@@ -174,13 +174,13 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
             .select("shh")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sh = sh.join(F.broadcast(stop), "shh", "left_anti")
     # pin the per-doc sizes too (r10): na and nb below are two broadcast
     # consumers, each of which re-ran the capped-index groupBy unpinned;
     # the frame is |docs| rows of two longs.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -461,11 +461,18 @@ def components_over_buckets(
                 .groupBy("bucket")
                 .agg(F.min("label").alias("blabel"))
             )
+        # LAZY checkpoint + the convergence aggregate as the materializing
+        # action (r10): an eager localCheckpoint is its own job, and the
+        # label-sum collect was a second — two scheduler round trips per
+        # round over a frame the round already computed. eager=False marks
+        # the frame for pinning and the agg's collect below materializes
+        # it, so each round is ONE job; the next round's join still reads
+        # the pinned partitions, not the lineage.
         new_labels = (
             buckets.join(bucket_min, "bucket")
             .groupBy("doc_id")
             .agg(F.min("blabel").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if prev_sum is None:
             # the initial-label sum (Σ doc_id) comes from the SAME frame:
@@ -537,7 +544,7 @@ def star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def both_dirs(ed: DataFrame) -> DataFrame:
@@ -574,7 +581,7 @@ def star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     # instead of two full anti-joins every round.
     prev_n = e.count()
     for _ in range(max_iter):
-        new_e = star(star(e, large=True), large=False).localCheckpoint()
+        new_e = star(star(e, large=True), large=False).localCheckpoint(eager=False)
         n = new_e.count()
         changed = 1
         if n == prev_n:
@@ -864,7 +871,7 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         mc.select(pair)
         .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = cells.filter(F.col("ia") == F.col("ib")).select(
         F.col("ia").alias("idx"), F.col("cnt").alias("n_sh")
@@ -1259,7 +1266,7 @@ def tfidf_cosine_pairs(
             (F.col("df") <= max_df).alias("keep"),
             (F.col("tf") * F.col("idf_bits")).alias("w"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # pin the norms (r10): na and nb are two consumers, and unpinned the
     # norm aggregate re-read the full postings checkpoint once per side
@@ -1268,7 +1275,7 @@ def tfidf_cosine_pairs(
     norms = (
         w.groupBy("doc_id")
         .agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     inv = w.filter(F.col("keep")).select("doc_id", "th", "w")
     a = inv.select(

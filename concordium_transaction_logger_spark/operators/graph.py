@@ -222,7 +222,7 @@ def pagerank_over_edges(
             )
         )
         if (i + 1) % 5 == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
 
     return (
         ranks.orderBy(F.desc("r"), F.asc("node"))
@@ -265,7 +265,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_band_pairs is already distinct and canonical (doc_a < doc_b);
     # checkpoint it once — it feeds the orientation join, the closure
     # semi-join, and the edge count.
-    pairs = minhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    pairs = minhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=False)
     ends = pairs.select(F.col("doc_a").alias("node")).unionByName(
         pairs.select(F.col("doc_b").alias("node"))
     )
@@ -277,7 +277,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (
         ends.groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("deg_a"))
@@ -292,7 +292,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
             F.when(lower_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # SHUFFLE_HASH hints (r10, guide §3.1): both the apex self-join and
     # the closure semi-join planned as sort-merge, paying sorts of the

@@ -423,11 +423,17 @@ def _minhash_pairs(
     # for a frame of 2 narrow rows per record). The CAPPED frame is
     # pinned too: both self-join sides read it, and its lineage holds
     # the size groupBy (a corpus-wide shuffle that must not run twice).
+    # eager=False (r10): the pins stay (same consumers as before), but the
+    # first consumer's own job materializes them — the cap's size
+    # aggregate for the banded frame, the verify join's first read for
+    # the capped frame — instead of each pin being a separate
+    # construction-time job (two scheduler round trips saved per query;
+    # later consumers read the pinned partitions exactly as before).
     banded = blocked_records(
         load_table(spark, sf_dir, "customer"), key="minhash_band"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     if band_cap is not None:
-        banded = capped_band_keys(banded, band_cap).localCheckpoint()
+        banded = capped_band_keys(banded, band_cap).localCheckpoint(eager=False)
     return verify_pairs(banded, banded, max_distance).distinct()
 
 
@@ -473,7 +479,7 @@ def _sorted_pairs(
     :func:`_minhash_pairs`)."""
     banded = blocked_records(
         load_table(spark, sf_dir, "customer"), key="sorted_neighborhood"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return verify_pairs(banded, banded, max_distance).distinct()
 
 
@@ -656,8 +662,12 @@ def _entity_frame(
     # sink (stream-served) — unpinned, that upstream re-executes ~2x per
     # round (the band_buckets persist / star_components localCheckpoint
     # precedent)
+    # lazy pin (r10): round 1's bucket-min aggregate is the materializing
+    # action, so the clique build and the first propagation half-round are
+    # ONE job instead of a pin job + a round job; later rounds read the
+    # pinned partitions either way.
     comp = components_over_buckets(
-        pair_cliques(pairs).localCheckpoint(),
+        pair_cliques(pairs).localCheckpoint(eager=False),
         universe.select(F.col("c_custkey").alias("doc_id")),
         max_iter=max_iter,
     )
@@ -1049,7 +1059,7 @@ def _field_odds_frame(
     weights without inheriting the presentation ORDER BY, and can pass
     a pre-pinned evidence frame (``ev``) so the pair join is not built
     twice in one query."""
-    rec = odds_rec(load_table(spark, sf_dir, "customer")).localCheckpoint()
+    rec = odds_rec(load_table(spark, sf_dir, "customer")).localCheckpoint(eager=False)
     if ev is None:
         ev = _evidence_frame(spark, sf_dir, max_distance, key)
     return field_odds_over(rec, ev)
@@ -1305,7 +1315,7 @@ def customer_match_verdict_estimated(
     Plan shape: everything the evidence/field-odds queries do, plus ONE
     broadcast cross join of the 1-row weight frame — no new
     corpus-sized shuffle; the weights are control-plane."""
-    ev = _evidence_frame(spark, sf_dir, max_distance, key).localCheckpoint()
+    ev = _evidence_frame(spark, sf_dir, max_distance, key).localCheckpoint(eager=False)
     odds = _field_odds_frame(spark, sf_dir, max_distance, key, ev=ev)
     return estimated_verdict_over(ev, estimated_weights_over(odds)).orderBy(
         "key_a", "key_b"
@@ -1369,8 +1379,8 @@ def customer_blocking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Integer/string throughout — hash-matches the oracle."""
     from .textstats import permille_expr
 
-    rec = normalize_records(load_table(spark, sf_dir, "customer")).localCheckpoint()
-    banded = block_keys(rec, "minhash_band").localCheckpoint()
+    rec = normalize_records(load_table(spark, sf_dir, "customer")).localCheckpoint(eager=False)
+    banded = block_keys(rec, "minhash_band").localCheckpoint(eager=False)
     cap = MINHASH_BAND_CAP
 
     def stats(blocked: DataFrame, provider: str) -> DataFrame:
@@ -1402,7 +1412,7 @@ def customer_blocking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hot_pair_permille",
             permille_expr("hot_block_pairs", "candidate_pairs"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     mh_hot = plan.filter(F.col("provider") == "minhash_band").select(
         F.col("hot_pair_permille").alias("_mh_hot")
@@ -1482,7 +1492,7 @@ def customer_match_field_odds_sampled(
             F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(0x5EED)), F.lit(k)) == 0
         )
         .select("c_custkey", "name")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a, b = samp.alias("a"), samp.alias("b")
     pairs = a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey")).select(

@@ -365,7 +365,7 @@ def dsir_weights(
             F.count("*").alias("c_cnt"),
             F.sum(F.when(F.col("is_val"), 1).otherwise(0)).alias("t_cnt"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = cc.agg(
         F.sum("c_cnt").alias("ctot"), F.sum("t_cnt").alias("ttot")

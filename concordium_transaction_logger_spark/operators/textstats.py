@@ -518,7 +518,7 @@ def winnow_dup_pairs(
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
             .select("fp")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         fp = fp.join(F.broadcast(stop), "fp", "left_anti")
     a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
@@ -700,7 +700,7 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree (the bigram twin measured its slope riding on exactly
     # those replays — r6 slope work).
     per_doc_tok = (
-        occ.groupBy("doc_id", "tok").agg(F.count("*").alias("k")).localCheckpoint()
+        occ.groupBy("doc_id", "tok").agg(F.count("*").alias("k")).localCheckpoint(eager=False)
     )
     tot = per_doc_tok.agg(F.sum("k").cast("long").alias("n_total"))
     cnt = per_doc_tok.groupBy("tok").agg(F.sum("k").alias("cnt"))
@@ -860,7 +860,7 @@ def bigram_surprisal(
     per_doc = (
         big.groupBy("doc_id", "bgh", "ph")
         .agg(F.count("*").alias("k"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # corpus counts RE-AGGREGATE the per-doc frame (the oracle's shape:
     # bc2 sums bpdt) — aggregating `big` directly would re-run the
@@ -868,7 +868,7 @@ def bigram_surprisal(
     c2 = (
         per_doc.groupBy("bgh", "ph")
         .agg(F.sum("k").alias("cnt2"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # OOV backoff cost: one row, from the full (pre-prune) count table
     tot = c2.agg(F.sum("cnt2").cast("long").alias("tot"))
@@ -925,7 +925,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         bigram_surprisal(spark, sf_dir)
         .select("doc_id", F.col("mean_surprisal_millibits").alias("s"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hist = scores.groupBy("s").agg(F.count("*").alias("cnt"))
     w = Window.orderBy(F.col("s").asc()).rowsBetween(
@@ -1259,7 +1259,7 @@ def _bpe_fit(rep: DataFrame, n_merges: int):
     # corpus is read once and each merge step is vocabulary-sized work.
     # The per-step replace chain stays lazy on top — row-local string
     # edits over the pinned rows, nothing worth truncating.
-    rep = rep.localCheckpoint()
+    rep = rep.localCheckpoint(eager=False)
     merges = []
     for step in range(1, n_merges + 1):
         syms = F.split(
@@ -1421,7 +1421,7 @@ def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact top-k (r10: the two sides previously re-tokenized the corpus
     # as independent subtrees); the pinned frame is vocabulary-sized.
     tok_counts = (
-        occ.groupBy("tok").agg(F.count("*").cast("long").alias("n")).localCheckpoint()
+        occ.groupBy("tok").agg(F.count("*").cast("long").alias("n")).localCheckpoint(eager=False)
     )
     cells = cms_cells_from_counts(tok_counts)
     cnt = tok_counts.select("tok", F.col("n").alias("exact_n"))
