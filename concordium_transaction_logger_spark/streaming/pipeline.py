@@ -134,36 +134,50 @@ class StreamingIngest:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch ≙ one reference block transaction
         (insert_block, main.rs:545-574): all five sinks written for the
-        batch, keyed by ``ingest_batch`` for idempotent replay."""
-        if self.strict:
-            # NULL-safe: ``~isin`` is NULL for NULL, which would let a
-            # NULL-typed event slide through the abort gate.
-            unknown = (
-                batch_df.filter(
-                    F.col("event_type").isNull()
-                    | ~F.col("event_type").isin(*KNOWN_EVENT_TYPES)
+        batch, keyed by ``ingest_batch`` for idempotent replay.
+
+        The enriched feed is persisted for the span of the batch: the
+        strict gate plus the five sink writes are six actions over the
+        same rows, and unpersisted each one re-reads the batch's source
+        files and re-runs the feed projection (the ``get_json_object``
+        parse) — one scan + one parse per batch instead of six. The
+        persist is batch-scoped (released in ``finally``), never a
+        cross-run cache. The gate reads ``event_type`` from the feed —
+        the column passes through :func:`derive.feed_from_events`
+        row-for-row untouched, so the abort semantics (fire BEFORE any
+        sink write) are identical."""
+        feed = derive.feed_from_events(batch_df, n_users=self.n_users).persist()
+        try:
+            if self.strict:
+                # NULL-safe: ``~isin`` is NULL for NULL, which would let a
+                # NULL-typed event slide through the abort gate.
+                unknown = (
+                    feed.filter(
+                        F.col("event_type").isNull()
+                        | ~F.col("event_type").isin(*KNOWN_EVENT_TYPES)
+                    )
+                    .select("event_type")
+                    .limit(1)
+                    .collect()
                 )
-                .select("event_type")
-                .limit(1)
-                .collect()
-            )
-            if unknown:
-                raise ValueError(
-                    f"unknown event_type {unknown[0][0]!r} in batch {batch_id}: "
-                    "refusing to index (strict-on-write forward-compat, "
-                    "main.rs:332-341 — update the derivation rules)"
+                if unknown:
+                    raise ValueError(
+                        f"unknown event_type {unknown[0][0]!r} in batch {batch_id}: "
+                        "refusing to index (strict-on-write forward-compat, "
+                        "main.rs:332-341 — update the derivation rules)"
+                    )
+            for name, df in _derive_all(feed).items():
+                (
+                    df.withColumn("ingest_batch", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    # per-write, not session-global: idempotent replay overwrites
+                    # only this batch's own partition
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest_batch")
+                    .parquet(os.path.join(self.out_dir, name))
                 )
-        feed = derive.feed_from_events(batch_df, n_users=self.n_users)
-        for name, df in _derive_all(feed).items():
-            (
-                df.withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                # per-write, not session-global: idempotent replay overwrites
-                # only this batch's own partition
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
-                .parquet(os.path.join(self.out_dir, name))
-            )
+        finally:
+            feed.unpersist()
 
     def run_available_now(self) -> None:
         """Consume everything currently in the source, then stop
