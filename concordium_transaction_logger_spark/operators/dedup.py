@@ -20,12 +20,13 @@ Spark's xxhash64/murmur is not reproducible in DuckDB).
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, table_bytes
 from .textstats import fingerprints, mean_millis_expr, permille_expr, tokens
 
 MINHASH_K = 8
@@ -41,6 +42,17 @@ SHINGLE = 3
 #: scale tune to a permille of |docs|; what matters is that the default
 #: path is the capped one and the cap is actually exercised.
 DEFAULT_MAX_DF = 5
+
+#: tfidf norm-join broadcast gate (r11): broadcast the |docs|-row norm
+#: frame only while the SOURCE corpus is under this on-disk size. A
+#: ~32 GiB compressed corpus is on the order of tens of millions of
+#: documents -> a few hundred MB of (long, long) norm rows framed, well
+#: inside the 8 GB / 512M-row broadcast cap with headroom; beyond it the
+#: norm attach becomes a shuffled-hash join. Env-tunable so a cluster
+#: with a bigger driver can raise it without a code change.
+NORM_BROADCAST_MAX_CORPUS_BYTES = int(
+    os.environ.get("CTL_NORM_BROADCAST_MAX_CORPUS_BYTES", str(32 << 30))
+)
 
 
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,12 +1307,22 @@ def tfidf_cosine_pairs(
     # broadcast the two norm joins (r10): unpinned/unhinted they planned
     # as SortMergeJoins that re-shuffled AND re-sorted the pair frame by
     # doc_a then doc_b — two full pair-frame exchanges to attach two
-    # longs. The norm frame is the |docs|-row narrow side; broadcast is
-    # the jaccard family's convention (the sf-local stand-in for the
-    # at-scale shuffled-hash join on the pair key).
+    # longs. The norm frame is the |docs|-row narrow side. GATED (r11,
+    # advice item): norms is corpus-proportional (16 bytes/doc), so an
+    # unconditional broadcast would eventually hit the 8 GB broadcast cap
+    # / driver heap at the very scale this op targets. Gate on the
+    # on-disk size of the source corpus (driver-side metadata, no job):
+    # under the threshold the norm frame is at most a few hundred MB and
+    # broadcasting skips both pair-frame exchanges; over it, fall back to
+    # the shuffled-hash join (no sort — the pair frame is hash-attached,
+    # which is the documented at-scale plan).
+    if table_bytes(sf_dir, "documents") <= NORM_BROADCAST_MAX_CORPUS_BYTES:
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    else:
+        na, nb = na.hint("shuffle_hash"), nb.hint("shuffle_hash")
     return (
-        dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

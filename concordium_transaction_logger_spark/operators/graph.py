@@ -222,6 +222,13 @@ def pagerank_over_edges(
             )
         )
         if (i + 1) % 5 == 0:
+            # eager=False + no mid-loop action means only LOGICAL-plan
+            # truncation is retained (analyzer/optimizer cost stays
+            # bounded in rounds); the final action still executes the
+            # full physical lineage in one job — intentional: an eager
+            # pin here would add a scheduler round trip per 5 rounds for
+            # no data-plane saving (measured r11: the bench corpus has
+            # no early fixpoint, every round's output is consumed).
             ranks = ranks.localCheckpoint(eager=False)
 
     return (

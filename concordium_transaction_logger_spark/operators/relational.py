@@ -1243,44 +1243,55 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str, late_days: int = 60) ->
     """TPC-H Q21-shaped double-correlated existence: suppliers who were the
     ONLY late supplier on finished multi-supplier orders.
 
-    EXISTS (another supplier on the order) ≙ left-semi self-join;
-    NOT EXISTS (another LATE supplier) ≙ left-anti against the late set.
-    Both self-joins hash on l_orderkey, so with the fact table partitioned
-    by orderkey (plans/layout bucketing) all three sides co-locate into one
-    exchange. `late` is reduced to DISTINCT (orderkey, suppkey) pairs
-    before the joins — count(*) afterwards is exactly orders-kept-waiting
-    per supplier."""
+    Both correlated EXISTS checks are per-ORDER facts, so they fold into
+    duplicate-insensitive min/max aggregates instead of pair-frame
+    semi/anti self-joins (guide §2.3 "aggregate before you shuffle"):
+
+    - NOT EXISTS (another LATE supplier on the order) ⟺ the order has
+      exactly ONE distinct late supplier ⟺ min(late suppkey) ==
+      max(late suppkey) per order — which also makes the former
+      DISTINCT-pairs shuffle unnecessary (min/max ignore duplicates).
+      The surviving (order, min-suppkey) row IS the lone late pair.
+    - EXISTS (another supplier on the order) ⟺ the order has >= 2
+      distinct suppliers overall ⟺ min(l_suppkey) != max(l_suppkey)
+      over the order's lineitem rows.
+
+    Both per-order facts come from ONE pass: lineitem LEFT-joins the
+    status-F order dates (the join is an attach, so no lineitem row is
+    lost), and a single groupBy(l_orderkey) computes min/max suppkey
+    over all rows AND conditional min/max over the late rows (a row is
+    late only when its order matched status F — o_orderdate NULL makes
+    the lateness predicate NULL and the conditional min/max skip it,
+    exactly the inner-join semantics). The old spelling scanned lineitem
+    twice and shuffled the full (orderkey, suppkey) pair frame twice
+    more (semi probe + anti probe); this one shuffles lineitem once into
+    the join and the groupBy reuses that exchange. count(*) per supplier
+    over the surviving one-row-per-order frame is exactly
+    orders-kept-waiting per supplier, unchanged."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders_f = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    late = (
-        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
     )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    late_others = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
-    )
+    late_supp = F.when(is_late, F.col("l_suppkey"))
     lone = (
-        late.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(late_supp).alias("l_suppkey"),
+            F.max(late_supp).alias("mx_late"),
+            (F.min("l_suppkey") != F.max("l_suppkey")).alias("has_other"),
         )
-        .join(
-            late_others,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
+        .filter(
+            F.col("l_suppkey").isNotNull()
+            & (F.col("l_suppkey") == F.col("mx_late"))
+            & F.col("has_other")
         )
+        .select("l_orderkey", "l_suppkey")
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -77,3 +77,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one table's parquet file(s) — driver-side
+    metadata only (no Spark job), the engine's cheap estimate when a
+    plan-time decision (e.g. a broadcast-vs-shuffled-hash hint) must be
+    made before anything executes. Counts data files, skips `_`/`.`
+    bookkeeping files; a table stored as a single file is its size."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total

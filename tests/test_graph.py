@@ -168,6 +168,28 @@ def test_tfidf_cosine_pairs_matches_python_reference(spark, sf_dir):
     assert below > 0
 
 
+def test_tfidf_norm_join_gate_fallback_is_value_identical(spark, sf_dir, monkeypatch):
+    """The r11 broadcast gate on the norm joins: when the corpus exceeds
+    the threshold the norm attach falls back from broadcast to a
+    shuffled-hash join — same rows either way (a join strategy cannot
+    change values), and the fallback plan must really drop the
+    broadcast of the norm frames."""
+    from concordium_transaction_logger_spark.plans import layout
+
+    want = sorted(
+        tuple(r) for r in dedup.tfidf_cosine_pairs(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(dedup, "NORM_BROADCAST_MAX_CORPUS_BYTES", 0)
+    df = dedup.tfidf_cosine_pairs(spark, sf_dir)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want
+    # with a 0-byte gate no norm frame may broadcast: the two norm
+    # attaches must plan as non-broadcast joins (the pair-frame side
+    # is hash-attached, not collected)
+    plan = layout.explain_str(df, "simple")
+    assert "ShuffledHashJoin" in plan
+
+
 def test_token_cms_topk_one_sided_and_matches_reference(spark, sf_dir):
     import hashlib
 

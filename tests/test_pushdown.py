@@ -139,11 +139,16 @@ def test_market_share_is_single_pass_conditional_agg(spark, sf_dir):
     assert "Union" not in plan
 
 
-def test_lone_late_supplier_semi_and_anti_join(spark, sf_dir):
-    """Q21 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti; the supplier
-    dimension broadcasts; the final top-10 is TakeOrderedAndProject."""
+def test_lone_late_supplier_single_pass_aggregate(spark, sf_dir):
+    """Q21 shape (r11): both correlated EXISTS checks fold into one
+    per-order conditional min/max aggregate over ONE lineitem scan —
+    no pair-frame LeftSemi/LeftAnti self-joins, no DISTINCT shuffle;
+    the supplier dimension broadcasts; the final top-10 is
+    TakeOrderedAndProject."""
     plan = layout.explain_str(relational.lone_late_supplier(spark, sf_dir), "simple")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l and "lineitem" in l]
+    assert len(scans) == 1, f"lineitem must be scanned exactly once, got {len(scans)}"
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Round-11 interleaved A/B adjudicator (VERDICT r10 item 1).
+
+One invocation = one COLD JVM: build session, run the bench warm region,
+then time `<query>` with the driver's bench methodology (toPandas, two
+passes, per-query min). `<variant>` selects the kernel:
+
+  new    — the tree as committed (r10 kernel).
+  old    — the pre-r10 `components_over_buckets` (eager pins, diff-join
+           convergence, groupBy+join sizes) monkey-patched in.
+
+Run interleaved from a shell loop (old new old new ...) on a quiet host;
+each line of output is JSON: {"query":..,"variant":..,"runs":[..],"min":..}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def old_components_over_buckets(
+    buckets: DataFrame, all_docs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """The pre-r10 kernel, verbatim from a7ecb52^ (doc trimmed)."""
+    if max_iter < 1:
+        raise ValueError(
+            f"components_over_buckets: max_iter must be >= 1, got {max_iter}"
+        )
+    labels = (
+        buckets.select("doc_id")
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    changed = 0
+    for _ in range(max_iter):
+        bucket_min = (
+            buckets.join(labels, "doc_id")
+            .groupBy("bucket")
+            .agg(F.min("label").alias("blabel"))
+        )
+        new_labels = (
+            buckets.join(bucket_min, "bucket")
+            .groupBy("doc_id")
+            .agg(F.min("blabel").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise ValueError("did not converge")
+    singletons = (
+        all_docs.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    labels = labels.union(singletons)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("component_id"), "component_size")
+        .orderBy("doc_id")
+    )
+
+
+def main() -> None:
+    query = sys.argv[1]
+    variant = sys.argv[2] if len(sys.argv) > 2 else "new"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from concordium_transaction_logger_spark import build_session
+    from concordium_transaction_logger_spark.registry import REGISTRY
+
+    if variant == "old" and query == "doc_dup_components":
+        from concordium_transaction_logger_spark.operators import dedup
+
+        dedup.components_over_buckets = old_components_over_buckets
+
+    from tools_r11_measure import warm
+
+    spark = build_session("ctl-r11-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm(spark, sf_dir)
+
+    fn = REGISTRY[query].spark
+    spark.sparkContext.setJobDescription(f"r11-ab:{query}:{variant}")
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).toPandas()
+        runs.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {"query": query, "variant": variant, "runs": runs, "min": min(runs)}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
