@@ -82,11 +82,19 @@ def bm25_over(docs: DataFrame, terms: tuple[str, ...], k: int) -> DataFrame:
     tests feed synthetic corpora through the same kernel)."""
     _check_terms(terms)
     t = F.col("t")
+    # pin the per-doc tf frame (r11, guide §1.2 shared subtree): BOTH the
+    # broadcast stats aggregate and the scored branch read it, and
+    # unpinned each one re-executes the scan + tokenize + tf filters —
+    # the corpus-dominant cost, paid twice (plan showed 2 parquet scans
+    # of documents). Lazy pin: the stats aggregate is the materializing
+    # action; the scored branch then reads the pinned partitions. The
+    # pinned frame is (doc_id, dl, tf0..tfn) — a few longs per doc, far
+    # narrower than the text it replaces at any corpus size.
     pertf = docs.select(
         "doc_id",
         F.size(t).cast("long").alias("dl"),
         *[_tf(t, w).alias(f"tf{i}") for i, w in enumerate(terms)],
-    )
+    ).localCheckpoint(eager=False)
     # ONE map-side-combined aggregate -> a single broadcastable stats row.
     stats = pertf.agg(
         F.count("*").cast("long").alias("n_docs"),

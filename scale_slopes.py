@@ -307,6 +307,47 @@ def _streaming_linkage_ingest(spark, cdir: str):
     return linkage_pairs_from_sink(spark, os.path.join(root, "out"))
 
 
+def _streaming_ingest_events(spark, cdir: str):
+    """The five-sink events ingest measured end-to-end (r11: the one
+    r10-optimized streaming kernel — the batch-scoped feed persist that
+    collapsed 6 scans+parses per micro-batch to 1+1 — had no slope row):
+    a full availableNow ingest of the corpus events table in 6 fixed
+    micro-batches into a FRESH sink, then a read of the summaries sink.
+    Fresh dirs per pass so the min-of-2 never times a no-op rerun. The
+    timed corpora replicate events (user span grows with the corpus), so
+    the row measures the per-batch scan+parse+5-write linearity."""
+    import tempfile as _tf
+
+    import atexit as _atexit
+
+    from concordium_transaction_logger_spark.streaming.pipeline import (
+        StreamingIngest,
+        read_sink,
+    )
+
+    root = _tf.mkdtemp(prefix="ctl_sing_")
+    _atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ev = spark.read.parquet(os.path.join(cdir, "events.parquet"))
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    for m in range(6):
+        (
+            ev.filter(F.col("event_id") % 6 == m)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    StreamingIngest(
+        spark,
+        src,
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+        n_users,
+        max_files_per_trigger=1,
+    ).run_available_now()
+    return read_sink(spark, os.path.join(root, "out"), "summaries")
+
+
 def _streaming_corpus_mode(near_dup: bool = False, span_dedup: bool = False):
     """The corpus-dedup sink's admission modes measured end-to-end (r8
     verdict evidence gap: the linkage sink got its slope row in r8; the
@@ -361,6 +402,7 @@ def main() -> None:
         dedup,
         graph,
         linkage,
+        queries,
         relational,
         retrieval,
         sampling,
@@ -414,6 +456,14 @@ def main() -> None:
             # replicas (a genuinely growing graph); triangles on the
             # growing band-candidate graph; the sparse/sketch ops on the
             # document corpus like every text family.
+            # r11: slope rows for the two r10-optimized kernels that had
+            # none (VERDICT item 3 asks for slope evidence per optimized
+            # kernel): the one-pass tagged-summary parse (3->1 from_json,
+            # events-table family — the scaled corpus replicates events)
+            # and the one-scan curation verdict (conditional-min window
+            # replacing groupBy+join, document family).
+            "summary_parse": queries.parsed_summaries,
+            "curation_verdict": sampling.curation_verdict,
             "trade_pagerank": graph.trade_pagerank,
             "trade_components": graph.trade_graph_components,
             "dedup_triangles": graph.dedup_graph_triangles,
@@ -473,6 +523,8 @@ def main() -> None:
             # ingest into a fresh sink + served pair read) — see
             # _streaming_linkage_ingest for the regime note
             "streaming_linkage": _streaming_linkage_ingest,
+            # the five-sink events ingest (r11 — see _streaming_ingest_events)
+            "streaming_ingest": _streaming_ingest_events,
             # the corpus-dedup sink's two stateful admission modes,
             # end-to-end (r8 verdict evidence gap) — see
             # _streaming_corpus_mode for the regime note

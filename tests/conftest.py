@@ -12,9 +12,22 @@ from concordium_transaction_logger_spark import build_session  # noqa: E402
 SF_DIR = os.environ.get("CTL_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+#: Test-session parallelism (r11, VERDICT item 2 — suite wall-clock): the
+#: fixtures are sub-MB (sf0.001), so per-stage task scheduling dominates
+#: every one of the suite's thousands of jobs and local[32] pays ~1.5-1.8x
+#: the wall of local[8] for identical work (measured interleaved on
+#: test_components_split: 87-165 s at local[32] vs 59-93 s at local[8];
+#: local[16] ~= local[8], local[4] loses compute). 8 threads still
+#: exercises genuinely parallel execution (multiple tasks per stage,
+#: AQE coalescing, shuffle fan-out) — this bounds scheduler overhead, it
+#: does not serialize the tests. Override with CTL_TEST_MASTER when a
+#: debugging session wants the production-shaped local[32].
+TEST_MASTER = os.environ.get("CTL_TEST_MASTER", "local[8]")
+
+
 @pytest.fixture(scope="session")
 def spark():
-    spark = build_session("ctl-tests", shuffle_partitions=8)
+    spark = build_session("ctl-tests", master=TEST_MASTER, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
     spark.stop()
