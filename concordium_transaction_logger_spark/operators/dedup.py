@@ -979,8 +979,16 @@ def duplicate_spans(
     para = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(para, "doc_id")
     t = F.col("t")
-    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    spans = doc_span_occurrences(docs, span_l)
+    # tokenize the corpus ONCE: both consumers (the per-doc token counts
+    # and the exploded window hashes) read the same lazily-pinned frame
+    # instead of each re-scanning and re-splitting the text (guide §1.2);
+    # the pin trades the second full parse for one block-manager
+    # write+read of the token arrays — the tokenize-once materialization
+    # every ExactSubstr pipeline makes.
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=False
+    )
+    spans = span_occurrences_from_tokens(tok, span_l)
     occ = F.count("*").over(Window.partitionBy("h"))
     dpos = spans.withColumn("n_occ", occ).filter(F.col("n_occ") >= 2).select(
         "doc_id", "pos"
@@ -1039,8 +1047,14 @@ def dedup_clean_text(
     para = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(para, "doc_id")
     t = F.col("t")
-    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    spans = doc_span_occurrences(docs, span_l)
+    # tokenize-once pin: THREE consumers here (window hashes, the
+    # positional token explode, the per-doc length attach) previously
+    # each re-scanned and re-split the text — guide §1.2; see
+    # :func:`duplicate_spans` for the materialization tradeoff.
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=False
+    )
+    spans = span_occurrences_from_tokens(tok, span_l)
     w_h = Window.partitionBy("h")
     ranked = spans.select(
         "doc_id",
@@ -1122,8 +1136,14 @@ def span_admission_frame(
     from pyspark.sql.window import Window
 
     t = F.col("t")
-    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    spans = doc_span_occurrences(docs, span_l)
+    # tokenize-once pin, same as :func:`duplicate_spans`: the window
+    # hashes and the per-doc length attach read one lazily-pinned
+    # tokenized frame instead of two full text parses (guide §1.2); the
+    # streaming reconciler inherits the single-parse shape per replay.
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=False
+    )
+    spans = span_occurrences_from_tokens(tok, span_l)
     min_doc = F.min("doc_id").over(Window.partitionBy("h"))
     dpos = (
         spans.withColumn("min_doc", min_doc)
@@ -1168,12 +1188,20 @@ def doc_span_occurrences(docs: DataFrame, span_l: int = SPAN_L) -> DataFrame:
     document — the shared kernel behind the span-dedup family and the
     streaming ``span_dedup`` admission (which probes these hashes against
     its seen-window state)."""
+    return span_occurrences_from_tokens(
+        docs.select("doc_id", tokens(F.col("text")).alias("t")), span_l
+    )
+
+
+def span_occurrences_from_tokens(tok: DataFrame, span_l: int = SPAN_L) -> DataFrame:
+    """:func:`doc_span_occurrences` over an already-tokenized
+    ``(doc_id, t)`` frame, so a caller that also needs the token arrays
+    (per-doc lengths, token re-assembly) can tokenize the corpus ONCE and
+    feed every consumer from the same frame."""
     t = F.col("t")
     grams = F.transform(gram_strings(t, span_l), lambda s: F.md5(s))
-    return (
-        docs.select("doc_id", tokens(F.col("text")).alias("t"))
-        .filter(F.size(t) >= span_l)
-        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    return tok.filter(F.size(t) >= span_l).select(
+        "doc_id", F.posexplode(grams).alias("pos", "h")
     )
 
 

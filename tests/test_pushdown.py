@@ -309,6 +309,21 @@ def test_bm25_tokenizes_the_corpus_once(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_span_family_tokenizes_the_corpus_once(spark, sf_dir):
+    """r11 (guide §1.2): the span family pins the tokenized corpus, so
+    the window-hash explode and the per-doc length/token consumers share
+    ONE scan+tokenize pass — the query tree's only inputs are the pinned
+    RDD, never a second parquet scan of documents (the pre-pin shape,
+    plans/r11/doc_duplicate_spans_before.txt, showed two full parses;
+    dedup_clean_text had three)."""
+    from concordium_transaction_logger_spark.operators import dedup
+
+    for fn in (dedup.duplicate_spans, dedup.dedup_clean_text, dedup.span_admission):
+        plan = layout.explain_str(fn(spark, sf_dir), "formatted")
+        assert plan.count("Scan parquet") == 0, (fn.__name__, plan)
+        assert "Scan ExistingRDD" in plan, (fn.__name__, plan)
+
+
 def test_duplicate_spans_single_count_window_no_join_for_df(spark, sf_dir):
     """The span-occurrence count is ONE hash-partitioned window over the
     window-hash key — not a groupBy+join (which would shuffle the same
